@@ -1,0 +1,173 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+query matrix broadcast ONCE with ``ray.put`` (never re-shipped per batch).
+Scale path: IVF — coarse-quantize the corpus into ``nlist`` buckets (seeded
+k-means-style centroids), search only the ``nprobe`` closest buckets per
+query. Both stream the corpus through ``map_batches``; nothing materializes
+the full dataset.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64, copy=False)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v) for v in col])
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    query_ids: np.ndarray | None = None,
+):
+    """Exact cosine top-k of each query against the corpus Dataset.
+
+    Per corpus batch: one matmul queries×batch → per-query local top-k rows;
+    a final tiny groupby-per-query merge keeps the global top-k. Returns a
+    pandas DataFrame (query_id, rank, vec_id, cosine) — small (Q×k rows).
+    """
+    import ray
+
+    qm = _normalize(np.atleast_2d(queries))
+    qids = query_ids if query_ids is not None else np.arange(len(qm))
+    qref = ray.put((qm, np.asarray(qids)))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q, qi = ray.get(qref)
+        c = _normalize(_stack(batch[vec_column].to_numpy()))
+        ids = batch[id_column].to_numpy()
+        sims = q @ c.T  # (Q, B)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "query_id": np.repeat(qi, kk),
+            "vec_id": ids[part].ravel(),
+            "cosine": np.take_along_axis(sims, part, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+
+    # global merge: Q×k per block → driver-side heap (tiny)
+    best: dict[int, list] = {}
+    for b in local.iter_batches(batch_format="pandas", batch_size=65536):
+        for q, v, s in zip(b["query_id"], b["vec_id"], b["cosine"]):
+            h = best.setdefault(int(q), [])
+            item = (float(s), -int(v))  # tiebreak: smaller vec_id wins
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    out = []
+    for q, h in sorted(best.items()):
+        ranked = sorted(h, reverse=True)
+        for rank, (s, negv) in enumerate(ranked, start=1):
+            out.append((q, rank, -negv, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "cosine"])
+
+
+# --------------------------------------------------------------------------
+# IVF (coarse-quantized) variant — the scale path
+# --------------------------------------------------------------------------
+
+
+class IvfIndexParams:
+    """Seeded coarse centroids learned from a sample (one pass, no iteration
+    — 'k-means--' style seeding is enough for bucketing)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids)
+
+    @classmethod
+    def fit(cls, ds, nlist: int = 16, vec_column: str = "embedding",
+            sample_rows: int = 4096, seed: int = 42) -> "IvfIndexParams":
+        sample = ds.limit(sample_rows).to_pandas()
+        m = _normalize(_stack(sample[vec_column].to_numpy()))
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(m), size=min(nlist, len(m)), replace=False)
+        centroids = m[idx]
+        # one Lloyd refinement pass over the sample for stabler buckets
+        assign = (m @ centroids.T).argmax(axis=1)
+        for j in range(len(centroids)):
+            members = m[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+        return cls(centroids)
+
+
+def ivf_topk(
+    ds,
+    params: IvfIndexParams,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    query_ids: np.ndarray | None = None,
+):
+    """ANN top-k: score only corpus rows whose nearest centroid is among each
+    query's ``nprobe`` closest centroids. Same streaming shape as brute force
+    with a vectorized bucket mask per batch (the 1/nlist×nprobe work saving
+    is what survives at 10^10 rows)."""
+    import ray
+
+    qm = _normalize(np.atleast_2d(queries))
+    qids = np.asarray(query_ids if query_ids is not None else np.arange(len(qm)))
+    qprobe = np.argsort(-(qm @ params.centroids.T), axis=1)[:, :nprobe]
+    qref = ray.put((qm, qids, qprobe, params.centroids))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q, qi, probe, cent = ray.get(qref)
+        c = _normalize(_stack(batch[vec_column].to_numpy()))
+        ids = batch[id_column].to_numpy()
+        cell = (c @ cent.T).argmax(axis=1)  # corpus row → bucket
+        frames = []
+        for row in range(len(q)):
+            mask = np.isin(cell, probe[row])
+            if not mask.any():
+                continue
+            sims = q[row] @ c[mask].T
+            sel_ids = ids[mask]
+            kk = min(k, len(sel_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, qi[row]),
+                        "vec_id": sel_ids[part],
+                        "cosine": sims[part],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        return pd.concat(frames, ignore_index=True)
+
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+    best: dict[int, list] = {}
+    for b in local.iter_batches(batch_format="pandas", batch_size=65536):
+        for q, v, s in zip(b["query_id"], b["vec_id"], b["cosine"]):
+            h = best.setdefault(int(q), [])
+            item = (float(s), -int(v))
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    out = []
+    for q, h in sorted(best.items()):
+        for rank, (s, negv) in enumerate(sorted(h, reverse=True), start=1):
+            out.append((q, rank, -negv, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "cosine"])

@@ -1,0 +1,157 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+language ID (n-gram heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash).
+
+All entry points are batch-level (pandas Series / pyarrow arrays in,
+columns out) so they drop straight into ``map_batches``; per-row Python is
+confined to the few kernels that are inherently per-string (fingerprint),
+and those run inside actor-pool stages so setup (profiles, regexes) is
+amortized per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]+", re.UNICODE)  # BPE-ish: words + punct runs
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic —
+# public-knowledge common words, enough for a deterministic heuristic
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is that it for on with as are this".split()),
+    "es": frozenset("el la de que y en los del se las por un con una es para".split()),
+    "fr": frozenset("le la de et les des en un une du que pour dans ce il".split()),
+    "de": frozenset("der die und das von zu den mit ist im für auf des ein".split()),
+    "pt": frozenset("o a de que e do da em um para com não uma os no se".split()),
+}
+
+_STOPWORDS_EN = _LANG_PROFILES["en"]
+
+
+def simple_tokens(text: str) -> list[str]:
+    """Whitespace-agnostic word+punctuation tokenizer (BPE-ish regex)."""
+    return _TOKEN_RE.findall(text or "")
+
+
+def count_tokens_whitespace(texts: pd.Series) -> np.ndarray:
+    """Vectorized whitespace token count (single-space split semantics so the
+    DuckDB oracle ``array_length(string_split(text, ' '))`` matches)."""
+    return (texts.fillna("").str.count(" ") + 1).to_numpy(dtype=np.int64)
+
+
+def count_tokens_bpeish(texts: pd.Series) -> np.ndarray:
+    """Regex token count (words + punctuation runs), vectorized via pandas."""
+    return texts.fillna("").str.count(_TOKEN_RE).to_numpy(dtype=np.int64)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic quality-scoring features per document:
+    n_chars, n_tokens (whitespace), mean_token_len, alpha_ratio,
+    stopword_ratio (en), all vectorized."""
+    s = texts.fillna("")
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    n_tokens = count_tokens_whitespace(s)
+    # mean token length under single-space split: (chars - separators)/tokens
+    mean_token_len = (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1)
+    n_alpha = s.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+    alpha_ratio = n_alpha / np.maximum(n_chars, 1)
+    words = s.str.lower().str.findall(_WORD_RE)
+    stop_ratio = words.map(
+        lambda ws: sum(w in _STOPWORDS_EN for w in ws) / max(1, len(ws))
+    ).to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len": mean_token_len,
+            "alpha_ratio": alpha_ratio,
+            "stopword_ratio": stop_ratio,
+        }
+    )
+
+
+def quality_score(feat: pd.DataFrame) -> np.ndarray:
+    """Scalar quality score in [0,1]: length sweet-spot × alpha × stopword
+    signal (heuristic in the C4/Gopher-rules family, deterministic)."""
+    length_ok = np.clip(feat["n_tokens"].to_numpy() / 50.0, 0.0, 1.0)
+    alpha = np.clip(feat["alpha_ratio"].to_numpy() * 1.25, 0.0, 1.0)
+    stop = np.clip(feat["stopword_ratio"].to_numpy() * 4.0, 0.0, 1.0)
+    return (0.4 * length_ok + 0.3 * alpha + 0.3 * stop).astype(np.float64)
+
+
+class LangIdModel:
+    """Stopword-profile language ID — stateful (profiles built once), so use
+    as an actor-pool stage: ``map_batches(LangIdStage, concurrency=N)``."""
+
+    def __init__(self, profiles: dict[str, frozenset[str]] | None = None):
+        self.profiles = profiles or _LANG_PROFILES
+
+    def predict_one(self, text: str) -> str:
+        words = _WORD_RE.findall((text or "").lower())
+        if not words:
+            return "und"
+        best_lang, best = "und", 0.0
+        for lang, prof in sorted(self.profiles.items()):
+            score = sum(w in prof for w in words) / len(words)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang if best > 0.0 else "und"
+
+    def predict(self, texts: pd.Series) -> pd.Series:
+        return texts.map(self.predict_one)
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> str:
+    """Document fingerprint: winnowed rolling (Rabin-Karp-style) hash —
+    the ``keep`` smallest window hashes, hex-joined. Deterministic; robust to
+    local edits outside selected windows (standard winnowing scheme)."""
+    data = (text or "").encode()
+    if len(data) <= window:
+        return hashlib.sha1(data).hexdigest()[:16]
+    base, mod = 257, (1 << 61) - 1
+    h = 0
+    power = pow(base, window - 1, mod)
+    hashes = []
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window:
+            h = (h - data[i - window] * power * base) % mod
+        if i >= window - 1:
+            hashes.append(h)
+    hashes.sort()
+    return "-".join(f"{x:016x}" for x in hashes[:keep])
+
+
+class FingerprintStage:
+    """Actor-pool stage adding a ``fingerprint`` column (per-row kernel, so
+    state/config lives in the actor and the loop stays in one process)."""
+
+    def __init__(self, text_column: str = "text", window: int = 8, keep: int = 4):
+        self.text_column = text_column
+        self.window = window
+        self.keep = keep
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["fingerprint"] = batch[self.text_column].map(
+            lambda t: rolling_fingerprint(t, self.window, self.keep)
+        )
+        return batch
+
+
+class LangIdStage:
+    """Actor-pool stage adding ``lang_pred`` (profiles compiled in __init__)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.model = LangIdModel()
+        self.text_column = text_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["lang_pred"] = self.model.predict(batch[self.text_column])
+        return batch

@@ -1,0 +1,361 @@
+"""The CDC replay pipeline: binlog tail → validate → hash-partition →
+LWW merge-upsert → epoch-fenced lake commit with manifest.
+
+End-to-end dataflow (all Ray Data, streaming with backpressure):
+
+    read_parquet(events epoch dir)                      # the tail micro-batch
+      → map_batches(ValidateEvents)                     # zero-copy Arrow, sha256 invariant
+      → map_batches(conform to schema version)          # in-flight schema rewrite
+      → map_batches(partial LWW + part_id + seq fence)  # combiner before shuffle
+      → groupby(part_id).map_groups(MergeWritePartition)# merge w/ prior state,
+                                                        # atomic per-partition write
+      → (tiny) manifest-row Dataset → ManifestStore.commit_epoch (driver)
+
+Reference lifecycle parity: this is `ProjectLoader.process_records`'s
+build-index → per-row upsert → record lineage loop
+(/root/reference/src/core/logic/project_loader.py:95-133) re-expressed as a
+partitioned bulk merge; the "weekly" re-runnable phase orchestration
+(/root/reference/src/flows/pipelines/weekly_orchestrator.py:41-90) becomes
+epoch-at-a-time `apply_epoch` calls that are individually idempotent and
+resumable from the manifest.
+
+Scale notes:
+  - The only all-to-all exchange on the hot path is the single
+    ``groupby(part_id)`` — events are pre-reduced per block first, so a hot
+    key contributes ≤ 1 row per block to the shuffle (skew defence; the
+    partial+final two-level reduce IS the salted-sub-partition +
+    merge-reconcile design of SURVEY.md §7.5, with block boundaries as the
+    implicit salt).
+  - Partition count is configurable; size it so one partition's live state
+    fits a worker's heap (copy-on-write per-partition files, Hudi/Delta
+    style). Untouched partitions are NOT rewritten.
+  - Content strings can be MBs; everything stays Arrow (`large_string`-safe),
+    and verification paths compare digests, not contents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import assign_partition
+from ..stages.schema_evolution import SchemaScript, conform_table
+from ..stages.validate import ValidateEvents
+from ..state.lww import lww_partial, lww_resolve_table
+from ..state.manifest import ManifestStore, PartitionState, atomic_write_table
+
+DEFAULT_KEYS = ("repo", "path")
+
+
+@dataclass
+class CdcConfig:
+    key_columns: tuple[str, ...] = DEFAULT_KEYS
+    seq_column: str = "seq"
+    op_column: str = "op"
+    content_column: str = "content"
+    num_partitions: int = 32
+    schema_script: SchemaScript | None = None
+    payload_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
+    validate: bool = True
+    quarantine: bool = True
+
+
+# --------------------------------------------------------------------------
+# merge + write (runs once per touched partition inside map_groups)
+# --------------------------------------------------------------------------
+
+
+class MergeWritePartition:
+    """Final LWW reduce of one partition: union(prior state, new winners) →
+    argmax-by-seq → atomic epoch-named write → manifest row.
+
+    Retried/duplicate executions rewrite identical bytes to the same
+    deterministic path (idempotent sink — the K1 atomic-write discipline,
+    /root/reference/src/core/logic/atomic_io.py:16-41)."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        cfg: CdcConfig,
+        prior: dict[int, int],  # part_id -> committed epoch holding its state
+        schema_version: int,
+    ):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.cfg = cfg
+        self.prior = prior
+        self.schema_version = schema_version
+
+    def _read_prior(self, pid: int) -> pa.Table | None:
+        e = self.prior.get(pid)
+        if e is None:
+            return None
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={e}.parquet")
+        t = pq.read_table(path)
+        if self.cfg.schema_script is not None:
+            t = conform_table(t, self.cfg.schema_script, self.schema_version)
+        # state rows as events: tombstones re-assert deletes
+        op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
+        t = t.drop_columns(["deleted"]).append_column("op", op)
+        return t
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        pid = group["part_id"][0].as_py()
+        group = group.drop_columns(["part_id"])
+        prior = self._read_prior(pid)
+        if prior is not None:
+            group = pa.concat_tables([prior, group], promote_options="permissive")
+        winners = lww_resolve_table(
+            group,
+            list(cfg.key_columns),
+            cfg.seq_column,
+            cfg.op_column,
+            keep_tombstones=True,
+        )
+        winners = winners.sort_by([(k, "ascending") for k in cfg.key_columns])
+        deleted = pc.equal(winners[cfg.op_column], "delete")
+        deleted = pc.fill_null(deleted, False)
+        lake = winners.drop_columns([cfg.op_column]).append_column("deleted", deleted)
+
+        live_mask = pc.invert(deleted)
+        live_count = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
+        tomb_count = len(lake) - live_count
+        shas = lake.filter(live_mask)["content_sha256"]
+        digest = hashlib.sha256(
+            "\n".join(s.as_py() or "" for s in shas).encode()
+        ).hexdigest()
+        offset = pc.max(lake[cfg.seq_column]).as_py() if len(lake) else -1
+
+        atomic_write_table(
+            os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={self.epoch}.parquet"),
+            lake,
+        )
+        return pa.table(
+            {
+                "part_id": pa.array([pid], type=pa.int32()),
+                "epoch": pa.array([self.epoch], type=pa.int64()),
+                "offset": pa.array([int(offset)], type=pa.int64()),
+                "row_count": pa.array([int(live_count)], type=pa.int64()),
+                "tombstones": pa.array([int(tomb_count)], type=pa.int64()),
+                "content_digest": pa.array([digest]),
+                "schema_version": pa.array([self.schema_version], type=pa.int64()),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# epoch application
+# --------------------------------------------------------------------------
+
+
+def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
+    """Per-block combiner: LWW partial reduce, partition assignment, and the
+    exactly-once seq fence (drop events at or below the partition's committed
+    offset — replayed input is skipped, D2 parity)."""
+
+    keys = list(cfg.key_columns)
+    seq_col = cfg.seq_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        if "epoch" in batch.column_names:
+            batch = batch.drop_columns(["epoch"])  # partition col of the tail layout
+        out = lww_partial(batch, keys, seq_col)
+        part = assign_partition(out, keys, cfg.num_partitions)
+        if "part_id" in out.column_names:
+            out = out.drop_columns(["part_id"])
+        out = out.append_column("part_id", pa.array(part, type=pa.int32()))
+        fence = offsets[part]  # vectorized lookup: committed offset per row
+        keep = out[seq_col].to_numpy(zero_copy_only=False) > fence
+        if not keep.all():
+            out = out.filter(pa.array(keep))
+        return out
+
+    return partial
+
+
+def apply_epoch(
+    events_ds,
+    lake_dir: str,
+    epoch: int,
+    cfg: CdcConfig | None = None,
+) -> dict:
+    """Apply one epoch (micro-batch of the tail) to the lake. Idempotent:
+    re-applying a committed epoch is a no-op; a crash before the manifest
+    commit leaves only invisible orphan files that get rewritten on retry."""
+    cfg = cfg or CdcConfig()
+    store = ManifestStore(lake_dir)
+    manifest = store.load()
+    if epoch <= manifest.epoch:
+        return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+
+    schema_version = (
+        cfg.schema_script.schema_version(epoch) if cfg.schema_script else 0
+    )
+
+    prior = {pid: ps.epoch for pid, ps in manifest.partitions.items()}
+    offsets = np.full(cfg.num_partitions, -1, dtype=np.int64)
+    for pid, ps in manifest.partitions.items():
+        offsets[pid] = ps.offset
+
+    ds = events_ds
+    if cfg.validate:
+        validator = ValidateEvents(
+            key_columns=list(cfg.key_columns),
+            seq_column=cfg.seq_column,
+            op_column=cfg.op_column,
+            content_column=cfg.content_column,
+            quarantine_dir=os.path.join(lake_dir, "_quarantine") if cfg.quarantine else None,
+        )
+        ds = ds.map_batches(validator, batch_format="pyarrow")
+    if cfg.schema_script is not None:
+        script, ver = cfg.schema_script, schema_version
+        ds = ds.map_batches(
+            lambda t: conform_table(t, script, ver), batch_format="pyarrow"
+        )
+    ds = ds.map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow")
+    merger = MergeWritePartition(lake_dir, epoch, cfg, prior, schema_version)
+
+    def merge_write(group: pa.Table) -> pa.Table:
+        return merger(group)
+
+    merged = ds.groupby("part_id").map_groups(merge_write, batch_format="pyarrow")
+    rows = merged.take_all()  # tiny: one row per touched partition
+    partition_rows = [
+        PartitionState(
+            part_id=int(r["part_id"]),
+            epoch=int(r["epoch"]),
+            offset=int(r["offset"]),
+            row_count=int(r["row_count"]),
+            tombstones=int(r["tombstones"]),
+            content_digest=str(r["content_digest"]),
+            schema_version=int(r["schema_version"]),
+        )
+        for r in rows
+    ]
+    metrics = {
+        "partitions_updated": len(partition_rows),
+        "live_rows": sum(r.row_count for r in partition_rows),
+        "tombstones": sum(r.tombstones for r in partition_rows),
+    }
+    store.commit_epoch(epoch, partition_rows, metrics=metrics, schema_version=schema_version)
+    return {"epoch": epoch, "skipped": False, **metrics}
+
+
+# --------------------------------------------------------------------------
+# replay driver
+# --------------------------------------------------------------------------
+
+
+def list_event_epochs(events_dir: str) -> list[int]:
+    out = []
+    for name in os.listdir(events_dir):
+        if name.startswith("epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def replay(
+    events_dir: str,
+    lake_dir: str,
+    cfg: CdcConfig | None = None,
+    mode: str = "incremental",
+    epochs: list[int] | None = None,
+) -> list[dict]:
+    """Replay an epoch-partitioned event log into the lake.
+
+    ``incremental``: one ``apply_epoch`` per epoch directory (the tail-follow
+    path; each epoch is an idempotent, resumable micro-batch).
+    ``bulk``: the whole log as one logical epoch (max epoch id) — the
+    full-replay/bootstrap path and the bench headline; correct because LWW is
+    order-independent (argmax by seq).
+    """
+    import ray.data as rd
+
+    cfg = cfg or CdcConfig()
+    all_epochs = epochs if epochs is not None else list_event_epochs(events_dir)
+    results = []
+    if mode == "bulk":
+        e = max(all_epochs)
+        ds = rd.read_parquet(events_dir)  # hive layout: whole tail at once
+        results.append(apply_epoch(ds, lake_dir, e, cfg))
+    else:
+        committed = ManifestStore(lake_dir).committed_epoch()
+        for e in all_epochs:
+            if e <= committed:
+                results.append({"epoch": e, "skipped": True, "reason": "manifest"})
+                continue
+            ds = rd.read_parquet(_epoch_files(events_dir, e))
+            results.append(apply_epoch(ds, lake_dir, e, cfg))
+    return results
+
+
+def _epoch_files(events_dir: str, epoch: int) -> list[str]:
+    d = os.path.join(events_dir, f"epoch={epoch}")
+    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+# --------------------------------------------------------------------------
+# read side + verification
+# --------------------------------------------------------------------------
+
+
+def committed_files(lake_dir: str) -> list[str]:
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    return [store.partition_file(pid, ps.epoch) for pid, ps in sorted(m.partitions.items())]
+
+
+def read_lake(lake_dir: str, include_tombstones: bool = False):
+    """The committed view as a Dataset (manifest-selected files only —
+    orphans from crashed epochs are invisible)."""
+    import ray.data as rd
+
+    files = committed_files(lake_dir)
+    if not files:
+        raise FileNotFoundError(f"no committed partitions in {lake_dir}")
+    ds = rd.read_parquet(files)
+    if not include_tombstones:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS) -> str:
+    """FIXTURES.md §4 global digest: sha256 of newline-joined per-row content
+    sha256s of live rows, sorted by key — partition-count invariant. Row-level
+    (test scales); at lake scale use ``manifest_digest`` instead."""
+    ds = read_lake(lake_dir).select_columns(list(key_columns) + ["content_sha256"])
+    t = ds.to_arrow_refs()
+    import pyarrow as _pa
+    import ray
+
+    tables = [ray.get(r) for r in t]
+    full = _pa.concat_tables([x for x in tables if len(x)]) if tables else None
+    if full is None or len(full) == 0:
+        return hashlib.sha256(b"").hexdigest()
+    full = full.sort_by([(k, "ascending") for k in key_columns])
+    blob = "\n".join(v.as_py() for v in full["content_sha256"])
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def manifest_digest(lake_dir: str) -> str:
+    """Scale path: combine committed per-partition digests (deterministic for
+    a fixed partition count)."""
+    m = ManifestStore(lake_dir).load()
+    blob = "\n".join(
+        f"{pid}:{ps.content_digest}" for pid, ps in sorted(m.partitions.items())
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()

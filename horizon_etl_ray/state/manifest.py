@@ -1,0 +1,212 @@
+"""Checkpoint manifest + atomic file primitives (the exactly-once layer).
+
+Parity targets:
+  - atomic temp-file + fsync + rename writes that never leave a truncated
+    file: /root/reference/src/core/logic/atomic_io.py:16-41
+  - "never overwrite good data with empty" sink invariant:
+    /root/reference/src/core/logic/canonical_exporter.py:970-992
+  - replayed-input dedup via recorded lineage:
+    /root/reference/src/tracking/entities/source_record.py:10-17
+  - ingestion-run lineage rows: /root/reference/src/tracking/recorder.py:91-130
+
+Protocol (per lake directory):
+
+  lake/
+    part_id=<pid>/epoch=<e>.parquet        # full partition state as of epoch e
+    _manifest/current.json                 # atomic pointer: the committed view
+    _manifest/epoch=<e>.json               # per-epoch commit record (lineage)
+    _quarantine/...                        # dead-letter rows from validation
+
+  * Data files are written ``<name>.tmp.<nonce>`` → fsync → ``os.replace``.
+    File names are deterministic in (pid, epoch), so a retried/duplicate task
+    re-writes the same bytes to the same name — duplicate execution is
+    harmless (idempotent sink; Ray tasks are at-least-once).
+  * ``current.json`` is the single commit point: a partition's new epoch file
+    is INVISIBLE until current.json says so. Crash between data write and
+    manifest write ⇒ the orphan epoch file is ignored and re-written on
+    resume.
+  * Epoch fencing: ``commit_epoch`` refuses to move a partition backwards
+    (stale writer from an older epoch cannot clobber newer state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    """Write-temp + fsync + rename in the destination directory."""
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".tmp.")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    atomic_write_bytes(path, json.dumps(obj, sort_keys=True, indent=1).encode())
+
+
+def atomic_write_table(path: str, table, compression: str = "zstd") -> None:
+    """Atomically write a pyarrow table as one parquet file."""
+    import pyarrow.parquet as pq
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}.{time.time_ns()}"
+    pq.write_table(table, tmp, compression=compression)
+    os.replace(tmp, path)
+
+
+@dataclass
+class PartitionState:
+    """One partition's committed checkpoint row (SURVEY.md §1.1 manifest)."""
+
+    part_id: int
+    epoch: int
+    offset: int  # max applied seq in this partition
+    row_count: int  # live rows (tombstones excluded)
+    tombstones: int
+    content_digest: str  # sha256 of sorted per-row content sha256s
+    schema_version: int = 0
+
+
+@dataclass
+class Manifest:
+    """The committed view of a lake directory."""
+
+    epoch: int = -1  # latest fully-committed epoch
+    schema_version: int = 0
+    partitions: dict[int, PartitionState] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "epoch": self.epoch,
+            "schema_version": self.schema_version,
+            "partitions": {str(pid): asdict(ps) for pid, ps in self.partitions.items()},
+        }
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "Manifest":
+        m = cls(epoch=obj.get("epoch", -1), schema_version=obj.get("schema_version", 0))
+        for pid, ps in obj.get("partitions", {}).items():
+            m.partitions[int(pid)] = PartitionState(**ps)
+        return m
+
+
+class ManifestStore:
+    """Reads/commits the manifest of one lake directory (driver-side)."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.manifest_dir = os.path.join(lake_dir, "_manifest")
+        self.current_path = os.path.join(self.manifest_dir, "current.json")
+
+    # -- read side ----------------------------------------------------------
+
+    def load(self) -> Manifest:
+        if not os.path.exists(self.current_path):
+            return Manifest()
+        with open(self.current_path) as f:
+            return Manifest.from_json(json.load(f))
+
+    def committed_epoch(self) -> int:
+        return self.load().epoch
+
+    def partition_file(self, part_id: int, epoch: int) -> str:
+        return os.path.join(self.lake_dir, f"part_id={part_id}", f"epoch={epoch}.parquet")
+
+    # -- write side ---------------------------------------------------------
+
+    def commit_epoch(
+        self,
+        epoch: int,
+        partition_rows: list[PartitionState],
+        metrics: dict[str, Any] | None = None,
+        schema_version: int | None = None,
+    ) -> Manifest:
+        """Merge updated partitions into current.json, atomically, with
+        epoch fencing and the never-empty-over-nonempty guard."""
+        m = self.load()
+        if epoch <= m.epoch:
+            raise RuntimeError(
+                f"epoch fence: epoch {epoch} already committed (current={m.epoch}); "
+                "stale writer refused"
+            )
+        for ps in partition_rows:
+            prev = m.partitions.get(ps.part_id)
+            if prev is not None and ps.epoch < prev.epoch:
+                raise RuntimeError(
+                    f"epoch fence: partition {ps.part_id} at epoch {prev.epoch}, "
+                    f"refusing stale epoch {ps.epoch}"
+                )
+            if (
+                prev is not None
+                and prev.row_count > 0
+                and ps.row_count == 0
+                and ps.tombstones == 0
+            ):
+                # F7 parity: an empty result never silently clobbers good
+                # state — it must carry tombstones proving the deletes.
+                raise RuntimeError(
+                    f"refusing to commit empty partition {ps.part_id} over "
+                    f"{prev.row_count} live rows without tombstones"
+                )
+            m.partitions[ps.part_id] = ps
+        m.epoch = epoch
+        if schema_version is not None:
+            m.schema_version = schema_version
+        # per-epoch lineage record first (append-only), pointer last
+        record = {
+            "epoch": epoch,
+            "committed_unix": time.time(),
+            "partitions": [asdict(ps) for ps in partition_rows],
+            "metrics": metrics or {},
+        }
+        atomic_write_json(os.path.join(self.manifest_dir, f"epoch={epoch}.json"), record)
+        atomic_write_json(self.current_path, m.to_json())
+        return m
+
+    def epoch_records(self) -> list[dict]:
+        """All per-epoch lineage records (for metrics/lineage queries)."""
+        out = []
+        if not os.path.isdir(self.manifest_dir):
+            return out
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("epoch=") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def gc(self, keep_epochs: int = 1) -> int:
+        """Delete partition data files older than each partition's committed
+        epoch (copy-on-write cleanup). Returns #files removed."""
+        m = self.load()
+        removed = 0
+        for pid, ps in m.partitions.items():
+            pdir = os.path.join(self.lake_dir, f"part_id={pid}")
+            if not os.path.isdir(pdir):
+                continue
+            for name in os.listdir(pdir):
+                if not (name.startswith("epoch=") and name.endswith(".parquet")):
+                    continue
+                e = int(name[len("epoch=") : -len(".parquet")])
+                if e < ps.epoch - (keep_epochs - 1):
+                    os.unlink(os.path.join(pdir, name))
+                    removed += 1
+        return removed

@@ -1,0 +1,143 @@
+"""End-to-end CDC replay: sha256-exact final state vs the single-threaded
+oracle reducer; resume-from-manifest; exactly-once under duplicate delivery;
+idempotent re-runs; skew. (SURVEY.md §5 implication list.)"""
+
+import hashlib
+
+import pytest
+import ray.data as rd
+
+from horizon_etl_ray.pipelines.cdc import (
+    CdcConfig,
+    apply_epoch,
+    lake_global_digest,
+    manifest_digest,
+    read_lake,
+    replay,
+)
+from horizon_etl_ray.sources.generator import (
+    EventGenConfig,
+    generate_events_table,
+    write_events,
+)
+from horizon_etl_ray.state.lww import content_digest, oracle_reduce
+from horizon_etl_ray.state.manifest import ManifestStore
+
+
+def _oracle_digest(cfg: EventGenConfig) -> tuple[str, int]:
+    events = generate_events_table(cfg).to_pylist()
+    final = oracle_reduce(events)
+    rows = list(final.values())
+    return content_digest(rows), len(rows)
+
+
+@pytest.fixture()
+def small_cfg():
+    return EventGenConfig(n_keys=200, n_events=3000, seed=11, epoch_size=600,
+                          p_delete=0.15, content_mean_bytes=128)
+
+
+def test_bulk_replay_matches_oracle(tmp_path, small_cfg):
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(small_cfg, events_dir)
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=8), mode="bulk")
+
+    want_digest, want_rows = _oracle_digest(small_cfg)
+    assert read_lake(lake_dir).count() == want_rows
+    assert lake_global_digest(lake_dir) == want_digest
+
+
+def test_incremental_replay_matches_oracle_and_bulk(tmp_path, small_cfg):
+    events_dir = str(tmp_path / "events")
+    write_events(small_cfg, events_dir)
+
+    lake_inc, lake_bulk = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    results = replay(events_dir, lake_inc, CdcConfig(num_partitions=8), mode="incremental")
+    assert all(not r["skipped"] for r in results)
+    replay(events_dir, lake_bulk, CdcConfig(num_partitions=8), mode="bulk")
+
+    want_digest, want_rows = _oracle_digest(small_cfg)
+    assert lake_global_digest(lake_inc) == want_digest
+    assert lake_global_digest(lake_bulk) == want_digest
+    assert read_lake(lake_inc).count() == want_rows
+    # manifest-level digest agrees between the two replays (same P)
+    assert manifest_digest(lake_inc) == manifest_digest(lake_bulk)
+
+
+def test_resume_from_manifest(tmp_path, small_cfg):
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(small_cfg, events_dir)
+    cfg = CdcConfig(num_partitions=8)
+
+    # "crash" after the first two epochs
+    replay(events_dir, lake_dir, cfg, mode="incremental", epochs=[0, 1])
+    assert ManifestStore(lake_dir).committed_epoch() == 1
+
+    # resume over the FULL epoch list: committed epochs are skipped
+    results = replay(events_dir, lake_dir, cfg, mode="incremental")
+    assert [r["epoch"] for r in results if r["skipped"]] == [0, 1]
+
+    want_digest, _ = _oracle_digest(small_cfg)
+    assert lake_global_digest(lake_dir) == want_digest
+
+
+def test_replay_is_idempotent(tmp_path, small_cfg):
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(small_cfg, events_dir)
+    cfg = CdcConfig(num_partitions=8)
+    replay(events_dir, lake_dir, cfg, mode="incremental")
+    d1 = lake_global_digest(lake_dir)
+    # replaying the whole tail again converges to the same state
+    results = replay(events_dir, lake_dir, cfg, mode="incremental")
+    assert all(r["skipped"] for r in results)
+    assert lake_global_digest(lake_dir) == d1
+
+
+def test_exactly_once_under_duplicate_delivery(tmp_path):
+    cfg_ev = EventGenConfig(n_keys=150, n_events=2000, seed=5, epoch_size=500,
+                            dup_fraction=0.15, content_mean_bytes=128)
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(cfg_ev, events_dir)
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=8), mode="incremental")
+
+    # oracle over the DE-DUPed stream == engine state under duplicates
+    want_digest, want_rows = _oracle_digest(cfg_ev)
+    assert read_lake(lake_dir).count() == want_rows
+    assert lake_global_digest(lake_dir) == want_digest
+
+
+def test_hot_key_skew_correctness(tmp_path):
+    cfg_ev = EventGenConfig(n_keys=100, n_events=4000, seed=9, epoch_size=1000,
+                            hot_fraction=0.05, hot_event_fraction=0.6,
+                            content_mean_bytes=128)
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(cfg_ev, events_dir)
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=8), mode="bulk")
+    want_digest, _ = _oracle_digest(cfg_ev)
+    assert lake_global_digest(lake_dir) == want_digest
+
+
+def test_epoch_fence_refuses_stale_writer(tmp_path, small_cfg):
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(small_cfg, events_dir)
+    cfg = CdcConfig(num_partitions=8)
+    replay(events_dir, lake_dir, cfg, mode="incremental")
+    committed = ManifestStore(lake_dir).committed_epoch()
+    # a stale writer trying to re-commit an old epoch is refused at the
+    # manifest (apply_epoch skips; direct commit raises)
+    store = ManifestStore(lake_dir)
+    with pytest.raises(RuntimeError, match="epoch fence"):
+        store.commit_epoch(committed, [])
+    res = apply_epoch(rd.range(0), lake_dir, committed, cfg)
+    assert res["skipped"]
+
+
+def test_per_row_sha_invariant(tmp_path, small_cfg):
+    """Every surviving row's stored content_sha256 == sha256(content)."""
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(small_cfg, events_dir)
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=4), mode="bulk")
+    for row in read_lake(lake_dir).take_all():
+        assert row["content_sha256"] == hashlib.sha256(
+            row["content"].encode()
+        ).hexdigest()
