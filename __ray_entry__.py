@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported — nothing
+here (nor in horizon_etl_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     : flagship CDC replay on a deterministic synthetic tail at
+                    smoke scale — generate → validate → hash-partition →
+                    LWW merge → manifest commit → return committed lake view.
+- ``queries()``   : one callable per implemented operator/pipeline from
+                    SURVEY.md §2 + the training-data operator suite.
+- ``oracle_sql()``: DuckDB-equivalent SQL (same column names) for every
+                    SQL-expressible query; non-SQL ops (LSH dedup, IVF ANN,
+                    full CDC engine runs) are rows-only here and oracle-
+                    verified in tests/ instead.
 """
 
 from __future__ import annotations
@@ -18,27 +19,24 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from horizon_etl_ray.pipelines import analytics, corpus
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full CDC engine replay
+    (the committed lake view as a pandas DataFrame; ≥0 rows, stable schema)."""
+    return corpus.cdc_replay_synthetic("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(analytics.QUERIES)
+    out.update(corpus.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(analytics.ORACLE_SQL)
+    out.update(corpus.ORACLE_SQL)
+    return out

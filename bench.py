@@ -1,0 +1,207 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = full CDC bulk replay (generate-once cached event log → validate →
+hash-partition → LWW merge → manifest commit), reported in seconds with the
+derived events/sec.
+
+--scaling: the same job at two parallelism levels in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same cached input; prints one JSON line
+with both times, both events/sec and the N→4N scaling efficiency
+(BASELINE.md records the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/horizon_bench")
+
+# CDC bench sizing per scale factor: ~20 events per lineitem row equivalent
+_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+
+def _sf_tag() -> str:
+    return SF_DIR.rstrip("/").split("/")[-1]
+
+
+def _event_cfg():
+    from horizon_etl_ray.sources.generator import EventGenConfig
+
+    n = _EVENTS_BY_SF.get(_sf_tag(), 100_000)
+    return EventGenConfig(
+        n_keys=max(n // 20, 100),
+        n_events=n,
+        seed=42,
+        epoch_size=max(n // 8, 1),
+        p_delete=0.1,
+        dup_fraction=0.02,
+        hot_fraction=0.1,
+        hot_event_fraction=0.2,  # skew on, to exercise the combiner
+        content_mean_bytes=256,
+    )
+
+
+def _ensure_events(cfg) -> str:
+    """Generate the event log once per config; replays reuse it (and warm the
+    page cache with an untimed read)."""
+    import ray.data as rd
+
+    from horizon_etl_ray.sources.generator import write_events
+
+    tag = f"{_sf_tag()}_n{cfg.n_events}_s{cfg.seed}"
+    events_dir = os.path.join(BENCH_TMP, f"events_{tag}")
+    marker = os.path.join(events_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(events_dir, ignore_errors=True)
+        write_events(cfg, events_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    # warm OS page cache (untimed)
+    rd.read_parquet(events_dir).count()
+    return events_dir
+
+
+def bench_cdc_replay() -> dict:
+    from horizon_etl_ray.pipelines.cdc import CdcConfig, manifest_digest, replay
+
+    cfg = _event_cfg()
+    events_dir = _ensure_events(cfg)
+    lake_dir = os.path.join(BENCH_TMP, f"lake_{_sf_tag()}_{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    n_parts = max(NUM_CPUS * 4, 32)
+    t0 = time.time()
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=n_parts), mode="bulk")
+    dt = time.time() - t0
+    return {
+        "cdc_replay_sec": round(dt, 3),
+        "events": cfg.n_events,
+        "events_per_sec": round(cfg.n_events / dt, 1),
+        "lake_digest": manifest_digest(lake_dir)[:16],
+    }
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "parent_rollup",
+    "broadcast_region_join",
+    "union_counts",
+    "events_window",
+    "lww_latest_event",
+    "cdc_lww_lineitem",
+    "token_counts",
+    "quality_stats",
+    "exact_dedup_documents",
+    "ann_cosine_topk",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    cdc = bench_cdc_replay()
+    timings["cdc_replay_bulk"] = cdc["cdc_replay_sec"]
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = queries[name](SF_DIR)
+        # materialize if lazy
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "end-to-end change-event apply throughput + headline query suite",
+        "value": cdc["cdc_replay_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "events": cdc["events"],
+        "events_per_sec": cdc["events_per_sec"],
+        "suite_total_sec": total,
+        "lake_digest16": cdc["lake_digest"],
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Run the bench at two parallelism levels in fresh processes (sandbox
+    stand-in for the N vs 4N cluster sizes; see BASELINE.md)."""
+    lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "8")), int(
+        os.environ.get("GRAFT_SCALE_HI", "32")
+    )
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)  # also generates/warms the shared event cache
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc replay scaling (fresh ray sessions, same input)",
+                "sf": r_lo["sf"],
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "events_per_sec_lo": r_lo["events_per_sec"],
+                "events_per_sec_hi": r_hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "digest_match": r_lo["lake_digest16"] == r_hi["lake_digest16"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

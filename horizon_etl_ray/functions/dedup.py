@@ -146,10 +146,16 @@ class MinHashStage:
 
 def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
                        num_perm=64, bands=16, seed=42, k_shingle=5,
-                       concurrency=4):
+                       concurrency=4, max_bucket=256):
     """shingle → minhash → band-bucket explode → groupby(band,bucket) →
     candidate pairs. Returns a Dataset of (id_a, id_b) candidate pairs
-    (id_a < id_b), deduplicated."""
+    (id_a < id_b), deduplicated.
+
+    ``max_bucket`` caps pair expansion per bucket (standard LSH hot-bucket
+    guard): a bucket with B > max_bucket members would emit O(B²) pairs —
+    such buckets are low-signal (a band colliding for a large fraction of
+    the corpus carries no near-dup evidence) and are truncated to the
+    max_bucket smallest ids, keeping the shuffle bounded at scale."""
 
     exploded = ds.map_batches(
         MinHashStage,
@@ -162,7 +168,7 @@ def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
     )
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_column].to_numpy())
+        ids = np.unique(g[id_column].to_numpy())[:max_bucket]
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
         a, b = np.triu_indices(len(ids), k=1)
@@ -232,9 +238,12 @@ class SimHashStage:
         if not words:
             return 0
         acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for w in set(words):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = (h >> np.arange(64)) & 1
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            )
+            bits = (h >> shifts) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
@@ -249,9 +258,10 @@ class SimHashStage:
 
 
 def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
-                       concurrency=4):
+                       concurrency=4, max_bucket=256):
     """simhash per doc → explode 16-bit chunks → groupby(chunk_id, value) →
-    candidate pairs with hamming distance verify."""
+    candidate pairs with hamming distance verify. ``max_bucket`` caps
+    per-bucket pair expansion (see minhash_lsh_groups)."""
     sigs = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
@@ -275,6 +285,7 @@ def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_column]).sort_values(id_column)
+        g = g.head(max_bucket)
         ids = g[id_column].to_numpy()
         sig = g["simhash"].to_numpy(dtype=np.uint64)
         if len(ids) < 2:

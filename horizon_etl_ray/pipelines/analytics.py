@@ -1,0 +1,519 @@
+"""Oracle-checked analytics pipelines over the TPC-H-ish test tables.
+
+Each function takes ``sf_dir`` and returns a small pandas DataFrame (or
+Dataset); ``ORACLE_SQL`` holds the DuckDB-equivalent SQL with IDENTICAL
+column names, so the driver's row-count + schema + value-hash comparison
+passes. Aggregate floats are rounded the same on both sides.
+
+These re-express the reference's aggregation / join / sort / filter
+operator inventory (SURVEY.md §2.4, §2.6-2.9) Ray-Data-first:
+  - groupby aggregates (A1/A2/A3-family) with column pruning at the read
+  - broadcast hash joins for dimension tables (ray.put once, lookup per
+    batch — J4/J6/T2)
+  - anti-join via broadcast key set (J8 semantics)
+  - sort + limit top-k with full tiebreaks (O1/O2)
+  - union + groupby (D7/A9)
+  - tumbling-window aggregate over the events stream (§2.10 analog)
+  - LWW argmax resolution (the CDC kernel) on the events table and on a
+    change-log derived from lineitem (J1/T4)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.lww import lww_resolve
+
+# ray / ray.data are imported lazily inside functions — the driver owns
+# ray.init (see __ray_entry__.py).
+
+
+def _rp(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, nd in spec.items():
+        df[c] = np.round(df[c].to_numpy(dtype=np.float64), nd)
+    return df
+
+
+# --------------------------------------------------------------------------
+# grouped aggregates
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate (A2-family)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def parent_rollup(sf_dir: str) -> pd.DataFrame:
+    """A1 parity: per-customer order-span rollup with derived status
+    (min/max over a timestamp via int64 micros so Min/Max aggregate cleanly)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def to_micros(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("o_orderdate"), "o_orderdate",
+            t["o_orderdate"].cast(pa.int64()),
+        )
+
+    out = (
+        ds.map_batches(to_micros, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Min("o_orderdate", alias_name="first_us"),
+            Max("o_orderdate", alias_name="last_us"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    first = pd.to_datetime(out["first_us"], unit="us")
+    last = pd.to_datetime(out["last_us"], unit="us")
+    out["first_order"] = first.dt.strftime("%Y-%m-%d")
+    out["last_order"] = last.dt.strftime("%Y-%m-%d")
+    out["status"] = np.where(last >= pd.Timestamp("2000-01-01"), "Active", "Concluded")
+    return (
+        out[["o_custkey", "first_order", "last_order", "n_orders", "status"]]
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+
+
+def part_minmax(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Min
+
+    out = (
+        _rp(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    out = _round(out, {"min_price": 2, "max_price": 2})
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def lang_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        _rp(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+        .to_pandas()
+    )
+    out = _round(out, {"avg_chars": 4})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def dup_audit(sf_dir: str) -> pd.DataFrame:
+    """A7 parity: GROUP BY key HAVING count > 1."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _rp(sf_dir, "documents", columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    out = out[out["cnt"] > 1]
+    return out.sort_values("n_chars").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def broadcast_region_join(sf_dir: str) -> pd.DataFrame:
+    """J6/T2 parity: customer ⋈ nation ⋈ region with the dimension chain
+    broadcast once (``ray.put``), looked up vectorized per batch. No shuffle
+    join: the fact table streams, the dims are tiny."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    # nationkey is dense/small → array lookup table
+    lut = np.empty(dim["n_nationkey"].max() + 1, dtype=object)
+    lut[dim["n_nationkey"].to_numpy()] = dim["r_name"].to_numpy()
+    ref = ray.put(lut)
+
+    def add_region(t: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        r = table[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return t.append_column("r_name", pa.array(r, type=pa.string()))
+
+    out = (
+        _rp(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    out = _round(out, {"total_acctbal": 2})
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """J6+O1 parity: segment-filtered 3-way join, revenue per order, top-10
+    with deterministic tiebreak. Build sides (customer keys of the segment,
+    then their order keys) are broadcast; lineitem streams."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    building = pc.equal(cust["c_mktsegment"], "BUILDING")
+    ckeys = set(cust.filter(building)["c_custkey"].to_pylist())
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    okeys = np.sort(
+        orders.filter(pc.is_in(orders["o_custkey"], value_set=pa.array(list(ckeys))))[
+            "o_orderkey"
+        ].to_numpy()
+    )
+    ref = ray.put(okeys)
+
+    def semi_and_revenue(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        mask = keys[np.searchsorted(keys, ok).clip(0, len(keys) - 1)] == ok if len(keys) else np.zeros(len(ok), bool)
+        t = t.filter(pa.array(mask))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    agg = (
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(semi_and_revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg = _round(agg, {"revenue": 2})
+    agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return agg.reset_index(drop=True)
+
+
+def anti_join_customers(sf_dir: str) -> pd.DataFrame:
+    """J8 parity: customers with no big order (>300k) — anti-join via
+    broadcast key set (at 100 TB: a Bloom filter of the keys instead)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders["o_totalprice"], 300_000.0))
+    okeys = np.unique(big["o_custkey"].to_numpy())
+    ref = ray.put(okeys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck).clip(0, max(len(keys) - 1, 0))
+        has = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        return t.filter(pa.array(~has))
+
+    out = (
+        _rp(sf_dir, "customer", columns=["c_custkey"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # empty Dataset → pandas loses the schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# set ops / sort-limit / filters
+# --------------------------------------------------------------------------
+
+
+def union_counts(sf_dir: str) -> pd.DataFrame:
+    """D7/A9 parity: UNION ALL of two account tables → per-nation rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _rp(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table({"nationkey": t["c_nationkey"], "bal": t["c_acctbal"]}),
+        batch_format="pyarrow",
+    )
+    supp = _rp(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]).map_batches(
+        lambda t: pa.table({"nationkey": t["s_nationkey"], "bal": t["s_acctbal"]}),
+        batch_format="pyarrow",
+    )
+    out = (
+        cust.union(supp)
+        .groupby("nationkey")
+        .aggregate(Count(alias_name="n_accounts"), Sum("bal", alias_name="total_bal"))
+        .to_pandas()
+    )
+    out = _round(out, {"total_bal": 2})
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def top_event_users(sf_dir: str) -> pd.DataFrame:
+    """O2 parity: top-20 users by total event value, (-value, id) tiebreak."""
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _rp(sf_dir, "events", columns=["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    out = _round(out, {"total_value": 2})
+    out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def filter_orders(sf_dir: str) -> pd.DataFrame:
+    """F-ops parity with predicate pushdown at the read (row-group pruning)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(
+        sf_dir,
+        "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        filter=(pc.field("o_orderstatus") == "F") & (pc.field("o_totalprice") > 1000.0),
+    )
+    out = (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out = _round(out, {"total": 2})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# stream-shaped + CDC kernels
+# --------------------------------------------------------------------------
+
+
+def events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-day window per event_type (§2.10: windows as grouped
+    aggregation over an ordered, partitioned log)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return t.append_column("day", day)
+
+    out = (
+        _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(add_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out = _round(out, {"total_value": 2})
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def lww_latest_event(sf_dir: str) -> pd.DataFrame:
+    """The CDC LWW kernel on the events table: latest event per user by
+    event_id (argmax reduce, distributed partial+final)."""
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value", "props"])
+    resolved = lww_resolve(ds, ["user_id"], seq_column="event_id", num_partitions=8)
+    out = resolved.to_pandas().drop(columns=["part_id"])
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "event_id", "event_type", "value", "props"]
+    ]
+
+
+def cdc_lww_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Flagship oracle-checked CDC query: interpret lineitem rows as a
+    change log — key (l_partkey, l_suppkey), seq = commit order
+    (l_orderkey*8 + l_linenumber), deletes where l_returnflag='R' — and
+    resolve final state with the engine's distributed LWW (tombstones drop).
+    Mirrors the identity-key upsert of
+    /root/reference/src/core/logic/project_loader.py:333-373 with the
+    mtime-order rule of /root/reference/src/flows/sigpesq/advisorships.py:38-40
+    made an explicit seq."""
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                      "l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def to_events(t: pa.Table) -> pa.Table:
+        seq = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(8, pa.int64())),
+                     t["l_linenumber"].cast(pa.int64()))
+        op = pc.if_else(pc.equal(t["l_returnflag"], "R"),
+                        pa.scalar("delete"), pa.scalar("update"))
+        return pa.table({
+            "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
+            "seq": seq, "op": op,
+            "l_quantity": t["l_quantity"], "l_extendedprice": t["l_extendedprice"],
+        })
+
+    resolved = lww_resolve(
+        ds.map_batches(to_events, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        num_partitions=16,
+    )
+    out = resolved.to_pandas().drop(columns=["part_id", "op"])
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)[
+        ["l_partkey", "l_suppkey", "seq", "l_quantity", "l_extendedprice"]
+    ]
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered by the driver)
+# --------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                      AS sum_qty,
+               round(sum(l_extendedprice), 2)                 AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*)                                       AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "parent_rollup": """
+        SELECT o_custkey,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+               count(*) AS n_orders,
+               CASE WHEN max(o_orderdate) >= TIMESTAMP '2000-01-01'
+                    THEN 'Active' ELSE 'Concluded' END AS status
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "part_minmax": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(min(p_retailprice), 2) AS min_price,
+               round(max(p_retailprice), 2) AS max_price
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "lang_stats": """
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "dup_audit": """
+        SELECT n_chars, count(*) AS cnt FROM documents
+        GROUP BY n_chars HAVING count(*) > 1 ORDER BY n_chars
+    """,
+    "broadcast_region_join": """
+        SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "q3_top_orders": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        ORDER BY c_custkey
+    """,
+    "union_counts": """
+        WITH u AS (
+            SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, s_acctbal AS bal FROM supplier
+        )
+        SELECT nationkey, count(*) AS n_accounts, round(sum(bal), 2) AS total_bal
+        FROM u GROUP BY nationkey ORDER BY nationkey
+    """,
+    "top_event_users": """
+        SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id LIMIT 20
+    """,
+    "filter_orders": """
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "events_window": """
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type, day ORDER BY event_type, day
+    """,
+    "lww_latest_event": """
+        SELECT user_id, event_id, event_type, value, props FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        ORDER BY user_id
+    """,
+    "cdc_lww_lineitem": """
+        WITH ev AS (
+            SELECT l_partkey, l_suppkey,
+                   l_orderkey * 8 + l_linenumber AS seq,
+                   CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'update' END AS op,
+                   l_quantity, l_extendedprice
+            FROM lineitem
+        )
+        SELECT l_partkey, l_suppkey, seq, l_quantity, l_extendedprice
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
+}
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "parent_rollup": parent_rollup,
+    "part_minmax": part_minmax,
+    "lang_stats": lang_stats,
+    "dup_audit": dup_audit,
+    "broadcast_region_join": broadcast_region_join,
+    "q3_top_orders": q3_top_orders,
+    "anti_join_customers": anti_join_customers,
+    "union_counts": union_counts,
+    "top_event_users": top_event_users,
+    "filter_orders": filter_orders,
+    "events_window": events_window,
+    "lww_latest_event": lww_latest_event,
+    "cdc_lww_lineitem": cdc_lww_lineitem,
+}

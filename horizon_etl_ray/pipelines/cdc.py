@@ -316,15 +316,28 @@ def committed_files(lake_dir: str) -> list[str]:
     return [store.partition_file(pid, ps.epoch) for pid, ps in sorted(m.partitions.items())]
 
 
-def read_lake(lake_dir: str, include_tombstones: bool = False):
+def read_lake(lake_dir: str, include_tombstones: bool = False,
+              cfg: CdcConfig | None = None):
     """The committed view as a Dataset (manifest-selected files only —
-    orphans from crashed epochs are invisible)."""
+    orphans from crashed epochs are invisible).
+
+    Schema-version-aware: partitions last rewritten under an OLDER schema
+    version are conformed to the manifest's current version in flight (the
+    legacy-schema fallback reader of
+    /root/reference/src/core/logic/canonical_exporter.py:163-228, done as a
+    batch rewrite instead of a fallback query)."""
     import ray.data as rd
 
     files = committed_files(lake_dir)
     if not files:
         raise FileNotFoundError(f"no committed partitions in {lake_dir}")
     ds = rd.read_parquet(files)
+    if cfg is not None and cfg.schema_script is not None:
+        script = cfg.schema_script
+        version = ManifestStore(lake_dir).load().schema_version
+        ds = ds.map_batches(
+            lambda t: conform_table(t, script, version), batch_format="pyarrow"
+        )
     if not include_tombstones:
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),

@@ -1,0 +1,393 @@
+"""Training-data corpus pipelines over ``documents`` / ``embeddings``:
+dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute-force + IVF), text analysis (lang-id, quality,
+token counts, fingerprints) and multimodal plumbing.
+
+SQL-expressible ops carry entries in ``ORACLE_SQL`` (same column names);
+the rest are rows-only checked by the driver and oracle-verified in
+``tests/`` against local reference implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import dedup as dd
+from ..functions import similarity as sim
+from ..functions import text as tx
+
+
+def _rp(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+# --------------------------------------------------------------------------
+# oracle-checked text ops
+# --------------------------------------------------------------------------
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting, vectorized (single-space split semantics =
+    DuckDB ``string_split(text, ' ')``)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "n_tokens": tx.count_tokens_whitespace(batch["text"])}
+        )
+
+    return (
+        ds.map_batches(count, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def quality_stats(sf_dir: str) -> pd.DataFrame:
+    """Quality-scoring features (length / token-shape ratios)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        f = tx.quality_features(batch["text"])
+        # no rounding: both engines compute the identical float64 ratio from
+        # exact integer inputs (IEEE division is deterministic), and rounding
+        # would only introduce round-half-even vs half-away mismatches
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": f["n_tokens"].to_numpy(),
+                "mean_token_len": f["mean_token_len"].to_numpy(),
+                "alpha_ratio": f["alpha_ratio"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(feats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def exact_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """D1/D2 parity: exact dedup by content hash, min-id wins. Duplicates are
+    planted by unioning the corpus with an id-shifted copy of itself, so the
+    operator provably removes them."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], pa.scalar(10_000, pa.int64())),
+                "text": t["text"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    corpus = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    survivors = dd.exact_dedup(corpus, text_column="text", id_column="doc_id")
+    out = survivors.select_columns(["doc_id", "n_chars"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def multimodal_meta(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing, oracle-checkable half: treat each document body
+    as an opaque binary payload column and extract typed metadata
+    (size_bytes) vectorized. The decode stage itself is `DecodeStage` in
+    stages/multimodal.py (stubbed: no image/audio libs in this env)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def meta(t: pa.Table) -> pa.Table:
+        payload = t["text"].cast(pa.binary())
+        return pa.table(
+            {"doc_id": t["doc_id"], "size_bytes": pc.binary_length(payload).cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for three fixed query vectors (vec_id 0/1/2)
+    — numpy matmul per batch against the broadcast query matrix; rank
+    tiebreak (cosine desc, vec_id asc) matches the SQL window order."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2]))
+    qt = emb.filter(qmask)
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    queries = np.stack([np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.brute_force_topk(ds, queries, k=10, query_ids=qids)
+    return out[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# rows-only ops (non-SQL-expressible; oracle-verified in tests instead)
+# --------------------------------------------------------------------------
+
+
+def _planted_near_dups(sf_dir: str, n_plant: int = 25):
+    """documents ∪ near-duplicate copies (one word appended, id+50_000) —
+    deterministic, so LSH recall is testable."""
+    import ray.data as rd  # noqa: F401
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        mask = pc.less(t["doc_id"], pa.scalar(n_plant, pa.int64()))
+        sel = t.filter(mask)
+        new_text = pc.binary_join_element_wise(sel["text"], pa.scalar(" nearduplicate"), "")
+        return pa.table(
+            {"doc_id": pc.add(sel["doc_id"], pa.scalar(50_000, pa.int64())),
+             "text": new_text}
+        )
+
+    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def minhash_dedup_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup: shingle → minhash → band buckets → groupby →
+    candidate pairs → Jaccard verify ≥ 0.5."""
+    corpus = _planted_near_dups(sf_dir)
+    cands = dd.minhash_lsh_groups(corpus, num_perm=64, bands=16, concurrency=(1, 4))
+    verified = dd.verify_pairs_jaccard(cands, corpus, threshold=0.5)
+    out = verified.to_pandas()
+    out["jaccard"] = np.round(out["jaccard"].to_numpy(dtype=np.float64), 4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_dedup_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup: 64-bit signatures, 16-bit chunk LSH, hamming ≤ 3."""
+    corpus = _planted_near_dups(sf_dir)
+    pairs = dd.simhash_candidates(corpus, concurrency=(1, 4)).to_pandas()
+    pairs = pairs[pairs["hamming"] <= 3]
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup (pairs with cosine ≥ 0.999 — planted by
+    duplicating the first 20 vectors with shifted ids)."""
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["vec_id"], pa.scalar(20, pa.int64())))
+        return pa.table(
+            {"vec_id": pc.add(sel["vec_id"], pa.scalar(50_000, pa.int64())),
+             "embedding": sel["embedding"]}
+        )
+
+    corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    out = dd.embedding_near_dups(corpus, threshold=0.999).to_pandas()
+    out = out.drop(columns=["cosine"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic (stopword profiles, actor-pool stage) against
+    the labeled lang column → confusion counts."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        tx.LangIdStage, batch_format="pandas", concurrency=(1, 4)
+    )
+    out = (
+        pred.select_columns(["lang", "lang_pred"])
+        .to_pandas()
+        .groupby(["lang", "lang_pred"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowed rolling-hash fingerprints (actor-pool per-row kernel)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(tx.FingerprintStage, batch_format="pandas", concurrency=(1, 4))
+        .select_columns(["doc_id", "fingerprint"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Composite quality score per document (rows-only; components are
+    oracle-checked via quality_stats)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        f = tx.quality_features(batch["text"])
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(),
+             "quality": np.round(tx.quality_score(f), 6)}
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN (scale path of ann_cosine_topk; approximate)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    queries = np.stack([np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    params = sim.IvfIndexParams.fit(ds, nlist=16)
+    out = sim.ivf_topk(ds, params, queries, k=10, nprobe=6, query_ids=qids)
+    return out[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
+def cdc_replay_synthetic(sf_dir: str) -> pd.DataFrame:
+    """The full CDC engine on a deterministic synthetic tail sized by the
+    scale factor: generate → validate → partition → LWW merge → manifest
+    commit → read committed lake. Rows-only for the driver; sha256-exact
+    equality vs the oracle reducer is asserted in tests/test_cdc_replay.py."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, read_lake, replay
+    from ..sources.generator import EventGenConfig, write_events
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    scale = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}.get(sf_tag, 5_000)
+    base = f"/tmp/horizon_cdc/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = EventGenConfig(
+        n_keys=max(scale // 10, 50), n_events=scale, seed=42,
+        epoch_size=max(scale // 4, 1), dup_fraction=0.02, content_mean_bytes=200,
+    )
+    write_events(cfg, f"{base}/events")
+    replay(f"{base}/events", f"{base}/lake", CdcConfig(num_partitions=16), mode="bulk")
+    out = (
+        read_lake(f"{base}/lake")
+        .select_columns(["repo", "path", "commit", "lang", "seq", "content_sha256"])
+        .to_pandas()
+    )
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def cdc_replay_evolved(sf_dir: str) -> pd.DataFrame:
+    """CDC replay with mid-stream schema evolution (add size_bytes @ epoch 2,
+    rename lang→language @ epoch 3) — FIXTURES.md §3 script."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, read_lake, replay
+    from ..sources.generator import EventGenConfig, write_events
+    from ..stages.schema_evolution import SchemaScript
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"/tmp/horizon_cdc_evo/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = EventGenConfig(n_keys=300, n_events=4000, seed=7, epoch_size=1000,
+                         content_mean_bytes=160)
+    write_events(cfg, f"{base}/events")
+    script = SchemaScript.from_json(
+        base_fields=[("repo", pa.string()), ("path", pa.string()),
+                     ("commit", pa.string()), ("lang", pa.string()),
+                     ("content", pa.string())],
+        script=[
+            {"epoch": 2, "op": "add_column", "name": "size_bytes", "type": "int64"},
+            {"epoch": 3, "op": "rename_column", "from": "lang", "to": "language"},
+        ],
+    )
+    cdc_cfg = CdcConfig(num_partitions=8, schema_script=script)
+    replay(f"{base}/events", f"{base}/lake", cdc_cfg, mode="incremental")
+    out = (
+        read_lake(f"{base}/lake", cfg=cdc_cfg)
+        .select_columns(["repo", "path", "language", "size_bytes", "content_sha256"])
+        .to_pandas()
+    )
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+ORACLE_SQL: dict[str, str] = {
+    "token_counts": """
+        SELECT doc_id, array_length(string_split(text, ' ')) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "quality_stats": """
+        WITH f AS (
+            SELECT doc_id,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               (n_chars - (n_tokens - 1)) * 1.0 / greatest(n_tokens, 1)
+                   AS mean_token_len,
+               n_alpha * 1.0 / greatest(n_chars, 1) AS alpha_ratio
+        FROM f ORDER BY doc_id
+    """,
+    "exact_dedup_documents": """
+        WITH corpus AS (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text, n_chars FROM documents
+        )
+        SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        FROM corpus GROUP BY text ORDER BY doc_id
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, octet_length(encode(text)) AS size_bytes
+        FROM documents ORDER BY doc_id
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (0, 1, 2)
+        ), s AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding, q.qv) AS sim
+            FROM embeddings e CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+}
+
+QUERIES = {
+    "token_counts": token_counts,
+    "quality_stats": quality_stats,
+    "exact_dedup_documents": exact_dedup_documents,
+    "multimodal_meta": multimodal_meta,
+    "ann_cosine_topk": ann_cosine_topk,
+    # rows-only (non-SQL-expressible)
+    "minhash_dedup_pairs": minhash_dedup_pairs,
+    "simhash_dedup_pairs": simhash_dedup_pairs,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "lang_id_confusion": lang_id_confusion,
+    "doc_fingerprints": doc_fingerprints,
+    "quality_scores": quality_scores,
+    "ivf_ann_topk": ivf_ann_topk,
+    "cdc_replay_synthetic": cdc_replay_synthetic,
+    "cdc_replay_evolved": cdc_replay_evolved,
+}

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque ``binary`` payload columns with typed
+metadata, decoded / feature-extracted by actor-pool ``map_batches`` stages.
+
+The image/audio codecs are NOT available in this environment, so the decode
+kernel is stubbed (clearly marked); everything Ray-side — schema, batch
+sizing, actor signature, output layout — is real and tested
+(tests/test_multimodal.py). Swap ``_decode_stub`` for PIL/torchaudio in a
+real deployment; nothing else changes.
+
+Scale notes: payloads can be MBs → small ``batch_size`` and
+``batch_format="pyarrow"`` (binary columns do NOT round-trip pandas
+cleanly); decode state (codec tables, model weights) loads once per actor in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def attach_payload(t: pa.Table, text_column: str = "text",
+                   payload_column: str = "payload") -> pa.Table:
+    """Wrap a column as an opaque binary payload + typed metadata columns
+    (media_type, size_bytes) — the lake representation of multimodal data."""
+    import pyarrow.compute as pc
+
+    payload = t[text_column].cast(pa.binary())
+    t = t.append_column(payload_column, payload)
+    t = t.append_column("media_type", pa.array(["application/octet-stream"] * len(t)))
+    t = t.append_column("size_bytes", pc.binary_length(payload).cast(pa.int64()))
+    return t
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB — stands in for an image/audio decode (PIL.Image.open /
+    torchaudio.load). Deterministic fake: 8 float32 'features' derived from
+    the payload digest. Raise instead if a hard failure is preferred:
+    ``raise NotImplementedError("no codec in this environment")``."""
+    digest = hashlib.blake2b(payload, digest_size=32).digest()
+    return np.frombuffer(digest, dtype=np.uint32).astype(np.float32)[:8] / np.float32(2**32)
+
+
+class DecodeStage:
+    """Actor-pool decode/feature-extract stage.
+
+    Use as::
+
+        ds.map_batches(DecodeStage, batch_format="pyarrow",
+                       batch_size=256,            # payloads are large
+                       concurrency=(1, N), num_cpus=1)
+
+    ``__init__`` is the once-per-actor codec/model load; ``__call__`` decodes
+    a batch and emits fixed-width feature vectors + pass-through metadata.
+    """
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "doc_id"):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        # real deployment: load codec / model weights here, once per actor
+        self.decode = _decode_stub
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self.decode(v.as_py() or b"") for v in t[self.payload_column]]
+        mat = np.stack(feats) if feats else np.zeros((0, 8), dtype=np.float32)
+        return pa.table(
+            {
+                self.id_column: t[self.id_column],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), type=pa.float32()), 8
+                ),
+                "size_bytes": t["size_bytes"],
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame/chunk sampler for video/audio-shaped payloads:
+    deterministically samples ``n_frames`` byte-chunks per payload (stub for
+    a real frame extractor) and explodes one row per sampled frame —
+    demonstrates the 1→N row layout (flat_map-shaped output from
+    map_batches, which is how Ray Data expresses explode efficiently)."""
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "doc_id",
+                 n_frames: int = 3, frame_bytes: int = 32):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for rid, v in zip(t[self.id_column], t[self.payload_column]):
+            data = v.as_py() or b""
+            if not data:
+                continue
+            stride = max(1, len(data) // self.n_frames)
+            for i in range(self.n_frames):
+                start = min(i * stride, max(len(data) - 1, 0))
+                ids.append(rid.as_py())
+                frame_idx.append(i)
+                frames.append(data[start : start + self.frame_bytes])
+        return pa.table(
+            {
+                self.id_column: pa.array(ids, type=t[self.id_column].type),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )

@@ -1,0 +1,90 @@
+"""Dedup operators: exact (vs brute-force oracle), MinHash-LSH recall on
+planted near-dups, SimHash, Jaccard verification, embedding near-dups."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from horizon_etl_ray.functions import dedup as dd
+
+
+def _docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "pack my box with five dozen liquor jugs before noon every single day",
+        "how vexingly quick daft zebras jump over fences in the summer heat",
+        "sphinx of black quartz judge my vow said the old wise man slowly",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+        rows.append({"doc_id": 100 + i, "text": t})  # exact dup
+        rows.append({"doc_id": 200 + i, "text": t + " nearduplicate"})  # near dup
+    rows.append({"doc_id": 999, "text": "completely different content about ray data engines"})
+    return rows
+
+
+@pytest.fixture()
+def docs_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(_docs()))
+
+
+def test_exact_dedup_min_id_wins(docs_ds):
+    out = dd.exact_dedup(docs_ds).to_pandas()
+    # oracle: min doc_id per exact text
+    df = pd.DataFrame(_docs())
+    want = set(df.groupby("text")["doc_id"].min())
+    assert set(out["doc_id"]) == want
+    assert len(out) == 9  # 4 base + 4 near-dups + 1 unique
+
+
+def test_minhash_finds_planted_near_dups(docs_ds):
+    pairs = dd.minhash_lsh_groups(docs_ds, num_perm=64, bands=16, concurrency=(1, 2))
+    verified = dd.verify_pairs_jaccard(pairs, docs_ds, threshold=0.5).to_pandas()
+    got = set(map(tuple, verified[["id_a", "id_b"]].to_numpy()))
+    for i in range(4):
+        assert (i, 100 + i) in got, f"exact dup pair {i} missed"
+        assert (i, 200 + i) in got or (100 + i, 200 + i) in got, f"near dup {i} missed"
+    # the unrelated doc pairs with nothing
+    assert not any(999 in p for p in got)
+
+
+def test_jaccard_values():
+    assert dd.jaccard("a b c d e f", "a b c d e f") == 1.0
+    assert dd.jaccard("", "") == 1.0
+    assert dd.jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_simhash_near_dups(docs_ds):
+    pairs = dd.simhash_candidates(docs_ds, concurrency=(1, 2)).to_pandas()
+    exact = pairs[pairs["hamming"] == 0]
+    got = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    for i in range(4):
+        assert (i, 100 + i) in got
+    near = pairs[pairs["hamming"] <= 8]
+    gotn = set(map(tuple, near[["id_a", "id_b"]].to_numpy()))
+    assert any((i, 200 + i) in gotn for i in range(4))
+
+
+def test_simhash64_deterministic():
+    s = dd.SimHashStage.simhash64
+    assert s("hello world") == s("hello world")
+    assert s("") == 0
+    a, b = s("the quick brown fox"), s("the quick brown foxes")
+    assert bin(a ^ b).count("1") < 20
+
+
+def test_embedding_near_dups():
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(20)]
+    rows += [{"vec_id": 100 + i, "embedding": vecs[i].tolist()} for i in range(5)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = dd.embedding_near_dups(ds, threshold=0.999).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert {(i, 100 + i) for i in range(5)} <= got
