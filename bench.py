@@ -29,8 +29,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/horizon_bench")
 
-# CDC bench sizing per scale factor: ~20 events per lineitem row equivalent
-_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+# CDC bench sizing per scale factor (sf0.1 = FIXTURES.md sf-bench: 2·10^7
+# events over 10^6 keys — the sandbox-feasible slice of the 10^10 target)
+_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 1_000_000, "sf0.1": 20_000_000}
 
 
 def _sf_tag() -> str:
@@ -82,9 +83,17 @@ def bench_cdc_replay() -> dict:
     lake_dir = os.path.join(BENCH_TMP, f"lake_{_sf_tag()}_{NUM_CPUS}")
     shutil.rmtree(lake_dir, ignore_errors=True)
 
-    n_parts = max(NUM_CPUS * 4, 32)
+    # P and the block count are FIXED across parallelism levels (P because
+    # the manifest digest depends on it; blocks so both levels run the SAME
+    # task graph — strong scaling, only executor width changes). Coarse
+    # blocks → better combiner ratio + less scheduling overhead; see the
+    # cdc.replay docstring for measurements.
+    # P=128 measured best at this scale (reduce-side parallelism; P=64
+    # bottlenecks the sort-reduce, P=256 over-fragments) — see BASELINE.md
+    n_parts = 128
     t0 = time.time()
-    replay(events_dir, lake_dir, CdcConfig(num_partitions=n_parts), mode="bulk")
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=n_parts), mode="bulk",
+           override_num_blocks=32)
     dt = time.time() - t0
     return {
         "cdc_replay_sec": round(dt, 3),

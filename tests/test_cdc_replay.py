@@ -117,6 +117,33 @@ def test_hot_key_skew_correctness(tmp_path):
     assert lake_global_digest(lake_dir) == want_digest
 
 
+def test_staged_shuffle_matches_groupby(tmp_path, small_cfg):
+    """The storage-backed exchange must produce a byte-identical lake to the
+    Dataset-native groupby exchange (same P → same manifest digest)."""
+    events_dir = str(tmp_path / "events")
+    write_events(small_cfg, events_dir)
+    lake_g, lake_s = str(tmp_path / "g"), str(tmp_path / "s")
+    replay(events_dir, lake_g, CdcConfig(num_partitions=8), mode="bulk")
+    replay(events_dir, lake_s, CdcConfig(num_partitions=8, shuffle_mode="staged"),
+           mode="bulk")
+    assert manifest_digest(lake_s) == manifest_digest(lake_g)
+    assert lake_global_digest(lake_s) == _oracle_digest(small_cfg)[0]
+    import os
+
+    assert not os.path.exists(os.path.join(lake_s, "_stage"))  # cleaned up
+
+
+def test_staged_incremental_resume(tmp_path, small_cfg):
+    events_dir = str(tmp_path / "events")
+    write_events(small_cfg, events_dir)
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=8, shuffle_mode="staged")
+    replay(events_dir, lake, cfg, mode="incremental", epochs=[0, 1])
+    results = replay(events_dir, lake, cfg, mode="incremental")
+    assert [r["epoch"] for r in results if r["skipped"]] == [0, 1]
+    assert lake_global_digest(lake) == _oracle_digest(small_cfg)[0]
+
+
 def test_epoch_fence_refuses_stale_writer(tmp_path, small_cfg):
     events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
     write_events(small_cfg, events_dir)

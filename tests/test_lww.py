@@ -1,10 +1,12 @@
 """LWW merge kernel vectors (FIXTURES.md §6): out-of-order updates,
 duplicate delivery, delete-then-reinsert."""
 
+import numpy as np
 import pyarrow as pa
 
 from horizon_etl_ray.state.lww import (
     lww_partial,
+    lww_partial_fast,
     lww_resolve_table,
     oracle_reduce,
 )
@@ -69,6 +71,44 @@ def test_matches_oracle_reduce():
     got = {(r["repo"], r["path"]): r["content"] for r in out.to_pylist()}
     oracle = oracle_reduce(rows)
     assert got == {k: v["content"] for k, v in oracle.items()}
+
+
+def test_fast_partial_matches_sort_partial():
+    """The hash+lexsort combiner must select the same winners as the exact
+    sort-based combiner (random workload, string and int keys)."""
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%7}/repo{i%23}" for i in rng.integers(0, 400, n)]),
+            "path": pa.array([f"src/f{i}.py" for i in rng.integers(0, 50, n)]),
+            "seq": pa.array(rng.permutation(n).astype(np.int64)),
+            "content": pa.array([f"c{i}" for i in range(n)]),
+        }
+    )
+    slow = lww_partial(t, ["repo", "path"]).to_pylist()
+    fast, parts = lww_partial_fast(t, ["repo", "path"], num_partitions=16)
+    fast = fast.to_pylist()
+    key = lambda r: (r["repo"], r["path"])
+    assert sorted(slow, key=key) == sorted(fast, key=key)
+    assert parts is not None and len(parts) == len(fast)
+    # partition assignment is a pure function of the key
+    pid_by_key = {}
+    for r, p in zip(fast, parts):
+        assert pid_by_key.setdefault(key(r), p) == p
+
+
+def test_fast_partial_int_keys():
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+            "b": pa.array([7, 7, 8, 8, 9], type=pa.int64()),
+            "seq": pa.array([5, 9, 1, 0, 3], type=pa.int64()),
+        }
+    )
+    fast, _ = lww_partial_fast(t, ["a", "b"])
+    got = {(r["a"], r["b"]): r["seq"] for r in fast.to_pylist()}
+    assert got == {(1, 7): 9, (2, 8): 1, (3, 9): 3}
 
 
 def test_reduce_is_order_and_grouping_invariant():

@@ -1,0 +1,95 @@
+"""Streaming tail-follow path: partition-owning upserter actors with
+cross-epoch in-memory state; snapshot/commit parity with the batch path;
+restore-after-loss; compaction."""
+
+import ray.data as rd
+
+from horizon_etl_ray.pipelines.cdc import (
+    CdcConfig,
+    compact,
+    lake_global_digest,
+    read_lake,
+    replay,
+)
+from horizon_etl_ray.pipelines.streaming import StreamingUpserter
+from horizon_etl_ray.sources.generator import (
+    EventGenConfig,
+    generate_events_table,
+    write_events,
+)
+from horizon_etl_ray.state.lww import content_digest, oracle_reduce
+from horizon_etl_ray.state.manifest import ManifestStore
+
+
+GEN = EventGenConfig(n_keys=150, n_events=2400, seed=17, epoch_size=600,
+                     p_delete=0.15, content_mean_bytes=96)
+
+
+def _events_dir(tmp_path):
+    d = str(tmp_path / "events")
+    write_events(GEN, d)
+    return d
+
+
+def _want_digest():
+    return content_digest(list(oracle_reduce(generate_events_table(GEN).to_pylist()).values()))
+
+
+def test_streaming_matches_oracle_and_batch(tmp_path):
+    ev = _events_dir(tmp_path)
+    lake_s = str(tmp_path / "lake_s")
+    up = StreamingUpserter(lake_s, CdcConfig(num_partitions=8), num_shards=2)
+    try:
+        for e in range(4):
+            import os
+
+            files = [os.path.join(ev, f"epoch={e}", f)
+                     for f in sorted(os.listdir(os.path.join(ev, f"epoch={e}")))]
+            res = up.apply_epoch(rd.read_parquet(files), e)
+            assert not res["skipped"]
+    finally:
+        up.shutdown()
+    assert lake_global_digest(lake_s) == _want_digest()
+
+    lake_b = str(tmp_path / "lake_b")
+    replay(ev, lake_b, CdcConfig(num_partitions=8), mode="bulk")
+    assert lake_global_digest(lake_b) == lake_global_digest(lake_s)
+
+
+def test_streaming_restore_after_actor_loss(tmp_path):
+    ev = _events_dir(tmp_path)
+    lake = str(tmp_path / "lake")
+    up = StreamingUpserter(lake, CdcConfig(num_partitions=8), num_shards=2)
+    try:
+        up.apply_epoch(rd.read_parquet(str(tmp_path / "events" / "epoch=0")), 0)
+        up.apply_epoch(rd.read_parquet(str(tmp_path / "events" / "epoch=1")), 1)
+    finally:
+        up.shutdown()  # actors die; state must be rebuildable from the lake
+
+    up2 = StreamingUpserter(lake, CdcConfig(num_partitions=8), num_shards=2)
+    try:
+        assert up2.apply_epoch(rd.read_parquet(str(tmp_path / "events" / "epoch=1")), 1)[
+            "skipped"
+        ]  # manifest fence
+        up2.apply_epoch(rd.read_parquet(str(tmp_path / "events" / "epoch=2")), 2)
+        up2.apply_epoch(rd.read_parquet(str(tmp_path / "events" / "epoch=3")), 3)
+    finally:
+        up2.shutdown()
+    assert lake_global_digest(lake) == _want_digest()
+
+
+def test_compaction_drops_tombstones_keeps_digest(tmp_path):
+    ev = _events_dir(tmp_path)
+    lake = str(tmp_path / "lake")
+    replay(ev, lake, CdcConfig(num_partitions=8), mode="bulk")
+    before = lake_global_digest(lake)
+    m0 = ManifestStore(lake).load()
+    assert sum(ps.tombstones for ps in m0.partitions.values()) > 0
+
+    res = compact(lake)
+    assert res["tombstones_dropped"] > 0
+    assert res["files_gc"] > 0
+    m1 = ManifestStore(lake).load()
+    assert sum(ps.tombstones for ps in m1.partitions.values()) == 0
+    assert lake_global_digest(lake) == before  # live rows untouched
+    assert read_lake(lake, include_tombstones=True).count() == read_lake(lake).count()
