@@ -451,24 +451,69 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
     """Collaboration-graph edges (A5/§1.1 parity: the people co-membership
     graph of /root/reference/src/core/logic/people_relationship_graph_generator.py:166-181
     as pair-expansion → groupby count): suppliers co-occurring in an order,
-    edge weight = #orders shared."""
-    from ray.data.aggregate import Count
+    edge weight = #orders shared.
 
+    Bucketed expansion: orders are hash-bucketed into P groups so the pair
+    expansion runs as ~P vectorized calls (not one Python call per order),
+    with a partial count inside each bucket before the small global sum —
+    one wide exchange on the raw rows, one on the pre-aggregated edges.
+    """
+    P = 32
     ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sup = np.unique(g["l_suppkey"].to_numpy())
-        if len(sup) < 2:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        # cheap multiplicative hash; all rows of an order share a bucket
+        bucket = ((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(32)) % np.uint64(P)
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def expand_count(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct (order, supplier), contiguous per order
+        g = g.drop_duplicates(["l_orderkey", "l_suppkey"]).sort_values(
+            ["l_orderkey", "l_suppkey"])
+        key = g["l_orderkey"].to_numpy()
+        sup = g["l_suppkey"].to_numpy()
+        if len(key) == 0:
             return pd.DataFrame({"s1": pd.Series([], dtype="int64"),
-                                 "s2": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(sup), k=1)
-        return pd.DataFrame({"s1": sup[a], "s2": sup[b]})
+                                 "s2": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            a_parts.append(sup[s + i])
+            b_parts.append(sup[s + j])
+        if not a_parts:
+            return pd.DataFrame({"s1": pd.Series([], dtype="int64"),
+                                 "s2": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        edges = pd.DataFrame({"s1": np.concatenate(a_parts),
+                              "s2": np.concatenate(b_parts)})
+        part = (edges.groupby(["s1", "s2"], sort=False).size()
+                .rename("w").reset_index())
+        # route each edge to a reduce bucket (vectorized groupby-sum there
+        # beats ray's per-group Aggregate for many small groups)
+        eb = ((part["s1"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B1)
+               + part["s2"].to_numpy().astype(np.uint64))
+              * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)) % np.uint64(P)
+        part["edge_bucket"] = eb.astype(np.int64)
+        return part
+
+    def sum_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["s1", "s2"], sort=False)["w"].sum()
+                .reset_index())
 
     out = (
-        ds.groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["s1", "s2"])
-        .aggregate(Count(alias_name="w"))
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_count, batch_format="pandas")
+        .groupby("edge_bucket")
+        .map_groups(sum_edges, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)

@@ -409,6 +409,82 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, octet_length(encode(text)) AS size_bytes
         FROM documents ORDER BY doc_id
     """,
+    "quality_scores": """
+        WITH f AS (
+            SELECT doc_id,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   least(n_tokens / 50.0, 1.0) AS length_ok,
+                   least((n_alpha * 1.0 / greatest(n_chars, 1)) * 1.25, 1.0)
+                       AS alpha,
+                   least((len(list_filter(ws, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','are','this')))
+                       * 1.0 / greatest(len(ws), 1)) * 4.0, 1.0) AS stop
+            FROM f
+        )
+        SELECT doc_id,
+               round(0.4 * length_ok + 0.3 * alpha + 0.3 * stop, 6) AS quality
+        FROM r ORDER BY doc_id
+    """,
+    "embedding_near_dup_pairs": """
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        planted AS (
+            SELECT vec_id + 50000 AS vec_id, embedding FROM base
+            WHERE vec_id < 20
+        ),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        ORDER BY id_a, id_b
+    """,
+    "lang_id_confusion": """
+        WITH w AS (
+            SELECT lang, regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM documents
+        ), s AS (
+            SELECT lang, greatest(len(ws), 1) AS nw,
+                   len(list_filter(ws, x -> x IN
+                       ('der','die','und','das','von','zu','den','mit','ist',
+                        'im','für','auf','des','ein'))) * 1.0 AS c_de,
+                   len(list_filter(ws, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','are','this'))) * 1.0 AS c_en,
+                   len(list_filter(ws, x -> x IN
+                       ('el','la','de','que','y','en','los','del','se','las',
+                        'por','un','con','una','es','para'))) * 1.0 AS c_es,
+                   len(list_filter(ws, x -> x IN
+                       ('le','la','de','et','les','des','en','un','une','du',
+                        'que','pour','dans','ce','il'))) * 1.0 AS c_fr,
+                   len(list_filter(ws, x -> x IN
+                       ('o','a','de','que','e','do','da','em','um','para',
+                        'com','não','uma','os','no','se'))) * 1.0 AS c_pt
+            FROM w
+        ), p AS (
+            SELECT lang,
+                   CASE
+                     WHEN greatest(c_de, c_en, c_es, c_fr, c_pt) = 0 THEN 'und'
+                     WHEN c_de / nw >= c_en / nw AND c_de / nw >= c_es / nw
+                      AND c_de / nw >= c_fr / nw AND c_de / nw >= c_pt / nw
+                       THEN 'de'
+                     WHEN c_en / nw >= c_es / nw AND c_en / nw >= c_fr / nw
+                      AND c_en / nw >= c_pt / nw THEN 'en'
+                     WHEN c_es / nw >= c_fr / nw AND c_es / nw >= c_pt / nw
+                       THEN 'es'
+                     WHEN c_fr / nw >= c_pt / nw THEN 'fr'
+                     ELSE 'pt'
+                   END AS lang_pred
+            FROM s
+        )
+        SELECT lang, lang_pred, count(*) AS n FROM p
+        GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
     "ann_cosine_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -434,13 +510,13 @@ QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
     "multimodal_meta": multimodal_meta,
     "ann_cosine_topk": ann_cosine_topk,
+    "quality_scores": quality_scores,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "lang_id_confusion": lang_id_confusion,
     # rows-only (non-SQL-expressible)
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
-    "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
-    "quality_scores": quality_scores,
     "ivf_ann_topk": ivf_ann_topk,
     "cdc_replay_synthetic": cdc_replay_synthetic,
     "cdc_replay_evolved": cdc_replay_evolved,
