@@ -519,6 +519,126 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
 
 
+def _hash_bucket(key: np.ndarray, P: int) -> np.ndarray:
+    """Cheap multiplicative hash bucket for int64 keys (same pattern as the
+    CDC partitioner): all rows of a key share a bucket, so a per-bucket
+    vectorized pandas reduce replaces one Python call per key group."""
+    return (((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(32)) % np.uint64(P)).astype(np.int64)
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """Exact integer cents from a 2-decimal double column — sums become
+    order-invariant integer arithmetic, so Ray and DuckDB hash-match."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def weighted_vote_resolution(sf_dir: str) -> pd.DataFrame:
+    """Weighted-vote argmax resolution (T6/J7 parity: the campus resolver of
+    /root/reference/src/core/logic/export_campus_resolver.py:20-100 — per
+    entity, candidate votes weighted by evidence, winner = max weight with a
+    deterministic tiebreak): per customer, the order priority weighted by
+    total order value. Bucketed reduce — one exchange, vectorized argmax."""
+    P = 32
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column("cents", _cents(t["o_totalprice"]))
+        key = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.append_column("bucket", pa.array(_hash_bucket(key, P)))
+        return t.drop_columns(["o_totalprice"])
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g.groupby(["o_custkey", "o_orderpriority"], sort=False)["cents"]
+             .sum().reset_index())
+        v = v.sort_values(["o_custkey", "cents", "o_orderpriority"],
+                          ascending=[True, False, True])
+        w = v.drop_duplicates("o_custkey", keep="first")
+        return pd.DataFrame(
+            {"o_custkey": w["o_custkey"].to_numpy(),
+             "best_priority": w["o_orderpriority"].to_numpy(),
+             "weight": np.round(w["cents"].to_numpy() / 100.0, 2)})
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(vote, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def consolidate_winners(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-group consolidation (O4/D4 parity: the ordered-group-winner
+    pass of /root/reference/src/core/logic/person_consolidator.py:97-103 —
+    group by canonical key, winner by quality score desc / id asc, merge the
+    rest into a rollup): suppliers grouped by nation, winner = highest
+    account balance (suppkey tiebreak), plus member count and merged
+    balance."""
+    ds = _rp(sf_dir, "supplier",
+             columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _cents(t["s_acctbal"]))
+
+    def consolidate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True])
+        return pd.DataFrame(
+            {"s_nationkey": g["s_nationkey"].to_numpy()[:1],
+             "winner_suppkey": g["s_suppkey"].to_numpy()[:1],
+             "n_members": np.array([len(g)], dtype=np.int64),
+             "total_bal": [round(int(g["cents"].sum()) / 100.0, 2)]})
+
+    out = (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .map_groups(consolidate, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+def evidence_flags(sf_dir: str) -> pd.DataFrame:
+    """Per-entity any() evidence flags (A8 parity: the per-person email /
+    identification evidence aggregation of
+    /root/reference/src/core/logic/canonical_exporter.py:519-560): per
+    customer — order count, any high-value order, any urgent order.
+    Partial aggregate per batch (combiner), then one bucketed reduce."""
+    P = 32
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            high=g["o_totalprice"].to_numpy() > 250_000.0,
+            urgent=(g["o_orderpriority"] == "1-URGENT").to_numpy(),
+        )
+        agg = (g.groupby("o_custkey", sort=False)
+               .agg(n_orders=("o_custkey", "size"),
+                    has_high_value=("high", "any"),
+                    has_urgent=("urgent", "any"))
+               .reset_index())
+        agg["bucket"] = _hash_bucket(agg["o_custkey"].to_numpy(), P)
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("o_custkey", sort=False)
+                .agg(n_orders=("n_orders", "sum"),
+                     has_high_value=("has_high_value", "any"),
+                     has_urgent=("has_urgent", "any"))
+                .reset_index())
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered by the driver)
 # --------------------------------------------------------------------------
@@ -611,6 +731,47 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         ORDER BY user_id
     """,
+    "weighted_vote_resolution": """
+        WITH v AS (
+            SELECT o_custkey, o_orderpriority,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey, o_orderpriority
+        ), r AS (
+            SELECT o_custkey, o_orderpriority, cents,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY cents DESC, o_orderpriority)
+                       AS rn
+            FROM v
+        )
+        SELECT o_custkey, o_orderpriority AS best_priority,
+               round(cents / 100.0, 2) AS weight
+        FROM r WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "consolidate_winners": """
+        WITH r AS (
+            SELECT s_nationkey, s_suppkey,
+                   row_number() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal DESC, s_suppkey)
+                       AS rn
+            FROM supplier
+        ), a AS (
+            SELECT s_nationkey, count(*) AS n_members,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS cents
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT r.s_nationkey, r.s_suppkey AS winner_suppkey,
+               a.n_members, round(a.cents / 100.0, 2) AS total_bal
+        FROM r JOIN a USING (s_nationkey)
+        WHERE rn = 1 ORDER BY s_nationkey
+    """,
+    "evidence_flags": """
+        SELECT o_custkey, count(*) AS n_orders,
+               max(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) = 1
+                   AS has_high_value,
+               max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   = 1 AS has_urgent
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
     "supplier_cograph": """
         WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
         SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
@@ -669,4 +830,7 @@ QUERIES = {
     "hash_join_revenue": hash_join_revenue,
     "top_suppliers": top_suppliers,
     "supplier_cograph": supplier_cograph,
+    "weighted_vote_resolution": weighted_vote_resolution,
+    "consolidate_winners": consolidate_winners,
+    "evidence_flags": evidence_flags,
 }
