@@ -88,12 +88,15 @@ def bench_cdc_replay() -> dict:
     # task graph — strong scaling, only executor width changes). Coarse
     # blocks → better combiner ratio + less scheduling overhead; see the
     # cdc.replay docstring for measurements.
-    # P=128 measured best at this scale (reduce-side parallelism; P=64
-    # bottlenecks the sort-reduce, P=256 over-fragments) — see BASELINE.md
+    # shuffle_mode="staged" (storage-backed exchange: map-side split to
+    # per-partition files + one merge task per partition) measured 6x faster
+    # than the Dataset sort-shuffle and 4x faster than hash-shuffle on this
+    # host for the wide-payload exchange — see BASELINE.md tuning history.
     n_parts = 128
     t0 = time.time()
-    replay(events_dir, lake_dir, CdcConfig(num_partitions=n_parts), mode="bulk",
-           override_num_blocks=32)
+    replay(events_dir, lake_dir,
+           CdcConfig(num_partitions=n_parts, shuffle_mode="staged"),
+           mode="bulk", override_num_blocks=32)
     dt = time.time() - t0
     return {
         "cdc_replay_sec": round(dt, 3),
@@ -171,13 +174,28 @@ def main() -> None:
 
 def scaling() -> None:
     """Run the bench at two parallelism levels in fresh processes (sandbox
-    stand-in for the N vs 4N cluster sizes; see BASELINE.md)."""
-    lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "8")), int(
-        os.environ.get("GRAFT_SCALE_HI", "32")
+    stand-in for the N vs 4N cluster sizes; see BASELINE.md).
+
+    Defaults are 4 vs 16 CPUs on RAM-backed storage, for two measured
+    sandbox reasons (BASELINE.md "Scaling evidence"):
+      - this host has 16 physical cores exposed as 32 SMT threads; a burn
+        test shows 32 workers ≈ 17.5 effective cores, so any 8→32 pair is
+        hardware-capped at ~0.55 efficiency no matter the engine. 4→16
+        stays on physical cores (N and 4N).
+      - the replay writes ~10 GB per run; a single local disk is a FIXED
+        resource that does not grow with parallelism, unlike cluster object
+        storage. tmpfs isolates the compute scaling the north rule measures.
+    """
+    lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(
+        os.environ.get("GRAFT_SCALE_HI", "16")
+    )
+    bench_tmp = os.environ.get("GRAFT_BENCH_TMP") or (
+        "/dev/shm/horizon_bench" if os.path.isdir("/dev/shm") else BENCH_TMP
     )
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_TMP=bench_tmp)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -189,6 +207,10 @@ def scaling() -> None:
 
     r_lo = run(lo)  # also generates/warms the shared event cache
     r_hi = run(hi)
+    if bench_tmp.startswith("/dev/shm"):  # free the RAM-backed lakes
+        for d in os.listdir(bench_tmp) if os.path.isdir(bench_tmp) else []:
+            if d.startswith("lake_"):
+                shutil.rmtree(os.path.join(bench_tmp, d), ignore_errors=True)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(
