@@ -519,6 +519,46 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
 
 
+def graph_degree_stats(sf_dir: str) -> pd.DataFrame:
+    """Graph node statistics + top-k by weighted degree (A5/O2 parity: the
+    degree / weighted-degree stats and top-20-people ranking of
+    /root/reference/src/core/logic/people_relationship_graph_generator.py:436-480,
+    sort by (-weighted_degree, node id)): built FROM the co-occurrence edge
+    list, so edges Dataset → per-endpoint explode → bucketed degree reduce →
+    sort + limit."""
+    import ray.data as rd
+
+    edges = rd.from_pandas(supplier_cograph(sf_dir))
+
+    def explode(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t["s1"].combine_chunks(), t["s2"].combine_chunks()])
+        w = pa.concat_arrays(
+            [t["w"].combine_chunks(), t["w"].combine_chunks()])
+        return pa.table({"node": node, "w": w})
+
+    def degrees(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("node", sort=False)
+               .agg(degree=("w", "size"), weighted_degree=("w", "sum"))
+               .reset_index())
+        agg["degree"] = agg["degree"].astype(np.int64)
+        agg["weighted_degree"] = agg["weighted_degree"].astype(np.int64)
+        return agg
+
+    out = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .map_batches(
+            lambda g: g.assign(bucket=_hash_bucket(g["node"].to_numpy(), 16)),
+            batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(degrees, batch_format="pandas")
+        .sort(["weighted_degree", "node"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
 def _hash_bucket(key: np.ndarray, P: int) -> np.ndarray:
     """Cheap multiplicative hash bucket for int64 keys (same pattern as the
     CDC partitioner): all rows of a key share a bucket, so a per-bucket
@@ -731,6 +771,21 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         ORDER BY user_id
     """,
+    "graph_degree_stats": """
+        WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        e AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+            FROM s a JOIN s b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY s1, s2
+        ), n AS (
+            SELECT s1 AS node, w FROM e UNION ALL SELECT s2 AS node, w FROM e
+        )
+        SELECT node, count(*) AS degree,
+               CAST(sum(w) AS BIGINT) AS weighted_degree
+        FROM n GROUP BY node
+        ORDER BY weighted_degree DESC, node LIMIT 20
+    """,
     "weighted_vote_resolution": """
         WITH v AS (
             SELECT o_custkey, o_orderpriority,
@@ -830,6 +885,7 @@ QUERIES = {
     "hash_join_revenue": hash_join_revenue,
     "top_suppliers": top_suppliers,
     "supplier_cograph": supplier_cograph,
+    "graph_degree_stats": graph_degree_stats,
     "weighted_vote_resolution": weighted_vote_resolution,
     "consolidate_winners": consolidate_winners,
     "evidence_flags": evidence_flags,
