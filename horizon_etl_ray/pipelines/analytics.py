@@ -519,6 +519,39 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
 
 
+def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Distributed hash join of two large tables (J6 parity: the multi-way
+    denormalization joins of
+    /root/reference/src/core/logic/canonical_exporter.py:231-316, here the
+    large⋈large case where no side fits a broadcast): lineitem ⋈ orders on
+    order key via ``Dataset.join`` (Ray's hash-shuffle join), then a grouped
+    revenue rollup. Complements hash_join_revenue, which shows the
+    broadcast-small-side plan."""
+    from ray.data.aggregate import Count, Sum
+
+    o = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue_col(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev).drop_columns(
+            ["l_extendedprice", "l_discount"])
+
+    joined = li.map_batches(revenue_col, batch_format="pyarrow").join(
+        o, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = _round(out, {"revenue": 2})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def graph_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph node statistics + top-k by weighted degree (A5/O2 parity: the
     degree / weighted-degree stats and top-20-people ranking of
@@ -771,6 +804,12 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         ORDER BY user_id
     """,
+    "dist_join_priority_revenue": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "graph_degree_stats": """
         WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         e AS (
@@ -885,6 +924,7 @@ QUERIES = {
     "hash_join_revenue": hash_join_revenue,
     "top_suppliers": top_suppliers,
     "supplier_cograph": supplier_cograph,
+    "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
     "weighted_vote_resolution": weighted_vote_resolution,
     "consolidate_winners": consolidate_winners,
