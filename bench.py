@@ -27,7 +27,13 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/horizon_bench")
+# RAM-backed by default when available: the replay writes ~10 GB per run and
+# a single local disk's writeback makes consecutive runs vary ±60%; real
+# deployments write to object storage whose bandwidth scales with the
+# cluster, so tmpfs is the steadier stand-in (see BASELINE.md).
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP") or (
+    "/dev/shm/horizon_bench" if os.path.isdir("/dev/shm") else "/tmp/horizon_bench"
+)
 
 # CDC bench sizing per scale factor (sf0.1 = FIXTURES.md sf-bench: 2·10^7
 # events over 10^6 keys — the sandbox-feasible slice of the 10^10 target)
