@@ -100,3 +100,31 @@ def test_replay_with_evolution(tmp_path):
 
     blob = "\n".join(rows["content_sha256"])
     assert hashlib.sha256(blob.encode()).hexdigest() == want
+
+
+def test_registry_as_named_actor(ray_session):
+    """SchemaRegistry hosted as a named Ray actor (the multi-job coordination
+    path: several writers agree on the current version through one service;
+    within one job the script ships in the stage closure instead)."""
+    import ray
+
+    from horizon_etl_ray.stages.schema_evolution import SchemaRegistry, SchemaScript
+
+    script = SchemaScript.from_json(
+        [("repo", pa.string()), ("path", pa.string())],
+        [{"epoch": 2, "op": "add_column", "name": "size_bytes", "type": "int64"}],
+    )
+    reg = ray.remote(SchemaRegistry).options(name="schema_registry_test").remote(script)
+    try:
+        assert ray.get(reg.version_for_epoch.remote(1)) == 0
+        assert ray.get(reg.version_for_epoch.remote(2)) == 1
+        op = {"epoch": 3, "op": "rename_column", "from": "repo", "to": "repository"}
+        assert ray.get(reg.register_op.remote(op)) == 2
+        assert ray.get(reg.register_op.remote(op)) == 2  # idempotent
+        fields = dict(ray.get(reg.fields_at.remote(2)))
+        assert "size_bytes" in fields and "repository" in fields
+        # a second handle resolves the same named service
+        again = ray.get_actor("schema_registry_test")
+        assert ray.get(again.version_for_epoch.remote(3)) == 2
+    finally:
+        ray.kill(reg)
