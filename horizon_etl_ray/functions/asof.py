@@ -1,0 +1,79 @@
+"""As-of join — a custom operator Ray Data lacks, composed per the engine's
+standard recipe: hash-bucket both sides by the equality key, co-shuffle once
+(as a union with a unified schema), and run a vectorized time-ordered merge
+(``pandas.merge_asof``) inside each bucket group.
+
+Partitioning assumption (documented per the repo's custom-operator rule):
+all rows of one equality key land in one bucket (bucket = hash(key) % P), so
+the per-bucket merge sees every candidate right-side row for its left rows.
+Skewed keys cost only within-bucket sort time — the merge itself is O(n)
+after the sort. At 100 TB, P scales with cluster cores and the two inputs
+are column-pruned before the single co-shuffle.
+
+Reference parity: the reference has no as-of join; this generalizes its
+"latest file wins by mtime order" lookup semantics
+(/root/reference/src/flows/sigpesq/advisorships.py:38-40) to per-key
+point-in-time lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _bucket(key: np.ndarray, P: int) -> np.ndarray:
+    return (((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(32)) % np.uint64(P)).astype(np.int64)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    left_value_columns: list[str],
+    right_value_columns: list[str],
+    num_buckets: int = 16,
+):
+    """For every left row, attach the latest right row with
+    ``right[on] <= left[on]`` and the same ``by`` key (backward as-of, exact
+    matches allowed — DuckDB ``ASOF JOIN`` semantics). Inner join: left rows
+    with no prior right row are dropped.
+
+    Returns a Dataset with columns ``[by, on, *left_value_columns,
+    *right_value_columns]``. Value columns are carried as float64 through
+    the unified-schema co-shuffle (the side that lacks a column holds nulls);
+    cast back downstream if integer identity matters.
+    """
+    cols = [by, on, *left_value_columns, *right_value_columns]
+
+    def tag(side: int):
+        mine = left_value_columns if side == 0 else right_value_columns
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({by: df[by].to_numpy(), on: df[on].to_numpy()})
+            for c in left_value_columns + right_value_columns:
+                out[c] = (df[c].astype(np.float64).to_numpy()
+                          if c in mine else np.nan)
+            out["_side"] = np.int8(side)
+            out["_bucket"] = _bucket(df[by].to_numpy(), num_buckets)
+            return out
+
+        return fn
+
+    left = left_ds.map_batches(tag(0), batch_format="pandas")
+    right = right_ds.map_batches(tag(1), batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = (g[g["_side"] == 0][[by, on, *left_value_columns]]
+              .sort_values(on))
+        rf = (g[g["_side"] == 1][[by, on, *right_value_columns]]
+              .sort_values(on))
+        out = pd.merge_asof(lf, rf, on=on, by=by, direction="backward",
+                            allow_exact_matches=True)
+        return out.dropna(subset=right_value_columns)[cols]
+
+    return left.union(right).groupby("_bucket").map_groups(
+        merge, batch_format="pandas"
+    )

@@ -519,6 +519,33 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
 
 
+def asof_purchase_attribution(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time attribution via as-of join (custom operator per the
+    engine brief; no Ray Data primitive exists): for every purchase event,
+    the user's latest click at-or-before the purchase — backward as-of with
+    exact matches, inner. See functions/asof.py for the bucketed
+    co-shuffle + merge_asof composition and its partitioning assumption."""
+    from ..functions.asof import asof_join
+
+    ev = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    clicks = (ev.filter(expr="event_type == 'click'")
+              .drop_columns(["event_type"])
+              .rename_columns({"event_id": "prior_click_id"}))
+    out = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        left_value_columns=["event_id"],
+        right_value_columns=["prior_click_id"],
+    ).to_pandas()
+    out = out.rename(columns={"event_id": "purchase_id"})
+    out["purchase_id"] = out["purchase_id"].astype(np.int64)
+    out["prior_click_id"] = out["prior_click_id"].astype(np.int64)
+    out = out[["purchase_id", "user_id", "prior_click_id"]]
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
 def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
     """Distributed hash join of two large tables (J6 parity: the multi-way
     denormalization joins of
@@ -804,6 +831,14 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
         ORDER BY user_id
     """,
+    "asof_purchase_attribution": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS prior_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY purchase_id
+    """,
     "dist_join_priority_revenue": """
         SELECT o_orderpriority, count(*) AS n_items,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -924,6 +959,7 @@ QUERIES = {
     "hash_join_revenue": hash_join_revenue,
     "top_suppliers": top_suppliers,
     "supplier_cograph": supplier_cograph,
+    "asof_purchase_attribution": asof_purchase_attribution,
     "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
     "weighted_vote_resolution": weighted_vote_resolution,

@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "graph_degree_stats",
     "dist_join_priority_revenue",
     "supplier_cograph",
+    "asof_purchase_attribution",
 ]
 
 
