@@ -546,6 +546,76 @@ def asof_purchase_attribution(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("purchase_id").reset_index(drop=True)
 
 
+def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
+    """Banded range join (custom operator per the engine brief; no Ray Data
+    primitive): per order, the count of lineitems — across ALL orders —
+    shipped inside [o_orderdate, o_orderdate + 7 days). No equality key, so
+    the composition is band replication: time is binned at the window width
+    W; a probe interval of width W can only span bins b and b+1, so each
+    order is replicated into those two bins, each lineitem lands in exactly
+    one bin, one co-shuffle groups them, and a vectorized searchsorted probe
+    counts matches per bin; partial counts sum per order in a small bucketed
+    reduce. Partitioning assumption: band width = window width (tighter
+    windows → more bins → more parallelism, never more replication)."""
+    W = np.int64(7 * 86_400 * 1_000_000)  # 7 days in µs
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    items = _rp(sf_dir, "lineitem", columns=["l_shipdate"])
+
+    def _us(col) -> np.ndarray:
+        return col.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        t = _us(df["o_orderdate"])
+        b = t // W
+        out = pd.DataFrame({
+            "key": np.tile(df["o_orderkey"].to_numpy().astype(np.float64), 2),
+            "t": np.tile(t, 2),
+            "_bin": np.concatenate([b, b + 1]),
+        })
+        out["_side"] = np.int8(0)
+        return out
+
+    def tag_items(df: pd.DataFrame) -> pd.DataFrame:
+        t = _us(df["l_shipdate"])
+        return pd.DataFrame({
+            "key": np.full(len(df), np.nan),
+            "t": t,
+            "_bin": t // W,
+            "_side": np.int8(1),
+        })
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]
+        s = np.sort(g.loc[g["_side"] == 1, "t"].to_numpy())
+        t0 = o["t"].to_numpy()
+        n = (np.searchsorted(s, t0 + W, side="left")
+             - np.searchsorted(s, t0, side="left"))
+        out = pd.DataFrame({"o_orderkey": o["key"].to_numpy(), "n": n})
+        out = out[out["n"] > 0]
+        out["bucket"] = _hash_bucket(
+            out["o_orderkey"].to_numpy().astype(np.int64), 16)
+        return out
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("o_orderkey", sort=False)["n"].sum().reset_index()
+               .rename(columns={"n": "n_shipped"}))
+        agg["o_orderkey"] = agg["o_orderkey"].astype(np.int64)
+        agg["n_shipped"] = agg["n_shipped"].astype(np.int64)
+        return agg
+
+    out = (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(items.map_batches(tag_items, batch_format="pandas"))
+        .groupby("_bin")
+        .map_groups(probe, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(total, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
     """Distributed hash join of two large tables (J6 parity: the multi-way
     denormalization joins of
@@ -839,6 +909,13 @@ ORACLE_SQL: dict[str, str] = {
           ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY purchase_id
     """,
+    "range_join_ship_activity": """
+        SELECT o_orderkey, count(*) AS n_shipped
+        FROM orders o JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
     "dist_join_priority_revenue": """
         SELECT o_orderpriority, count(*) AS n_items,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -960,6 +1037,7 @@ QUERIES = {
     "top_suppliers": top_suppliers,
     "supplier_cograph": supplier_cograph,
     "asof_purchase_attribution": asof_purchase_attribution,
+    "range_join_ship_activity": range_join_ship_activity,
     "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
     "weighted_vote_resolution": weighted_vote_resolution,

@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "dist_join_priority_revenue",
     "supplier_cograph",
     "asof_purchase_attribution",
+    "range_join_ship_activity",
 ]
 
 
