@@ -347,6 +347,48 @@ def events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (width 2 h, slide 1 h — each event lands in
+    exactly two windows): flat window-replication inside ``map_batches`` with
+    a per-batch partial aggregate (combiner), then a bucketed reduce. The
+    tumbling case is ``events_window``; replication factor = width/slide, so
+    the combiner keeps the exchange at one row per (window, batch)."""
+    HOUR = np.int64(3_600 * 1_000_000)  # µs
+
+    ds = _rp(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        ws1 = (t // HOUR) * HOUR
+        ws = np.concatenate([ws1, ws1 - HOUR])
+        c2 = np.tile(cents, 2)
+        agg = (pd.DataFrame({"ws": ws, "cents": c2})
+               .groupby("ws", sort=False)
+               .agg(n_events=("cents", "size"), cents=("cents", "sum"))
+               .reset_index())
+        agg["bucket"] = _hash_bucket(agg["ws"].to_numpy(), 8)
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("ws", sort=False)
+               .agg(n_events=("n_events", "sum"), cents=("cents", "sum"))
+               .reset_index())
+        return pd.DataFrame({
+            "window_start": agg["ws"].to_numpy().astype("datetime64[us]"),
+            "n_events": agg["n_events"].to_numpy().astype(np.int64),
+            "total_value": np.round(agg["cents"].to_numpy() / 100.0, 2),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def lww_latest_event(sf_dir: str) -> pd.DataFrame:
     """The CDC LWW kernel on the events table: latest event per user by
     event_id (argmax reduce, distributed partial+final)."""
@@ -909,6 +951,20 @@ ORACLE_SQL: dict[str, str] = {
           ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY purchase_id
     """,
+    "events_sliding_window": """
+        WITH x AS (
+            SELECT date_trunc('hour', ts) AS ws,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT ws AS window_start, count(*) AS n_events,
+               round(sum(cents) / 100.0, 2) AS total_value
+        FROM x GROUP BY ws ORDER BY ws
+    """,
     "range_join_ship_activity": """
         SELECT o_orderkey, count(*) AS n_shipped
         FROM orders o JOIN lineitem l
@@ -1030,6 +1086,7 @@ QUERIES = {
     "top_event_users": top_event_users,
     "filter_orders": filter_orders,
     "events_window": events_window,
+    "events_sliding_window": events_sliding_window,
     "lww_latest_event": lww_latest_event,
     "cdc_lww_lineitem": cdc_lww_lineitem,
     "pii_anonymize_customers": pii_anonymize_customers,

@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "supplier_cograph",
     "asof_purchase_attribution",
     "range_join_ship_activity",
+    "events_sliding_window",
 ]
 
 
