@@ -1,0 +1,66 @@
+"""CDC replay as a Ray job — the `ray job submit` entry point of the north
+rule. On a cluster:
+
+    ray job submit --working-dir . -- python scripts/run_replay_job.py \
+        --events s3://bucket/events --lake s3://bucket/lake \
+        --partitions 512 --mode incremental
+
+Locally (sandbox) it runs the same driver against local paths. The job is
+idempotent and resumable: committed epochs are skipped via the manifest,
+replayed events are dropped by the per-partition seq fence, so re-submitting
+after any failure converges (SURVEY.md §7.5 hard part 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--events", required=True, help="event-tail parquet dir")
+    ap.add_argument("--lake", required=True, help="lake output dir")
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--mode", choices=["bulk", "incremental"], default="incremental")
+    ap.add_argument("--shuffle", choices=["groupby", "staged"], default="staged")
+    ap.add_argument("--read-blocks", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():  # under `ray job submit` the cluster exists
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from horizon_etl_ray.pipelines.cdc import CdcConfig, manifest_digest, replay
+
+    t0 = time.time()
+    results = replay(
+        args.events, args.lake,
+        CdcConfig(num_partitions=args.partitions, shuffle_mode=args.shuffle),
+        mode=args.mode, override_num_blocks=args.read_blocks,
+    )
+    applied = [r for r in results if not r.get("skipped")]
+    print(json.dumps({
+        "epochs_total": len(results),
+        "epochs_applied": len(applied),
+        "epochs_skipped": len(results) - len(applied),
+        "live_rows": sum(r.get("live_rows", 0) for r in applied),
+        "wall_sec": round(time.time() - t0, 2),
+        "manifest_digest16": manifest_digest(args.lake)[:16],
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
