@@ -389,6 +389,78 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (§2.10 streaming family): per user, events
+    closer than 30 min belong to one session. Bucketed by user so each
+    bucket holds complete user histories; inside, a vectorized
+    lag-gap-cumsum assigns session ids — the same computation DuckDB
+    expresses with window functions. Output: one row per session."""
+    GAP = np.int64(30 * 60 * 1_000_000)  # 30 min in µs
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = _hash_bucket(df["user_id"].to_numpy(), 16)
+        return df
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[np.int64(0), t[1:] - t[:-1]]
+        new_session = new_user | (gap > GAP)
+        sid = np.cumsum(new_session) - 1
+        agg = (pd.DataFrame({"user_id": u, "t": t, "sid": sid})
+               .groupby("sid", sort=False)
+               .agg(user_id=("user_id", "first"), start=("t", "min"),
+                    n_events=("t", "size"))
+               .reset_index(drop=True))
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(),
+            "session_start": agg["start"].to_numpy().astype("datetime64[us]"),
+            "n_events": agg["n_events"].to_numpy().astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (O1/O2 family generalized to a window function): the
+    top-3 orders per customer by total price, deterministic tiebreak on
+    order key. Bucketed by customer; vectorized sort + head per bucket."""
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = _hash_bucket(df["o_custkey"].to_numpy(), 16)
+        return df
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        out = g.groupby("o_custkey", sort=False).head(3).copy()
+        out["rank"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out[["o_custkey", "rank", "o_orderkey", "o_totalprice"]]
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+    )
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
 def lww_latest_event(sf_dir: str) -> pd.DataFrame:
     """The CDC LWW kernel on the events table: latest event per user by
     event_id (argmax reduce, distributed partial+final)."""
@@ -951,6 +1023,35 @@ ORACLE_SQL: dict[str, str] = {
           ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY purchase_id
     """,
+    "sessionize_events": """
+        WITH x AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    "topk_per_group": """
+        WITH r AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rank
+            FROM orders
+        )
+        SELECT o_custkey, rank, o_orderkey, o_totalprice
+        FROM r WHERE rank <= 3 ORDER BY o_custkey, rank
+    """,
     "events_sliding_window": """
         WITH x AS (
             SELECT date_trunc('hour', ts) AS ws,
@@ -1087,6 +1188,8 @@ QUERIES = {
     "filter_orders": filter_orders,
     "events_window": events_window,
     "events_sliding_window": events_sliding_window,
+    "sessionize_events": sessionize_events,
+    "topk_per_group": topk_per_group,
     "lww_latest_event": lww_latest_event,
     "cdc_lww_lineitem": cdc_lww_lineitem,
     "pii_anonymize_customers": pii_anonymize_customers,

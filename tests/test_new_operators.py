@@ -28,6 +28,8 @@ NEW_QUERIES = [
     "asof_purchase_attribution",
     "range_join_ship_activity",
     "events_sliding_window",
+    "sessionize_events",
+    "topk_per_group",
 ]
 
 
