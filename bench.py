@@ -30,10 +30,21 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # RAM-backed by default when available: the replay writes ~10 GB per run and
 # a single local disk's writeback makes consecutive runs vary ±60%; real
 # deployments write to object storage whose bandwidth scales with the
-# cluster, so tmpfs is the steadier stand-in (see BASELINE.md).
-BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP") or (
-    "/dev/shm/horizon_bench" if os.path.isdir("/dev/shm") else "/tmp/horizon_bench"
-)
+# cluster, so tmpfs is the steadier stand-in (see BASELINE.md). Only prefer
+# /dev/shm when it has comfortable headroom — Ray's object store also lives
+# there, and ENOSPC on tmpfs would starve it.
+_SHM_MIN_FREE = 40 * (1 << 30)  # events cache + lake + staging + object store
+
+
+def _default_bench_tmp() -> str:
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE:
+            return "/dev/shm/horizon_bench"
+    return "/tmp/horizon_bench"
+
+
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP") or _default_bench_tmp()
 
 # CDC bench sizing per scale factor (sf0.1 = FIXTURES.md sf-bench: 2·10^7
 # events over 10^6 keys — the sandbox-feasible slice of the 10^10 target)
@@ -175,6 +186,16 @@ def main() -> None:
         "lake_digest16": cdc["lake_digest"],
     }
     ray.shutdown()
+    # free the bench artifacts (ADVICE: plain `python bench.py` used to leak
+    # the lake + event cache on tmpfs). The event cache is kept only when a
+    # parent --scaling run shares it across its two child processes.
+    lake_dir = os.path.join(BENCH_TMP, f"lake_{_sf_tag()}_{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    if not os.environ.get("GRAFT_KEEP_EVENTS_CACHE"):
+        cfg = _event_cfg()
+        tag = f"{_sf_tag()}_n{cfg.n_events}_s{cfg.seed}"
+        shutil.rmtree(os.path.join(BENCH_TMP, f"events_{tag}"),
+                      ignore_errors=True)
     print(json.dumps(out))
 
 
@@ -195,13 +216,12 @@ def scaling() -> None:
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(
         os.environ.get("GRAFT_SCALE_HI", "16")
     )
-    bench_tmp = os.environ.get("GRAFT_BENCH_TMP") or (
-        "/dev/shm/horizon_bench" if os.path.isdir("/dev/shm") else BENCH_TMP
-    )
+    bench_tmp = os.environ.get("GRAFT_BENCH_TMP") or _default_bench_tmp()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_TMP=bench_tmp)
+                   GRAFT_BENCH_TMP=bench_tmp,
+                   GRAFT_KEEP_EVENTS_CACHE="1")  # shared across the two runs
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -213,9 +233,11 @@ def scaling() -> None:
 
     r_lo = run(lo)  # also generates/warms the shared event cache
     r_hi = run(hi)
-    if bench_tmp.startswith("/dev/shm"):  # free the RAM-backed lakes
+    # children removed their lakes; drop the shared events cache too (tmpfs
+    # space is the object store's space)
+    if not os.environ.get("GRAFT_KEEP_EVENTS_CACHE"):
         for d in os.listdir(bench_tmp) if os.path.isdir(bench_tmp) else []:
-            if d.startswith("lake_"):
+            if d.startswith(("lake_", "events_")):
                 shutil.rmtree(os.path.join(bench_tmp, d), ignore_errors=True)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -44,7 +44,14 @@ def asof_join(
     Returns a Dataset with columns ``[by, on, *left_value_columns,
     *right_value_columns]``. Value columns are carried as float64 through
     the unified-schema co-shuffle (the side that lacks a column holds nulls);
-    cast back downstream if integer identity matters.
+    cast back downstream if integer identity matters. CAVEAT: float64 only
+    represents integers exactly up to 2^53 — ids at or above that (possible
+    at the 10^10-row target scale) must be pre-mapped to a narrower surrogate
+    or carried as strings before this operator.
+
+    Unmatched left rows are detected with an explicit right-side row marker
+    (``_matched``), never by nulls in the value columns — a genuine null in a
+    matched right row survives the join.
     """
     cols = [by, on, *left_value_columns, *right_value_columns]
 
@@ -70,9 +77,10 @@ def asof_join(
               .sort_values(on))
         rf = (g[g["_side"] == 1][[by, on, *right_value_columns]]
               .sort_values(on))
+        rf = rf.assign(_matched=True)  # non-null row marker survives merge_asof
         out = pd.merge_asof(lf, rf, on=on, by=by, direction="backward",
                             allow_exact_matches=True)
-        return out.dropna(subset=right_value_columns)[cols]
+        return out[out["_matched"].notna()][cols]
 
     return left.union(right).groupby("_bucket").map_groups(
         merge, batch_format="pandas"

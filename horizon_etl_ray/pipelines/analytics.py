@@ -670,7 +670,10 @@ def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
     one bin, one co-shuffle groups them, and a vectorized searchsorted probe
     counts matches per bin; partial counts sum per order in a small bucketed
     reduce. Partitioning assumption: band width = window width (tighter
-    windows → more bins → more parallelism, never more replication)."""
+    windows → more bins → more parallelism, never more replication).
+    CAVEAT: the order key rides the unified-schema union as float64 (NaN =
+    item-side sentinel), exact only below 2^53 — map larger ids to a
+    surrogate first (same ceiling as functions/asof.py)."""
     W = np.int64(7 * 86_400 * 1_000_000)  # 7 days in µs
 
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
@@ -745,10 +748,13 @@ def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
              columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue_col(t: pa.Table) -> pa.Table:
+        # integer cents (the _cents convention): float64 summation order
+        # differs between Ray and DuckDB, so a sum near a .005 boundary could
+        # flip under round(2); int64 cents make the sum order-invariant
         rev = pc.multiply(
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev).drop_columns(
+        return t.append_column("rev_cents", _cents(rev)).drop_columns(
             ["l_extendedprice", "l_discount"])
 
     joined = li.map_batches(revenue_col, batch_format="pyarrow").join(
@@ -756,10 +762,11 @@ def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
         on=("l_orderkey",), right_on=("o_orderkey",))
     out = (
         joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="cents"))
         .to_pandas()
     )
-    out = _round(out, {"revenue": 2})
+    out["revenue"] = np.round(out["cents"].to_numpy(dtype=np.int64) / 100.0, 2)
+    out = out.drop(columns=["cents"])
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -812,9 +819,15 @@ def _hash_bucket(key: np.ndarray, P: int) -> np.ndarray:
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
-    """Exact integer cents from a 2-decimal double column — sums become
-    order-invariant integer arithmetic, so Ray and DuckDB hash-match."""
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+    """Exact integer cents from a double column — sums become order-invariant
+    integer arithmetic, so Ray and DuckDB hash-match. Round mode must be
+    half-away-from-zero to match DuckDB's round() when the input has more
+    than 2 decimals (pyarrow's default half_to_even flips exact .5 cents)."""
+    return pc.cast(
+        pc.round(pc.multiply(col, pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
 
 
 def weighted_vote_resolution(sf_dir: str) -> pd.DataFrame:
@@ -1075,7 +1088,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dist_join_priority_revenue": """
         SELECT o_orderpriority, count(*) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

@@ -283,13 +283,25 @@ def apply_epoch(
         import ray
         import pyarrow.parquet as pq
 
+        if "://" in lake_dir:
+            # The staged exchange and the manifest use POSIX-local file APIs
+            # (os.listdir / os.replace); on object storage or any non-shared
+            # mount the driver would see no/partial staging dirs and silently
+            # commit an epoch with missing partitions. Refuse up front.
+            raise ValueError(
+                "staged shuffle requires a shared-POSIX lake path, got URI "
+                f"{lake_dir!r}; use shuffle_mode='groupby' for object storage"
+            )
         stage_dir = os.path.join(lake_dir, "_stage", f"epoch={epoch}")
         shutil.rmtree(stage_dir, ignore_errors=True)
         staged = ds.map_batches(
             _staged_partial_stage(cfg, offsets, stage_dir),
             batch_format="pyarrow", batch_size=None,
         )
-        staged.sum("rows")  # consume → stage written
+        # consume → stage written; keep the per-pid report (tiny: ≤ blocks×P
+        # rows) so we can PROVE the merge saw every staged partition
+        staged_rows = staged.take_all()
+        staged_pids = {int(r["part_id"]) for r in staged_rows}
 
         @ray.remote(num_cpus=1)
         def merge_pid(pid: int, files: list[str]) -> dict:
@@ -299,7 +311,7 @@ def apply_epoch(
             t = t.append_column("part_id", pa.array([pid] * len(t), pa.int32()))
             return merger(t).to_pylist()[0]
 
-        refs = []
+        refs, merged_pids = [], set()
         if os.path.isdir(stage_dir):
             for d in sorted(os.listdir(stage_dir)):
                 if not d.startswith("part_id="):
@@ -308,6 +320,16 @@ def apply_epoch(
                 pdir = os.path.join(stage_dir, d)
                 files = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))]
                 refs.append(merge_pid.remote(pid, files))
+                merged_pids.add(pid)
+        if staged_pids - merged_pids:
+            # a staging dir the map tasks reported never reached the merge —
+            # non-shared storage or concurrent deletion; committing would be
+            # silent data loss
+            raise RuntimeError(
+                f"staged exchange lost partitions {sorted(staged_pids - merged_pids)}: "
+                "map tasks staged rows but no staging directory was found "
+                "(is the lake on shared POSIX storage?)"
+            )
         rows = ray.get(refs)
         shutil.rmtree(stage_dir, ignore_errors=True)
         try:  # drop the _stage parent when no other epoch is staging

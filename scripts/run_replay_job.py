@@ -2,8 +2,12 @@
 rule. On a cluster:
 
     ray job submit --working-dir . -- python scripts/run_replay_job.py \
-        --events s3://bucket/events --lake s3://bucket/lake \
+        --events /mnt/shared/events --lake /mnt/shared/lake \
         --partitions 512 --mode incremental
+
+Paths must be POSIX (a shared mount on a multi-node cluster): the staged
+exchange and the manifest commit use local file APIs (os.replace rename
+atomicity), so raw object-store URIs are rejected up front.
 
 Locally (sandbox) it runs the same driver against local paths. The job is
 idempotent and resumable: committed epochs are skipped via the manifest,
@@ -31,6 +35,13 @@ def main() -> int:
     ap.add_argument("--shuffle", choices=["groupby", "staged"], default="staged")
     ap.add_argument("--read-blocks", type=int, default=None)
     args = ap.parse_args()
+
+    if "://" in args.lake or "://" in args.events:
+        # The staged exchange + manifest commit use POSIX-local file APIs;
+        # an object-store URI would silently commit partial epochs. Require
+        # a (shared-)POSIX path — mount the bucket (s3fs/NFS) instead.
+        ap.error("--events/--lake must be POSIX paths (shared mount on a "
+                 "cluster); object-store URIs are not supported")
 
     import ray
 
