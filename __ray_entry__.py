@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from horizon_etl_ray.pipelines import analytics, corpus
+from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 
 
 def entry() -> Any:
@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
     out.update(corpus.QUERIES)
+    out.update(engine_queries.QUERIES)
     return out
 
 
@@ -39,4 +40,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(analytics.ORACLE_SQL)
     out.update(corpus.ORACLE_SQL)
+    out.update(engine_queries.ORACLE_SQL)
     return out

@@ -23,8 +23,40 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _pair_bucket(id_a: np.ndarray, id_b: np.ndarray, P: int) -> np.ndarray:
+    """Route a candidate pair to a reduce bucket (same multiplicative-hash
+    family as the CDC partitioner)."""
+    h = (id_a.astype(np.uint64) * np.uint64(0x9E3779B1)
+         + id_b.astype(np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(32)) % np.uint64(P)).astype(np.int64)
+
+
+def dedup_pairs(pairs_ds, num_buckets: int = 32):
+    """Deduplicate an (id_a, id_b, ...) candidate-pair Dataset.
+
+    One bucketed exchange + a vectorized ``drop_duplicates`` per bucket —
+    replaces the per-pair ``groupby(id_a,id_b).map_groups(head(1))`` pattern
+    (one Python call per pair group: millions of tiny groups at scale).
+    Duplicate pairs from different LSH bands carry identical payload columns,
+    so keeping any copy is correct.
+    """
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = _pair_bucket(df["id_a"].to_numpy(), df["id_b"].to_numpy(),
+                                 num_buckets)
+        return df
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"])
+
+    return (pairs_ds.map_batches(route, batch_format="pandas")
+            .groupby("_pb").map_groups(uniq, batch_format="pandas"))
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -41,14 +73,20 @@ def add_content_hash(batch: pa.Table, text_column: str = "text",
     return batch.append_column(out_column, sha256_column(batch[text_column]))
 
 
-def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id"):
+def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
+                broadcast_threshold: int = 1_000_000, num_partitions: int = 32):
     """Keep the minimum-id row per exact content hash.
 
-    hash in map_batches → groupby(hash) → first-by-id. The groupby ships the
-    hash + id + payload once; at 100 TB you'd project to (hash, id) first,
-    dedup, then semi-join survivors — provided here as the default because the
-    payload never needs to move: we shuffle only (hash, id) and filter the
-    corpus by the surviving id set broadcast.
+    hash in map_batches → groupby(hash) shipping ONLY (hash, id) pairs (the
+    payload never moves through the winner election) → semi-join survivors
+    back onto the corpus:
+
+      - ≤ ``broadcast_threshold`` winners: broadcast the sorted id array once
+        (``ray.put``) and filter per batch — one shuffle total.
+      - above it: **distributed semi-join** — ``Dataset.join`` of the corpus
+        with the winner (hash, min_id) table on the hash, then an equality
+        filter, so nothing ever materializes on the driver (at 10^10 docs the
+        id set alone would be ~80 GB).
     """
     import ray
     import ray.data as rd  # noqa: F401
@@ -56,24 +94,46 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id"):
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_column), batch_format="pyarrow"
     )
-    # the exchange ships only (hash, id) pairs — payloads never move; the
-    # builtin min aggregate beats a two-stage bucketed reduce at this width
-    # (measured 3.5 s vs 12 s at sf0.1; narrow rows keep the sort cheap)
+    # the exchange ships only (hash, id) pairs; the builtin min aggregate
+    # beats a two-stage bucketed reduce at this width (measured 3.5 s vs
+    # 12 s at sf0.1; narrow rows keep the sort cheap)
     pairs = hashed.select_columns(["content_hash", id_column])
-    winners = pairs.groupby("content_hash").min(id_column)
-    # small surviving-id set → broadcast semi-join (no second shuffle)
-    keep_ids = set(
-        r[f"min({id_column})"] for r in winners.take_all()
+    winners = pairs.groupby("content_hash").min(id_column).materialize()
+    minname = f"min({id_column})"
+
+    if winners.count() <= broadcast_threshold:
+        keep_ids = set(r[minname] for r in winners.take_all())
+        keep_ref = ray.put(np.array(sorted(keep_ids), dtype=np.int64))
+
+        def keep_only(t: pa.Table) -> pa.Table:
+            keep = ray.get(keep_ref)
+            ids = t[id_column].to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, keep)
+            return t.filter(pa.array(mask))
+
+        return hashed.map_batches(keep_only, batch_format="pyarrow")
+
+    # distributed path: hash-shuffle join, equality filter, drop helper cols.
+    # Join partitions are capped at 2×cluster CPUs: Dataset.join spawns one
+    # HashShuffleAggregator actor per partition and a pool far wider than the
+    # cluster deadlocks it (observed: 32 partitions on 4 CPUs).
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, min(num_partitions, 2 * cpus))
+    wtab = winners.map_batches(
+        lambda t: pa.table({"_h": t["content_hash"], "_min_id": t[minname]}),
+        batch_format="pyarrow",
     )
-    keep_ref = ray.put(np.array(sorted(keep_ids), dtype=np.int64))
+    joined = hashed.join(
+        wtab, join_type="inner", num_partitions=nparts,
+        on=("content_hash",), right_on=("_h",),
+    )
 
-    def keep_only(t: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        ids = t[id_column].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, keep)
-        return t.filter(pa.array(mask))
+    def keep_winner(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t[id_column], t["_min_id"])
+        return t.filter(mask).drop_columns(
+            [c for c in ("_min_id", "_h") if c in t.column_names])
 
-    return hashed.map_batches(keep_only, batch_format="pyarrow")
+    return joined.map_batches(keep_winner, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -180,9 +240,7 @@ def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
     pairs = exploded.groupby(["band_id", "bucket"]).map_groups(
         pairs_of_group, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_pairs(pairs)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -193,32 +251,93 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
 
 
-def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
-                         id_column="doc_id", k_shingle=5):
-    """Verify candidate pairs with true n-gram Jaccard. The doc texts are
-    broadcast via ``ray.put`` (valid while candidate sets are small relative
-    to the corpus; at 100 TB, hash-join pairs to texts in two bucketed
-    passes instead)."""
-    import ray
+def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
+                      out_col: str, id_column: str = "doc_id",
+                      text_column: str = "text", num_buckets: int = 32):
+    """Bucketed hash-join: attach ``docs[text_column]`` to each pair row by
+    ``pairs[key_col] == docs[id_column]``.
 
-    texts = {}
-    for b in docs_ds.select_columns([id_column, text_column]).iter_batches(
-        batch_format="pandas", batch_size=8192
-    ):
-        texts.update(zip(b[id_column], b[text_column]))
-    ref = ray.put(texts)
+    Both sides are tagged and co-shuffled ONCE on ``hash(key) % num_buckets``
+    (the union-tag co-shuffle recipe of functions/asof.py); inside each
+    bucket a vectorized pandas merge does the lookup. Nothing materializes on
+    the driver — this is the 100-TB-safe replacement for broadcasting a
+    whole-corpus text dict."""
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[carry_cols].copy()
+        out["_k"] = df[key_col].to_numpy(dtype=np.int64)
+        out["_v"] = ""
+        out["_side"] = np.int8(0)
+        out["_jb"] = _pair_bucket(out["_k"].to_numpy(),
+                                  np.zeros(len(out), dtype=np.int64),
+                                  num_buckets)
+        return out
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = pd.DataFrame(index=range(n))
+        for c in carry_cols:  # typed placeholders so the union schema unifies
+            out[c] = ("" if c.startswith("_t") else np.zeros(n, dtype=np.int64))
+        out["_k"] = df[id_column].to_numpy(dtype=np.int64)
+        out["_v"] = df[text_column].fillna("").to_numpy()
+        out["_side"] = np.int8(1)
+        out["_jb"] = _pair_bucket(out["_k"].to_numpy(),
+                                  np.zeros(n, dtype=np.int64),
+                                  num_buckets)
+        return out
+
+    left = pairs_ds.map_batches(tag_pairs, batch_format="pandas")
+    right = docs_ds.map_batches(tag_docs, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lp = g[g["_side"] == 0][carry_cols + ["_k"]]
+        if len(lp) == 0:  # typed empty frame (object cols confuse sizing)
+            out = pd.DataFrame({
+                c: np.array([], dtype=(str if c.startswith("_t") else np.int64))
+                for c in carry_cols})
+            out[out_col] = np.array([], dtype=str)
+            return out
+        rp = (g[g["_side"] == 1][["_k", "_v"]]
+              .drop_duplicates(subset=["_k"]))
+        m = lp.merge(rp, on="_k", how="left")
+        out = m[carry_cols].copy()
+        out[out_col] = m["_v"].fillna("")
+        return out
+
+    return left.union(right).groupby("_jb").map_groups(
+        merge, batch_format="pandas")
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
+                         id_column="doc_id", k_shingle=5, num_buckets=32):
+    """Verify candidate pairs with true n-gram Jaccard.
+
+    Scale-safe: the pair→text lookup is TWO bucketed hash-joins (one per pair
+    endpoint) via ``attach_doc_column`` — the corpus streams through the
+    co-shuffles, never onto the driver (pattern precedent: the blocked fuzzy
+    scan of /root/reference/src/core/logic/person_matcher.py:161-259 — score
+    only within a co-located block). The per-pair set-intersection kernel is
+    inherently per-row Python; it runs distributed, O(candidate pairs)."""
+    docs = docs_ds.select_columns([id_column, text_column])
+    with_a = attach_doc_column(
+        pairs_ds, docs, key_col="id_a", carry_cols=["id_a", "id_b"],
+        out_col="_ta", id_column=id_column, text_column=text_column,
+        num_buckets=num_buckets)
+    with_ab = attach_doc_column(
+        with_a, docs, key_col="id_b", carry_cols=["id_a", "id_b", "_ta"],
+        out_col="_tb", id_column=id_column, text_column=text_column,
+        num_buckets=num_buckets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(ref)
         sims = [
-            jaccard(t.get(a, ""), t.get(b, ""), k_shingle)
-            for a, b in zip(batch["id_a"], batch["id_b"])
+            jaccard(a, b, k_shingle)
+            for a, b in zip(batch["_ta"], batch["_tb"])
         ]
-        batch = batch.copy()
-        batch["jaccard"] = np.array(sims, dtype=np.float64)
-        return batch[batch["jaccard"] >= threshold]
+        out = batch[["id_a", "id_b"]].copy()
+        out["jaccard"] = np.array(sims, dtype=np.float64)
+        return out[out["jaccard"] >= threshold]
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -228,7 +347,14 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
 
 class SimHashStage:
     """64-bit SimHash over word features; near-dups share most bits. Banding
-    into 4×16-bit chunks gives LSH buckets (hamming ≤ 3 ⇒ some chunk equal)."""
+    into 4×16-bit chunks gives LSH buckets: by pigeonhole, hamming ≤ 3 < 4
+    chunks ⇒ at least one chunk is equal, so the candidate set is EXACT for
+    the ≤3 threshold (and the DuckDB oracle can verify it end-to-end).
+
+    The per-word hash is the first 8 bytes of md5 (big-endian) — chosen over
+    blake2b because DuckDB can reproduce it in SQL
+    (``('0x' || substr(md5(w), 1, 16))::UBIGINT``), making the whole operator
+    oracle-checkable."""
 
     def __init__(self, text_column="text", id_column="doc_id", chunks=4):
         self.text_column = text_column
@@ -244,7 +370,7 @@ class SimHashStage:
         shifts = np.arange(64, dtype=np.uint64)
         for w in set(words):
             h = np.uint64(
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
             )
             bits = (h >> shifts) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
@@ -261,10 +387,16 @@ class SimHashStage:
 
 
 def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
-                       concurrency=4, max_bucket=256):
-    """simhash per doc → explode 16-bit chunks → groupby(chunk_id, value) →
-    candidate pairs with hamming distance verify. ``max_bucket`` caps
-    per-bucket pair expansion (see minhash_lsh_groups)."""
+                       concurrency=4, max_bucket=256, num_buckets=32):
+    """simhash per doc → explode 16-bit chunks → coarse-bucket co-shuffle →
+    per-(chunk,value) candidate pairs with vectorized hamming verify.
+    ``max_bucket`` caps per-bucket pair expansion (see minhash_lsh_groups).
+
+    The exchange routes rows by ``hash(chunk_id, value) % num_buckets`` so
+    the Ray groupby sees ~num_buckets groups (one vectorized pandas call
+    each), not one tiny Python call per LSH bucket — at corpus scale the
+    distinct (chunk, value) count approaches 4×n and per-group dispatch
+    dominates otherwise."""
     sigs = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
@@ -279,33 +411,42 @@ def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
         chunk_id = np.tile(np.arange(chunks), n)
         shift = (chunk_id * (64 // chunks)).astype(np.uint64)
         value = (np.repeat(sig, chunks) >> shift) & np.uint64((1 << (64 // chunks)) - 1)
-        return pd.DataFrame(
-            {id_column: out_id, "chunk_id": chunk_id, "value": value,
+        out = pd.DataFrame(
+            {id_column: out_id, "chunk_id": chunk_id,
+             "value": value.astype(np.int64),
              "simhash": np.repeat(sig, chunks)}
         )
+        out["_cb"] = _pair_bucket(out["chunk_id"].to_numpy(),
+                                  out["value"].to_numpy(), num_buckets)
+        return out
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_column]).sort_values(id_column)
-        g = g.head(max_bucket)
-        ids = g[id_column].to_numpy()
-        sig = g["simhash"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sig[i]) ^ int(sig[j])).count("1") for i, j in zip(a, b)],
-            dtype=np.int64,
-        )
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b], "hamming": ham})
+    def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby(["chunk_id", "value"], sort=False):
+            sub = (sub.drop_duplicates(subset=[id_column])
+                   .sort_values(id_column).head(max_bucket))
+            ids = sub[id_column].to_numpy()
+            if len(ids) < 2:
+                continue
+            sig = sub["simhash"].to_numpy(dtype=np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            # vectorized popcount via uint8 view + unpackbits
+            x = (sig[a] ^ sig[b]).view(np.uint8).reshape(-1, 8)
+            ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+            frames.append(pd.DataFrame(
+                {"id_a": ids[a], "id_b": ids[b], "hamming": ham}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = exploded.groupby(["chunk_id", "value"]).map_groups(
-        pairs_of_group, batch_format="pandas"
+    pairs = exploded.groupby("_cb").map_groups(
+        pairs_in_buckets, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_pairs(pairs, num_buckets=num_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -313,38 +454,98 @@ def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
 # --------------------------------------------------------------------------
 
 
+class SignLshStage:
+    """Actor-pool stage: random-hyperplane sign-bit LSH bucket ids per vector.
+
+    Hyperplanes are seeded and built once per actor (T1-style state; lazily
+    on the first batch, when the dimensionality is known). Each vector is
+    exploded into ``bands`` rows of (band_id, bucket value) — two vectors at
+    cosine ≥ t agree on a sign bit with prob 1 - arccos(t)/π, so a true
+    near-dup pair collides in ≥1 band with probability ≈ 1 for tight
+    thresholds (e.g. t=0.999, 16 bands × 8 bits: miss prob ~1e-15)."""
+
+    def __init__(self, bands: int = 16, band_bits: int = 8, seed: int = 42,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        self.bands = bands
+        self.band_bits = band_bits
+        self.seed = seed
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self._planes: np.ndarray | None = None
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        if self._planes is None:
+            rng = np.random.default_rng(self.seed)
+            self._planes = rng.standard_normal(
+                (self.bands * self.band_bits, dim))
+        return self._planes
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(batch[self.vec_column].to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        planes = self._planes_for(v.shape[1])
+        bits = (v @ planes.T) > 0  # (n, bands*band_bits)
+        n = len(batch)
+        weights = (1 << np.arange(self.band_bits, dtype=np.int64))
+        bvals = (bits.reshape(n, self.bands, self.band_bits) @ weights)
+        return pd.DataFrame({
+            "_id": np.repeat(batch[self.id_column].to_numpy(), self.bands),
+            "_band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "_bval": bvals.reshape(-1).astype(np.int64),
+            "_vec": [row for row in np.repeat(v, self.bands, axis=0)],
+        })
+
+
 def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
-                        threshold=0.95, block_size=2048):
-    """Near-duplicate pairs by embedding cosine ≥ threshold.
+                        threshold=0.95, bands=16, band_bits=8, seed=42,
+                        max_bucket=1024, num_buckets=32, concurrency=(1, 4)):
+    """Near-duplicate pairs by embedding cosine ≥ threshold — LSH-bucketed.
 
-    Baseline: normalized matmul of each batch against the (broadcast) corpus
-    matrix — O(n²) flops but vectorized; the scale path buckets by coarse
-    LSH sign-bits first (see similarity.ivf_assign)."""
-    import ray
+    sign-bit LSH explode (actor pool) → coarse-bucket co-shuffle → in-bucket
+    vectorized all-pairs cosine (capped at ``max_bucket`` members — the
+    hot-bucket guard of minhash_lsh_groups) → bucketed pair dedup. No driver
+    materialization and no corpus×corpus matmul: flops are
+    O(Σ bucket_size²) ≪ O(n²) once buckets split the corpus. ``num_buckets``
+    coarse groups keep the groupby at P vectorized calls, not one per LSH
+    bucket (Ray's many-small-groups penalty)."""
 
-    mats, ids = [], []
-    for b in ds.select_columns([id_column, vec_column]).iter_batches(
-        batch_format="pandas", batch_size=8192
-    ):
-        mats.append(np.stack(b[vec_column].to_numpy()))
-        ids.append(b[id_column].to_numpy())
-    corpus = np.concatenate(mats).astype(np.float64)
-    corpus /= np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
-    corpus_ids = np.concatenate(ids)
-    ref = ray.put((corpus, corpus_ids))
+    exploded = ds.map_batches(
+        SignLshStage,
+        fn_constructor_kwargs=dict(bands=bands, band_bits=band_bits, seed=seed,
+                                   id_column=id_column, vec_column=vec_column),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
 
-    def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        c, cids = ray.get(ref)
-        q = np.stack(batch[vec_column].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        qids = batch[id_column].to_numpy()
-        sims = q @ c.T
-        ii, jj = np.nonzero(sims >= threshold)
-        a, b_ = qids[ii], cids[jj]
-        keep = a < b_  # dedupe + drop self-pairs
-        return pd.DataFrame(
-            {"id_a": a[keep], "id_b": b_[keep],
-             "cosine": sims[ii, jj][keep].astype(np.float64)}
-        )
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cb"] = _pair_bucket(df["_band"].to_numpy(),
+                                 df["_bval"].to_numpy(), num_buckets)
+        return df
 
-    return ds.map_batches(block_pairs, batch_format="pandas", batch_size=block_size)
+    def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby(["_band", "_bval"], sort=False):
+            sub = (sub.drop_duplicates(subset=["_id"])
+                   .sort_values("_id").head(max_bucket))
+            if len(sub) < 2:
+                continue
+            v = np.stack(sub["_vec"].to_numpy())
+            ids = sub["_id"].to_numpy()
+            sims = v @ v.T
+            i, j = np.triu_indices(len(ids), k=1)
+            hit = sims[i, j] >= threshold
+            if hit.any():
+                frames.append(pd.DataFrame({
+                    "id_a": ids[i[hit]], "id_b": ids[j[hit]],
+                    "cosine": sims[i[hit], j[hit]].astype(np.float64)}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (exploded.map_batches(route, batch_format="pandas")
+             .groupby("_cb")
+             .map_groups(pairs_in_buckets, batch_format="pandas"))
+    return dedup_pairs(pairs, num_buckets=num_buckets)

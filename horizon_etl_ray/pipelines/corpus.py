@@ -215,7 +215,12 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Winnowed rolling-hash fingerprints (actor-pool per-row kernel)."""
+    """Winnowed rolling-hash fingerprints (actor-pool per-row kernel).
+
+    Oracle note: the SQL twin recomputes the Rabin-Karp window hashes from
+    codepoints, which equals the Python byte-level hash because the driver's
+    documents are ASCII and all longer than the 8-byte window (both facts
+    asserted against the data)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = (
         ds.map_batches(tx.FingerprintStage, batch_format="pandas", concurrency=(1, 4))
@@ -485,6 +490,88 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang, lang_pred, count(*) AS n FROM p
         GROUP BY lang, lang_pred ORDER BY lang, lang_pred
     """,
+    # LSH near-dup: the banding parameters make the candidate sets exact for
+    # these thresholds (simhash: hamming ≤ 3 < 4 chunks ⇒ pigeonhole; minhash:
+    # verified-Jaccard output coincides with the brute-force pair scan on this
+    # corpus — both checked end-to-end in tests), so a brute-force SQL oracle
+    # reproduces the full operator output.
+    "minhash_dedup_pairs": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 50000, text || ' nearduplicate' FROM documents
+            WHERE doc_id < 25
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) < 5
+                        THEN [array_to_string(ws, ' ')]
+                        ELSE [array_to_string(ws[i:i+4], ' ')
+                              for i in generate_series(1, len(ws) - 4)] END) AS s
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+                  FROM corpus)
+        ), j AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s)) * 1.0 /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "simhash_dedup_pairs": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 50000, text || ' nearduplicate' FROM documents
+            WHERE doc_id < 25
+        ), words AS (
+            SELECT doc_id,
+                   unnest(list_distinct(regexp_extract_all(lower(text), '\\w+'))) AS w
+            FROM corpus
+        ), wh AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+            FROM words
+        ), bits AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+            FROM wh CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ), sig0 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                            ELSE 0::UBIGINT END) AS sh
+            FROM bits GROUP BY doc_id
+        ), sig AS (
+            SELECT c.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+            FROM corpus c LEFT JOIN sig0 s USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    "doc_fingerprints": """
+        WITH c AS (
+            SELECT doc_id,
+                   [CAST(unicode(text[i]) AS HUGEINT)
+                    for i in generate_series(1, length(text))] AS cs
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   [CAST(list_sum([cs[i+j] *
+                        ([1,257,66049,16974593,4362470401,1121154893057,
+                          288136807515649,74051159531521793]::HUGEINT[])[8-j]
+                        for j in generate_series(0, 7)])
+                        % 2305843009213693951 AS UBIGINT)
+                    for i in generate_series(1, len(cs) - 7)] AS hs
+            FROM c
+        )
+        SELECT doc_id,
+               array_to_string([lower(lpad(to_hex(h), 16, '0'))
+                                for h in list_sort(hs)[1:4]], '-') AS fingerprint
+        FROM w ORDER BY doc_id
+    """,
     "ann_cosine_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -513,10 +600,10 @@ QUERIES = {
     "quality_scores": quality_scores,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
-    # rows-only (non-SQL-expressible)
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_fingerprints": doc_fingerprints,
+    # rows-only (non-SQL-expressible: approximate by design)
     "ivf_ann_topk": ivf_ann_topk,
     "cdc_replay_synthetic": cdc_replay_synthetic,
     "cdc_replay_evolved": cdc_replay_evolved,

@@ -1,0 +1,276 @@
+"""Driver-oracle-checkable runs of the FULL CDC engine over driver tables.
+
+The flagship replay pipelines (`corpus.cdc_replay_*`) run on the synthetic
+generator tail, which the DuckDB oracle cannot see — so round 1 left the
+engine path itself with rows-only driver checks. These queries re-run the
+SAME engine (epoch-partitioned tail → validate → partial LWW → exchange →
+merge → manifest commit → committed read) over a change log derived from the
+driver's ``lineitem`` table, making every stage SQL-verifiable end-to-end:
+
+  - ``cdc_replay_lineitem_epochs``  — 4-epoch INCREMENTAL replay, final lake
+    state vs a window-function oracle (incl. the sha256 content invariant).
+  - ``cdc_replay_lineitem_evolved`` — same replay with a mid-stream schema
+    script (add column @2, rename column @3) applied by the engine's
+    conform stage; oracle is SQL over the projected rename.
+  - ``cdc_epoch_lineage_lineitem``  — per-epoch lineage (cumulative live
+    rows + tombstones) reconstructed from the manifest commit log vs a
+    per-epoch-boundary SQL aggregate.
+
+Event derivation (shared by Ray and SQL; same rule as
+``analytics.cdc_lww_lineitem``): key = (l_partkey, l_suppkey), seq =
+l_orderkey*8 + l_linenumber (globally unique), op = 'delete' when
+l_returnflag = 'R', content = a deterministic ASCII rendering of the
+payload. Epoch = 1 + (seq*4) // (max_seq+1) clamped to 4 — a pure function
+of the data, so the oracle can reproduce the epoch boundaries.
+
+Reference parity: the incremental path is the mtime-ordered multi-file
+replay of /root/reference/src/flows/sigpesq/advisorships.py:29-40 (each file
+an idempotent micro-batch), the lineage query is the ingestion-run /
+reporter-delta readback of /root/reference/src/tracking/recorder.py:91-130
+and etl_flow_reporter.py:439-520.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+_EPOCHS = 4
+
+# SQL fragment shared by all three oracles: lineitem → change events
+_EV_SQL = """
+        SELECT l_partkey, l_suppkey,
+               l_orderkey * 8 + l_linenumber AS seq,
+               CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'update' END AS op,
+               'q=' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) ||
+               ';p=' || CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR) ||
+               ';f=' || l_returnflag AS content
+        FROM lineitem
+"""
+
+
+def _lineitem_events(sf_dir: str):
+    """lineitem → (l_partkey, l_suppkey, seq, op, content, epoch) Dataset."""
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                      "l_returnflag", "l_quantity", "l_extendedprice"])
+    import pyarrow.parquet as pq
+
+    # epoch boundary needs max(seq): one tiny column read on the driver
+    ok = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber"])
+    max_seq = int(pc.max(
+        pc.add(pc.multiply(ok["l_orderkey"], pa.scalar(8, pa.int64())),
+               ok["l_linenumber"].cast(pa.int64()))).as_py())
+
+    def to_events(t: pa.Table) -> pa.Table:
+        seq = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(8, pa.int64())),
+                     t["l_linenumber"].cast(pa.int64()))
+        op = pc.if_else(pc.equal(t["l_returnflag"], "R"),
+                        pa.scalar("delete"), pa.scalar("update"))
+        q = t["l_quantity"].cast(pa.int64()).cast(pa.string())
+        p = pc.floor(pc.add(pc.multiply(t["l_extendedprice"],
+                                        pa.scalar(100.0)), pa.scalar(0.5)))
+        p = p.cast(pa.int64()).cast(pa.string())
+        # join(strings..., separator): the LAST arg is the separator
+        content = pc.binary_join_element_wise(
+            pa.scalar("q="), q, pa.scalar(";p="), p, pa.scalar(";f="),
+            t["l_returnflag"], "")
+        sq = seq.combine_chunks() if isinstance(seq, pa.ChunkedArray) else seq
+        epoch = np.minimum(
+            1 + (sq.to_numpy() * _EPOCHS) // (max_seq + 1), _EPOCHS
+        ).astype(np.int64)
+        return pa.table({
+            "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
+            "seq": seq, "op": op, "content": content,
+            "epoch": pa.array(epoch),
+        })
+
+    return ds.map_batches(to_events, batch_format="pyarrow")
+
+
+def _replay_lineitem(sf_dir: str, tag: str, schema_script=None):
+    """Write the epoch-partitioned tail and run the engine incrementally.
+    Returns (lake_dir, cfg)."""
+    from .cdc import CdcConfig, replay
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"/tmp/horizon_cdc_li/{tag}/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+    _lineitem_events(sf_dir).write_parquet(events_dir, partition_cols=["epoch"])
+    cfg = CdcConfig(
+        key_columns=("l_partkey", "l_suppkey"),
+        num_partitions=16,
+        schema_script=schema_script,
+    )
+    replay(events_dir, os.path.join(base, "lake"), cfg, mode="incremental")
+    return os.path.join(base, "lake"), cfg
+
+
+def cdc_replay_lineitem_epochs(sf_dir: str) -> pd.DataFrame:
+    """Full-engine 4-epoch incremental LWW replay of the lineitem change log;
+    final committed lake state (live rows, with the engine-computed
+    content_sha256) — oracle-checked against a window-function SQL twin."""
+    from .cdc import read_lake
+
+    lake_dir, cfg = _replay_lineitem(sf_dir, "epochs")
+    out = (
+        read_lake(lake_dir)
+        .select_columns(["l_partkey", "l_suppkey", "seq", "content",
+                         "content_sha256"])
+        .to_pandas()
+    )
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
+def cdc_replay_lineitem_evolved(sf_dir: str) -> pd.DataFrame:
+    """Same engine replay with mid-stream schema evolution: add ``size_bytes``
+    at epoch 2, rename ``content`` stays put but the auxiliary ``flag``
+    column (seeded from l_returnflag) is renamed to ``status_flag`` at epoch
+    3. The conform stage rewrites in-flight batches AND older committed
+    partitions on read."""
+    from .cdc import read_lake
+    from ..stages.schema_evolution import SchemaScript
+
+    script = SchemaScript.from_json(
+        base_fields=[("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+                     ("content", pa.string()), ("flag", pa.string())],
+        script=[
+            {"epoch": 2, "op": "add_column", "name": "size_bytes",
+             "type": "int64"},
+            {"epoch": 3, "op": "rename_column", "from": "flag",
+             "to": "status_flag"},
+        ],
+    )
+
+    # the evolved run derives one extra payload column before the engine
+    from .cdc import CdcConfig, replay
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"/tmp/horizon_cdc_li/evolved/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+
+    # flag = last char of content (the returnflag rendering); events arriving
+    # at epoch ≥ 2 CARRY the evolved size_bytes column (value pass-through
+    # through the conform stage), earlier events get it null-filled by the
+    # engine — surfaced as the -1 sentinel in the output
+    def add_evolved_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["flag"] = df["content"].str[-1]
+        size = df["content"].str.len().astype("int64")
+        df["size_bytes"] = size.where(df["epoch"] >= 2, other=pd.NA).astype("Int64")
+        return df
+
+    _lineitem_events(sf_dir).map_batches(
+        add_evolved_cols, batch_format="pandas"
+    ).write_parquet(events_dir, partition_cols=["epoch"])
+    cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"), num_partitions=16,
+                    schema_script=script)
+    replay(events_dir, os.path.join(base, "lake"), cfg, mode="incremental")
+    out = (
+        read_lake(os.path.join(base, "lake"), cfg=cfg)
+        .select_columns(["l_partkey", "l_suppkey", "status_flag", "size_bytes",
+                         "content_sha256"])
+        .to_pandas()
+    )
+    # -1 = null-filled by the add_column migration (winner predates epoch 2)
+    out["size_bytes"] = (pd.to_numeric(out["size_bytes"])
+                         .fillna(-1).astype(np.int64))
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
+def cdc_epoch_lineage_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-epoch lineage readback: cumulative live rows + tombstones after
+    each committed epoch, reconstructed from the manifest's append-only
+    commit log (T8/A6 parity) — oracle = per-boundary SQL aggregates."""
+    from ..state.manifest import ManifestStore
+
+    lake_dir, _ = _replay_lineitem(sf_dir, "lineage")
+    state: dict[int, tuple[int, int]] = {}  # pid -> (live, tombstones)
+    rows = []
+    for rec in ManifestStore(lake_dir).epoch_records():
+        for ps in rec["partitions"]:
+            state[ps["part_id"]] = (ps["row_count"], ps["tombstones"])
+        rows.append({
+            "epoch": int(rec["epoch"]),
+            "live_rows": int(sum(v[0] for v in state.values())),
+            "tombstones": int(sum(v[1] for v in state.values())),
+        })
+    return pd.DataFrame(rows).sort_values("epoch").reset_index(drop=True)
+
+
+ORACLE_SQL: dict[str, str] = {
+    "cdc_replay_lineitem_epochs": f"""
+        WITH ev AS ({_EV_SQL})
+        SELECT l_partkey, l_suppkey, seq, content,
+               sha256(content) AS content_sha256
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                   ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
+    "cdc_replay_lineitem_evolved": f"""
+        WITH ev0 AS ({_EV_SQL}),
+        b AS (SELECT max(seq) AS max_seq FROM ev0),
+        ev AS (
+            SELECT ev0.*, least(1 + (seq * {_EPOCHS}) // (max_seq + 1),
+                                {_EPOCHS}) AS epoch
+            FROM ev0, b
+        )
+        SELECT l_partkey, l_suppkey,
+               substr(content, length(content), 1) AS status_flag,
+               CASE WHEN epoch >= 2 THEN length(content) ELSE -1 END
+                   AS size_bytes,
+               sha256(content) AS content_sha256
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                   ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
+    "cdc_epoch_lineage_lineitem": f"""
+        WITH ev AS ({_EV_SQL}),
+        b AS (SELECT max(seq) AS max_seq FROM ev),
+        e AS (
+            SELECT ev.*, least(1 + (seq * {_EPOCHS}) // (max_seq + 1),
+                               {_EPOCHS}) AS epoch
+            FROM ev, b
+        ),
+        per AS (
+            SELECT g.epoch,
+                   count(*) FILTER (WHERE w.op <> 'delete') AS live_rows,
+                   count(*) FILTER (WHERE w.op = 'delete') AS tombstones
+            FROM (SELECT DISTINCT epoch FROM e) g,
+            LATERAL (
+                SELECT op FROM e
+                WHERE e.epoch <= g.epoch
+                QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                           ORDER BY seq DESC) = 1
+            ) w
+            GROUP BY g.epoch
+        )
+        SELECT epoch, live_rows, tombstones FROM per ORDER BY epoch
+    """,
+}
+
+QUERIES = {
+    "cdc_replay_lineitem_epochs": cdc_replay_lineitem_epochs,
+    "cdc_replay_lineitem_evolved": cdc_replay_lineitem_evolved,
+    "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,
+}

@@ -88,3 +88,75 @@ def test_embedding_near_dups():
     out = dd.embedding_near_dups(ds, threshold=0.999).to_pandas()
     got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert {(i, 100 + i) for i in range(5)} <= got
+
+
+def test_exact_dedup_distributed_semi_join_matches_broadcast(docs_ds):
+    """broadcast_threshold=0 forces the Dataset.join semi-join path; results
+    must equal the broadcast path (same winners, payload intact)."""
+    bcast = dd.exact_dedup(docs_ds).to_pandas()
+    dist = dd.exact_dedup(docs_ds, broadcast_threshold=0).to_pandas()
+    assert set(dist["doc_id"]) == set(bcast["doc_id"])
+    a = bcast.sort_values("doc_id").reset_index(drop=True)
+    b = dist.sort_values("doc_id").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_verify_pairs_never_broadcasts_corpus(docs_ds, monkeypatch):
+    """The round-1 implementation ray.put() a dict of every doc text; the
+    bucketed-join rewrite must never place a driver-side corpus collection
+    into the object store (O(pairs) driver state only)."""
+    import ray
+
+    offenders = []
+    orig_put = ray.put
+
+    def spy(obj, *a, **k):
+        if isinstance(obj, dict) and len(obj) > 8:
+            offenders.append(len(obj))
+        return orig_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray, "put", spy)
+    pairs = dd.minhash_lsh_groups(docs_ds, num_perm=64, bands=16,
+                                  concurrency=(1, 2))
+    verified = dd.verify_pairs_jaccard(pairs, docs_ds, threshold=0.5).to_pandas()
+    assert len(verified) > 0
+    assert not offenders, f"corpus-sized dict broadcast detected: {offenders}"
+
+
+def test_embedding_near_dups_no_corpus_matmul(monkeypatch):
+    """The LSH-bucketed path must not broadcast the full embedding matrix
+    (round-1 did ray.put((corpus, ids)))."""
+    import ray
+    import ray.data as rd
+
+    offenders = []
+    orig_put = ray.put
+
+    def spy(obj, *a, **k):
+        if isinstance(obj, tuple) and any(
+            isinstance(x, np.ndarray) and x.ndim == 2 for x in obj
+        ):
+            offenders.append(True)
+        return orig_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray, "put", spy)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(30, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(30)]
+    rows += [{"vec_id": 100 + i, "embedding": vecs[i].tolist()} for i in range(6)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = dd.embedding_near_dups(ds, threshold=0.999).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert {(i, 100 + i) for i in range(6)} <= got
+    assert not offenders
+
+
+def test_dedup_pairs_vectorized():
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "id_a": [1, 1, 2, 1, 3], "id_b": [2, 2, 3, 2, 4],
+        "score": [9, 9, 8, 9, 7]})
+    out = dd.dedup_pairs(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 3
+    assert set(map(tuple, out[["id_a", "id_b"]].to_numpy())) == {(1, 2), (2, 3), (3, 4)}
