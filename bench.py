@@ -123,6 +123,33 @@ def bench_cdc_replay() -> dict:
     }
 
 
+def bench_cdc_incremental(bulk_digest16: str) -> dict:
+    """Tail-follow path: per-epoch incremental replay in delta write mode
+    (merge-on-read). Recorded so BENCH shows incremental-vs-bulk throughput
+    (target: within 2× of bulk; round-1 cow mode was 3.2×)."""
+    from horizon_etl_ray.pipelines.cdc import (CdcConfig, manifest_digest,
+                                               replay)
+
+    cfg = _event_cfg()
+    events_dir = _ensure_events(cfg)
+    lake_dir = os.path.join(BENCH_TMP, f"lake_incr_{_sf_tag()}_{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    t0 = time.time()
+    replay(events_dir, lake_dir,
+           CdcConfig(num_partitions=128, shuffle_mode="staged",
+                     write_mode="delta"),
+           mode="incremental", override_num_blocks=32)
+    dt = time.time() - t0
+    out = {
+        "cdc_incr_delta_sec": round(dt, 3),
+        "incr_events_per_sec": round(cfg.n_events / dt, 1),
+        "incr_digest_matches_bulk":
+            manifest_digest(lake_dir)[:16] == bulk_digest16,
+    }
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    return out
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -163,6 +190,8 @@ def main() -> None:
 
     cdc = bench_cdc_replay()
     timings["cdc_replay_bulk"] = cdc["cdc_replay_sec"]
+    incr = bench_cdc_incremental(cdc["lake_digest"])
+    timings["cdc_replay_incremental_delta"] = incr["cdc_incr_delta_sec"]
 
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -182,6 +211,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "events": cdc["events"],
         "events_per_sec": cdc["events_per_sec"],
+        "incr_events_per_sec": incr["incr_events_per_sec"],
+        "incr_digest_matches_bulk": incr["incr_digest_matches_bulk"],
         "suite_total_sec": total,
         "lake_digest16": cdc["lake_digest"],
     }

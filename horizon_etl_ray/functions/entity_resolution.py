@@ -1,0 +1,203 @@
+"""Entity-resolution cascade: exact tiers → blocked fuzzy → claim resolution.
+
+Composes the reference's multi-tier person matcher as ONE operator
+(/root/reference/src/core/logic/person_matcher.py:161-259 — match order
+email-exact → canonical → raw → normalized → fuzzy≥90, first tier that hits
+wins) with the greedy claim-dedup of
+/root/reference/src/core/logic/project_enrichment.py:147-209 (claims sorted
+by confidence; an entity keeps only its best claim — here per-entity argmax
+with a deterministic (score desc, incoming id asc) tiebreak).
+
+Ray shape (T1/T2 parity): the registry is the SMALL side — its tier lookup
+tables are built once and broadcast via ``ray.put`` (the reference preloads
+the same caches into process memory, person_matcher.py:20-72); incoming
+records stream through an actor-pool ``map_batches`` stage that applies the
+cascade vectorized per tier, dropping to per-row scoring only for the fuzzy
+remainder inside its block. For a registry too large to broadcast,
+hash-partition BOTH sides by block key and run the same cascade per
+partition (the attach_doc_column co-shuffle recipe in functions/dedup.py).
+
+The fuzzy scorer is a token-sort Levenshtein ratio —
+``round(100 * (1 - lev(ts_a, ts_b) / max(len(ts_a), len(ts_b), 1)))`` —
+chosen over difflib's gestalt ratio because DuckDB can reproduce it exactly
+(``levenshtein()``), making the whole cascade oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_TIER_RAW, _TIER_NORM, _TIER_FUZZY, _TIER_NONE = "raw", "normalized", "fuzzy", "none"
+
+
+def normalize_loose(name: str) -> str:
+    """lower, non-alnum→space, collapse — the SQL twin is
+    ``trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))``."""
+    import re
+
+    s = re.sub(r"[^a-z0-9]+", " ", (name or "").lower())
+    return " ".join(s.split())
+
+
+def token_sort(name: str) -> str:
+    return " ".join(sorted(normalize_loose(name).split()))
+
+
+def block_key_loose(name: str) -> str:
+    toks = normalize_loose(name).split()
+    if not toks:
+        return ""
+    return f"{toks[0]}|{toks[-1]}"
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance (unit costs) — matches DuckDB levenshtein()."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def lev_token_sort_ratio(a: str, b: str) -> int:
+    ta, tb = token_sort(a), token_sort(b)
+    denom = max(len(ta), len(tb), 1)
+    return round(100 * (1 - levenshtein(ta, tb) / denom))
+
+
+class RegistryIndex:
+    """The broadcastable tier lookup state (built once on the driver)."""
+
+    def __init__(self, ids: np.ndarray, names: list[str]):
+        self.raw: dict[str, int] = {}
+        self.norm: dict[str, int] = {}
+        self.blocks: dict[str, list[tuple[int, str]]] = {}
+        order = np.argsort(ids)  # min-id wins on duplicate keys
+        for i in order[::-1]:
+            rid, nm = int(ids[i]), names[i]
+            self.raw[nm] = rid
+            self.norm[normalize_loose(nm)] = rid
+        for i in order:
+            rid, nm = int(ids[i]), names[i]
+            bk = block_key_loose(nm)
+            if bk:
+                self.blocks.setdefault(bk, []).append((rid, nm))
+
+    @classmethod
+    def from_dataset(cls, registry_ds, id_column: str, name_column: str
+                     ) -> "RegistryIndex":
+        t = registry_ds.select_columns([id_column, name_column]).to_pandas()
+        return cls(t[id_column].to_numpy(), t[name_column].tolist())
+
+
+class CascadeMatcher:
+    """Actor-pool stage: applies the tier cascade to each incoming batch.
+
+    Exact tiers are vectorized dict lookups (pandas map); the fuzzy tier
+    scores only the rows that fell through, against registry candidates in
+    the SAME block only (the blocking strategy that keeps the scan bounded).
+    """
+
+    def __init__(self, index_ref, id_column: str, name_column: str,
+                 fuzzy_threshold: int = 90):
+        import ray
+
+        self.idx: RegistryIndex = ray.get(index_ref)
+        self.id_column = id_column
+        self.name_column = name_column
+        self.fuzzy_threshold = fuzzy_threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        names = batch[self.name_column].fillna("")
+        iid = batch[self.id_column].to_numpy()
+        n = len(batch)
+        matched = np.full(n, -1, dtype=np.int64)
+        tier = np.full(n, _TIER_NONE, dtype=object)
+        score = np.zeros(n, dtype=np.int64)
+
+        raw_hit = names.map(self.idx.raw)
+        m = raw_hit.notna().to_numpy()
+        matched[m] = raw_hit[m].astype(np.int64)
+        tier[m] = _TIER_RAW
+        score[m] = 100
+
+        todo = ~m
+        if todo.any():
+            norm_names = names[todo].map(normalize_loose)
+            norm_hit = norm_names.map(self.idx.norm)
+            hit_idx = np.flatnonzero(todo)[norm_hit.notna().to_numpy()]
+            matched[hit_idx] = norm_hit[norm_hit.notna()].astype(np.int64)
+            tier[hit_idx] = _TIER_NORM
+            score[hit_idx] = 100
+
+        for i in np.flatnonzero(tier == _TIER_NONE):
+            nm = names.iloc[i]
+            cands = self.idx.blocks.get(block_key_loose(nm), ())
+            best_rid, best_score = -1, self.fuzzy_threshold - 1
+            for rid, rname in cands:
+                r = lev_token_sort_ratio(nm, rname)
+                if r > best_score or (r == best_score and 0 <= rid < best_rid):
+                    best_rid, best_score = rid, r
+            if best_rid >= 0:
+                matched[i] = best_rid
+                tier[i] = _TIER_FUZZY
+                score[i] = best_score
+
+        return pd.DataFrame({
+            "incoming_id": iid,
+            "matched_id": matched,
+            "tier": tier.astype(str),
+            "score": score,
+        })
+
+
+def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
+                     incoming_name="name", registry_id="rid",
+                     registry_name="name", fuzzy_threshold=90,
+                     concurrency=(1, 4)):
+    """Run the cascade; returns a Dataset of
+    ``(incoming_id, matched_id, tier, score, won)`` where ``won`` marks the
+    claim each registry entity keeps (score desc, incoming_id asc; unmatched
+    rows carry matched_id=-1, won=false)."""
+    import ray
+
+    idx = RegistryIndex.from_dataset(registry_ds, registry_id, registry_name)
+    ref = ray.put(idx)
+
+    claims = incoming_ds.map_batches(
+        CascadeMatcher,
+        fn_constructor_kwargs=dict(index_ref=ref, id_column=incoming_id,
+                                   name_column=incoming_name,
+                                   fuzzy_threshold=fuzzy_threshold),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    # claim resolution: per-entity argmax (bucketed — one exchange)
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["matched_id"].to_numpy()
+        df["_cb"] = (((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(32)) % np.uint64(16)).astype(np.int64)
+        return df
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["matched_id", "score", "incoming_id"],
+                          ascending=[True, False, True])
+        won = (~g.duplicated(subset=["matched_id"])) & (g["matched_id"] >= 0)
+        out = g.drop(columns=["_cb"]).copy()
+        out["won"] = won.to_numpy()
+        return out
+
+    return claims.map_batches(route, batch_format="pandas").groupby(
+        "_cb").map_groups(pick, batch_format="pandas")

@@ -71,6 +71,17 @@ class CdcConfig:
     # BASELINE.md). Retried map tasks just append duplicate winner files —
     # harmless, because the merge is the same idempotent argmax reduce.
     shuffle_mode: str = "groupby"
+    # "cow": each touched partition's FULL state is rewritten per epoch
+    #   (copy-on-write; simple reads, heavy write amplification under small
+    #   epochs — the round-1 weakness).
+    # "delta": each epoch appends only that epoch's winners as a
+    #   delta-epoch file (merge-on-read, Hudi-style); the per-epoch digest /
+    #   offset / counts come from a narrow per-partition INDEX file
+    #   (keys + seq + content_sha256 + deleted) so the wide payload is
+    #   written exactly once per event; ``compact()`` reconciles deltas back
+    #   into a single base. Requires key columns stable across the schema
+    #   script (run compact() before renaming a key column).
+    write_mode: str = "cow"
 
 
 # --------------------------------------------------------------------------
@@ -79,11 +90,18 @@ class CdcConfig:
 
 
 class MergeWritePartition:
-    """Final LWW reduce of one partition: union(prior state, new winners) →
-    argmax-by-seq → atomic epoch-named write → manifest row.
+    """Final LWW reduce of one partition → atomic write → manifest row.
+
+    ``cow`` mode: union(prior state, new winners) → argmax-by-seq → full
+    rewrite of the partition at ``epoch=<e>.parquet``.
+    ``delta`` mode: only this epoch's winners are written (first touch = the
+    base file, later epochs = ``delta-epoch=<e>.parquet``); the digest /
+    counts / offset come from merging the narrow per-partition INDEX
+    (keys + seq + content_sha256 + deleted), so the wide payload is written
+    once per event instead of once per epoch.
 
     Retried/duplicate executions rewrite identical bytes to the same
-    deterministic path (idempotent sink — the K1 atomic-write discipline,
+    deterministic paths (idempotent sink — the K1 atomic-write discipline,
     /root/reference/src/core/logic/atomic_io.py:16-41)."""
 
     def __init__(
@@ -91,7 +109,7 @@ class MergeWritePartition:
         lake_dir: str,
         epoch: int,
         cfg: CdcConfig,
-        prior: dict[int, int],  # part_id -> committed epoch holding its state
+        prior: dict[int, dict],  # part_id -> asdict(PartitionState)
         schema_version: int,
     ):
         self.lake_dir = lake_dir
@@ -100,14 +118,26 @@ class MergeWritePartition:
         self.prior = prior
         self.schema_version = schema_version
 
+    def _store(self) -> ManifestStore:
+        return ManifestStore(self.lake_dir)
+
+    def _prior_files(self, ps: dict) -> list[str]:
+        base = ps["epoch"] if ps.get("base_epoch", -1) < 0 else ps["base_epoch"]
+        store = self._store()
+        return [store.partition_file(ps["part_id"], base)] + [
+            store.delta_file(ps["part_id"], e)
+            for e in ps.get("delta_epochs", [])
+        ]
+
     def _read_prior(self, pid: int) -> pa.Table | None:
-        e = self.prior.get(pid)
-        if e is None:
+        """Prior committed state (base + any deltas) as re-playable events."""
+        ps = self.prior.get(pid)
+        if ps is None:
             return None
         import pyarrow.parquet as pq
 
-        path = os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={e}.parquet")
-        t = pq.read_table(path)
+        tables = [pq.read_table(p) for p in self._prior_files(ps)]
+        t = pa.concat_tables(tables, promote_options="permissive")
         if self.cfg.schema_script is not None:
             t = conform_table(t, self.cfg.schema_script, self.schema_version)
         # state rows as events: tombstones re-assert deletes
@@ -115,10 +145,75 @@ class MergeWritePartition:
         t = t.drop_columns(["deleted"]).append_column("op", op)
         return t
 
+    def _index_columns(self) -> list[str]:
+        return list(self.cfg.key_columns) + [self.cfg.seq_column,
+                                             "content_sha256"]
+
+    def _read_prior_index(self, pid: int) -> pa.Table | None:
+        """Prior narrow index; falls back to rebuilding it from the payload
+        files (covers cow→delta transitions and post-compaction reads)."""
+        ps = self.prior.get(pid)
+        if ps is None:
+            return None
+        import pyarrow.parquet as pq
+
+        path = self._store().index_file(pid, ps["epoch"])
+        want = self._index_columns() + ["deleted"]
+        if os.path.exists(path):
+            idx = pq.read_table(path)
+            if all(c in idx.column_names for c in want):
+                return idx.select(want)
+        t = pa.concat_tables(
+            [pq.read_table(p) for p in self._prior_files(ps)],
+            promote_options="permissive",
+        )
+        if self.cfg.schema_script is not None:
+            t = conform_table(t, self.cfg.schema_script, self.schema_version)
+        # rebuilt payload may itself contain deltas → resolve to winners
+        op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
+        ev = t.drop_columns(["deleted"]).append_column("op", op)
+        winners = lww_resolve_table(ev, list(self.cfg.key_columns),
+                                    self.cfg.seq_column, self.cfg.op_column,
+                                    keep_tombstones=True)
+        deleted = pc.fill_null(
+            pc.equal(winners[self.cfg.op_column], "delete"), False)
+        return winners.select(self._index_columns()).append_column(
+            "deleted", deleted)
+
+    def _stats_row(self, pid: int, lake_like: pa.Table) -> pa.Table:
+        """Manifest row from a table carrying (keys, seq, content_sha256,
+        deleted) sorted by key ascending (lww output order)."""
+        cfg = self.cfg
+        deleted = lake_like["deleted"]
+        if isinstance(deleted, pa.ChunkedArray):
+            deleted = deleted.combine_chunks()
+        live_mask = pc.invert(deleted)
+        live_count = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
+        tomb_count = len(lake_like) - live_count
+        shas = lake_like.filter(live_mask)["content_sha256"].to_pylist()
+        digest = hashlib.sha256(
+            "\n".join(s or "" for s in shas).encode()
+        ).hexdigest()
+        offset = (pc.max(lake_like[cfg.seq_column]).as_py()
+                  if len(lake_like) else -1)
+        return pa.table(
+            {
+                "part_id": pa.array([pid], type=pa.int32()),
+                "epoch": pa.array([self.epoch], type=pa.int64()),
+                "offset": pa.array([int(offset)], type=pa.int64()),
+                "row_count": pa.array([int(live_count)], type=pa.int64()),
+                "tombstones": pa.array([int(tomb_count)], type=pa.int64()),
+                "content_digest": pa.array([digest]),
+                "schema_version": pa.array([self.schema_version], type=pa.int64()),
+            }
+        )
+
     def __call__(self, group: pa.Table) -> pa.Table:
         cfg = self.cfg
         pid = group["part_id"][0].as_py()
         group = group.drop_columns(["part_id"])
+        if cfg.write_mode == "delta":
+            return self._call_delta(pid, group)
         prior = self._read_prior(pid)
         if prior is not None:
             group = pa.concat_tables([prior, group], promote_options="permissive")
@@ -131,34 +226,49 @@ class MergeWritePartition:
             cfg.op_column,
             keep_tombstones=True,
         )
-        deleted = pc.equal(winners[cfg.op_column], "delete")
-        deleted = pc.fill_null(deleted, False)
+        deleted = pc.fill_null(pc.equal(winners[cfg.op_column], "delete"), False)
         lake = winners.drop_columns([cfg.op_column]).append_column("deleted", deleted)
-
-        live_mask = pc.invert(deleted)
-        live_count = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
-        tomb_count = len(lake) - live_count
-        shas = lake.filter(live_mask)["content_sha256"].to_pylist()
-        digest = hashlib.sha256(
-            "\n".join(s or "" for s in shas).encode()
-        ).hexdigest()
-        offset = pc.max(lake[cfg.seq_column]).as_py() if len(lake) else -1
-
         atomic_write_table(
             os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={self.epoch}.parquet"),
             lake,
         )
-        return pa.table(
-            {
-                "part_id": pa.array([pid], type=pa.int32()),
-                "epoch": pa.array([self.epoch], type=pa.int64()),
-                "offset": pa.array([int(offset)], type=pa.int64()),
-                "row_count": pa.array([int(live_count)], type=pa.int64()),
-                "tombstones": pa.array([int(tomb_count)], type=pa.int64()),
-                "content_digest": pa.array([digest]),
-                "schema_version": pa.array([self.schema_version], type=pa.int64()),
-            }
+        return self._stats_row(pid, lake)
+
+    def _call_delta(self, pid: int, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        store = self._store()
+        # in-epoch winners only (the delta payload — written once per event)
+        winners = lww_resolve_table(
+            group, list(cfg.key_columns), cfg.seq_column, cfg.op_column,
+            keep_tombstones=True,
         )
+        deleted = pc.fill_null(pc.equal(winners[cfg.op_column], "delete"), False)
+        delta_rows = winners.drop_columns([cfg.op_column]).append_column(
+            "deleted", deleted)
+        first_touch = pid not in self.prior
+        path = (store.partition_file(pid, self.epoch) if first_touch
+                else store.delta_file(pid, self.epoch))
+        atomic_write_table(path, delta_rows)
+
+        # merge the NARROW index (not the payload) for digest/counts/offset
+        new_idx = delta_rows.select(self._index_columns() + ["deleted"])
+        prior_idx = self._read_prior_index(pid)
+        if prior_idx is not None:
+            both = pa.concat_tables([prior_idx, new_idx],
+                                    promote_options="permissive")
+            op = pc.if_else(both["deleted"], pa.scalar("delete"),
+                            pa.scalar("update"))
+            ev = both.drop_columns(["deleted"]).append_column(cfg.op_column, op)
+            merged = lww_resolve_table(ev, list(cfg.key_columns),
+                                       cfg.seq_column, cfg.op_column,
+                                       keep_tombstones=True)
+            mdel = pc.fill_null(pc.equal(merged[cfg.op_column], "delete"), False)
+            merged_idx = merged.drop_columns([cfg.op_column]).append_column(
+                "deleted", mdel)
+        else:
+            merged_idx = new_idx
+        atomic_write_table(store.index_file(pid, self.epoch), merged_idx)
+        return self._stats_row(pid, merged_idx)
 
 
 # --------------------------------------------------------------------------
@@ -251,7 +361,9 @@ def apply_epoch(
         cfg.schema_script.schema_version(epoch) if cfg.schema_script else 0
     )
 
-    prior = {pid: ps.epoch for pid, ps in manifest.partitions.items()}
+    from dataclasses import asdict as _asdict
+
+    prior = {pid: _asdict(ps) for pid, ps in manifest.partitions.items()}
     offsets = np.full(cfg.num_partitions, -1, dtype=np.int64)
     for pid, ps in manifest.partitions.items():
         offsets[pid] = ps.offset
@@ -352,18 +464,26 @@ def apply_epoch(
             import sys
 
             print(merged.stats(), file=sys.stderr)
-    partition_rows = [
-        PartitionState(
-            part_id=int(r["part_id"]),
+    partition_rows = []
+    for r in rows:
+        pid = int(r["part_id"])
+        base_epoch, delta_epochs = int(r["epoch"]), []
+        if cfg.write_mode == "delta" and pid in prior:
+            ps_prev = prior[pid]
+            base_epoch = (ps_prev["epoch"] if ps_prev.get("base_epoch", -1) < 0
+                          else ps_prev["base_epoch"])
+            delta_epochs = list(ps_prev.get("delta_epochs", [])) + [epoch]
+        partition_rows.append(PartitionState(
+            part_id=pid,
             epoch=int(r["epoch"]),
             offset=int(r["offset"]),
             row_count=int(r["row_count"]),
             tombstones=int(r["tombstones"]),
             content_digest=str(r["content_digest"]),
             schema_version=int(r["schema_version"]),
-        )
-        for r in rows
-    ]
+            base_epoch=base_epoch,
+            delta_epochs=delta_epochs,
+        ))
     metrics = {
         "partitions_updated": len(partition_rows),
         "live_rows": sum(r.row_count for r in partition_rows),
@@ -442,15 +562,24 @@ def _epoch_files(events_dir: str, epoch: int) -> list[str]:
 
 
 def committed_files(lake_dir: str) -> list[str]:
+    """All committed data files (base + deltas, manifest-selected)."""
     store = ManifestStore(lake_dir)
     m = store.load()
-    return [store.partition_file(pid, ps.epoch) for pid, ps in sorted(m.partitions.items())]
+    out = []
+    for _, ps in sorted(m.partitions.items()):
+        out.extend(store.partition_data_files(ps))
+    return out
 
 
 def read_lake(lake_dir: str, include_tombstones: bool = False,
               cfg: CdcConfig | None = None):
     """The committed view as a Dataset (manifest-selected files only —
     orphans from crashed epochs are invisible).
+
+    Copy-on-write partitions stream straight from their base files. Delta
+    partitions are MERGED ON READ: one Ray task per partition LWW-resolves
+    base + deltas (Hudi merge-on-read semantics; block granularity = one
+    partition, so the read stays streaming and parallel).
 
     Schema-version-aware: partitions last rewritten under an OLDER schema
     version are conformed to the manifest's current version in flight (the
@@ -459,16 +588,48 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     batch rewrite instead of a fallback query)."""
     import ray.data as rd
 
-    files = committed_files(lake_dir)
-    if not files:
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if not m.partitions:
         raise FileNotFoundError(f"no committed partitions in {lake_dir}")
-    ds = rd.read_parquet(files)
-    if cfg is not None and cfg.schema_script is not None:
-        script = cfg.schema_script
-        version = ManifestStore(lake_dir).load().schema_version
-        ds = ds.map_batches(
-            lambda t: conform_table(t, script, version), batch_format="pyarrow"
-        )
+    script = cfg.schema_script if cfg is not None else None
+    version = m.schema_version
+
+    if any(ps.delta_epochs for ps in m.partitions.values()):
+        import ray
+
+        cfg_eff = cfg or CdcConfig()
+
+        @ray.remote(num_cpus=1)
+        def merge_read(files: list[str]) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            t = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="permissive")
+            if script is not None:
+                t = conform_table(t, script, version)
+            op = pc.if_else(t["deleted"], pa.scalar("delete"),
+                            pa.scalar("update"))
+            ev = t.drop_columns(["deleted"]).append_column(
+                cfg_eff.op_column, op)
+            winners = lww_resolve_table(
+                ev, list(cfg_eff.key_columns), cfg_eff.seq_column,
+                cfg_eff.op_column, keep_tombstones=True)
+            deleted = pc.fill_null(
+                pc.equal(winners[cfg_eff.op_column], "delete"), False)
+            return winners.drop_columns([cfg_eff.op_column]).append_column(
+                "deleted", deleted)
+
+        refs = [merge_read.remote(store.partition_data_files(ps))
+                for _, ps in sorted(m.partitions.items())]
+        ds = rd.from_arrow_refs(refs)
+    else:
+        ds = rd.read_parquet(committed_files(lake_dir))
+        if script is not None:
+            ds = ds.map_batches(
+                lambda t: conform_table(t, script, version),
+                batch_format="pyarrow",
+            )
     if not include_tombstones:
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),
@@ -499,8 +660,9 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
             drop_tombstones: bool = True, gc_old_epochs: bool = True) -> dict:
     """Compaction pass (the offline consolidation of the reference,
     /root/reference/src/core/logic/person_consolidator.py:25-113, as a lake
-    maintenance op): rewrite each committed partition dropping tombstones,
-    commit as a new epoch, then GC superseded epoch files.
+    maintenance op): merge each committed partition's base + deltas back
+    into a single base file (the merge-on-read reconciler of delta mode),
+    dropping tombstones, commit as a new epoch, then GC superseded files.
 
     Tombstones are only safe to drop once no event with seq ≤ the partition
     offset can still arrive — which the seq fence guarantees for this lake's
@@ -513,10 +675,20 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
     store = ManifestStore(lake_dir)
     m = store.load()
     new_epoch = m.epoch + 1
+    keys, seq_col, op_col = list(cfg.key_columns), cfg.seq_column, cfg.op_column
 
     @ray.remote(num_cpus=1)
-    def compact_one(pid: int, src: str, dst: str, ps_dict: dict) -> dict:
-        t = pq.read_table(src)
+    def compact_one(pid: int, srcs: list[str], dst: str, ps_dict: dict) -> dict:
+        t = pa.concat_tables([pq.read_table(s) for s in srcs],
+                             promote_options="permissive")
+        if len(srcs) > 1:  # delta partition: LWW-reconcile base + deltas
+            op = pc.if_else(t["deleted"], pa.scalar("delete"),
+                            pa.scalar("update"))
+            ev = t.drop_columns(["deleted"]).append_column(op_col, op)
+            winners = lww_resolve_table(ev, keys, seq_col, op_col,
+                                        keep_tombstones=True)
+            deleted = pc.fill_null(pc.equal(winners[op_col], "delete"), False)
+            t = winners.drop_columns([op_col]).append_column("deleted", deleted)
         d = 0
         if drop_tombstones and ps_dict["tombstones"]:
             live = pc.invert(pc.fill_null(t["deleted"], False))
@@ -529,13 +701,14 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
             tombstones=0 if drop_tombstones else ps_dict["tombstones"],
             content_digest=ps_dict["content_digest"],
             schema_version=ps_dict["schema_version"], dropped=int(d),
+            base_epoch=new_epoch, delta_epochs=[],
         )
 
     from dataclasses import asdict
 
     refs = [
         compact_one.remote(
-            pid, store.partition_file(pid, ps.epoch),
+            pid, store.partition_data_files(ps),
             store.partition_file(pid, new_epoch), asdict(ps),
         )
         for pid, ps in sorted(m.partitions.items())

@@ -75,7 +75,14 @@ def atomic_write_table(path: str, table, compression: str = "zstd") -> None:
 
 @dataclass
 class PartitionState:
-    """One partition's committed checkpoint row (SURVEY.md §1.1 manifest)."""
+    """One partition's committed checkpoint row (SURVEY.md §1.1 manifest).
+
+    Copy-on-write partitions hold their full state in
+    ``part_id=<pid>/epoch=<base_epoch>.parquet`` with ``delta_epochs`` empty.
+    Delta-mode partitions (Hudi-style merge-on-read) hold a base file plus
+    one ``delta-epoch=<e>.parquet`` per listed delta epoch; readers merge
+    base+deltas with the LWW kernel, ``compact()`` reconciles them back into
+    a single base."""
 
     part_id: int
     epoch: int
@@ -84,6 +91,11 @@ class PartitionState:
     tombstones: int
     content_digest: str  # sha256 of sorted per-row content sha256s
     schema_version: int = 0
+    base_epoch: int = -1  # -1 ⇒ base is epoch (pure copy-on-write row)
+    delta_epochs: list = field(default_factory=list)
+
+    def resolved_base_epoch(self) -> int:
+        return self.epoch if self.base_epoch < 0 else self.base_epoch
 
 
 @dataclass
@@ -130,6 +142,20 @@ class ManifestStore:
 
     def partition_file(self, part_id: int, epoch: int) -> str:
         return os.path.join(self.lake_dir, f"part_id={part_id}", f"epoch={epoch}.parquet")
+
+    def delta_file(self, part_id: int, epoch: int) -> str:
+        return os.path.join(self.lake_dir, f"part_id={part_id}",
+                            f"delta-epoch={epoch}.parquet")
+
+    def index_file(self, part_id: int, epoch: int) -> str:
+        return os.path.join(self.lake_dir, f"part_id={part_id}",
+                            f"index-epoch={epoch}.parquet")
+
+    def partition_data_files(self, ps: PartitionState) -> list[str]:
+        """Base + delta files a reader must merge for one partition."""
+        return [self.partition_file(ps.part_id, ps.resolved_base_epoch())] + [
+            self.delta_file(ps.part_id, e) for e in ps.delta_epochs
+        ]
 
     # -- write side ---------------------------------------------------------
 
@@ -194,19 +220,28 @@ class ManifestStore:
         return out
 
     def gc(self, keep_epochs: int = 1) -> int:
-        """Delete partition data files older than each partition's committed
-        epoch (copy-on-write cleanup). Returns #files removed."""
+        """Delete partition data files the committed manifest no longer
+        references (superseded copy-on-write bases, reconciled deltas, stale
+        indexes). ``keep_epochs`` additionally retains that many epochs of
+        superseded base files for time-travel/debugging. Returns #files
+        removed."""
         m = self.load()
         removed = 0
         for pid, ps in m.partitions.items():
             pdir = os.path.join(self.lake_dir, f"part_id={pid}")
             if not os.path.isdir(pdir):
                 continue
+            keep = {os.path.basename(p) for p in self.partition_data_files(ps)}
+            keep.add(os.path.basename(self.index_file(pid, ps.epoch)))
             for name in os.listdir(pdir):
-                if not (name.startswith("epoch=") and name.endswith(".parquet")):
+                if name in keep or not name.endswith(".parquet"):
                     continue
-                e = int(name[len("epoch=") : -len(".parquet")])
-                if e < ps.epoch - (keep_epochs - 1):
-                    os.unlink(os.path.join(pdir, name))
-                    removed += 1
+                if name.startswith("epoch="):
+                    e = int(name[len("epoch="):-len(".parquet")])
+                    if e >= ps.resolved_base_epoch() - (keep_epochs - 1):
+                        continue
+                elif not name.startswith(("delta-epoch=", "index-epoch=")):
+                    continue
+                os.unlink(os.path.join(pdir, name))
+                removed += 1
         return removed
