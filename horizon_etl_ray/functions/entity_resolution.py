@@ -70,9 +70,13 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def lev_token_sort_ratio(a: str, b: str) -> int:
+    import math
+
     ta, tb = token_sort(a), token_sort(b)
     denom = max(len(ta), len(tb), 1)
-    return round(100 * (1 - levenshtein(ta, tb) / denom))
+    # floor(x+0.5): half-away-from-zero, matching the SQL twin (Python's
+    # round() is banker's and would flip exact .5 ratios)
+    return int(math.floor(100 * (1 - levenshtein(ta, tb) / denom) + 0.5))
 
 
 class RegistryIndex:

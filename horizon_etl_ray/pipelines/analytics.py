@@ -936,6 +936,61 @@ def evidence_flags(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def entity_resolution_cascade(sf_dir: str) -> pd.DataFrame:
+    """The exact→fuzzy entity-resolution cascade as ONE operator (J3/D3/J5
+    parity — the missing composition flagged in round 1): registry =
+    customers (name ⊕ market segment); incoming = deterministic planted
+    variants exercising every tier:
+
+      +100000  exact raw copies         → tier 'raw'
+      +500000  DUPLICATE raw claims     → claim dedup: higher incoming_id loses
+      +200000  uppercased               → tier 'normalized'
+      +300000  middle-token insertion   → tier 'fuzzy' (blocked lev ratio ≥90)
+      +400000  unknown names            → tier 'none', matched_id -1
+
+    See functions/entity_resolution.py for the cascade + claim-resolution
+    machinery and its broadcast-registry scale note."""
+    from ..functions.entity_resolution import resolve_entities
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_name",
+                                            "c_mktsegment"])
+
+    def registry(t: pa.Table) -> pa.Table:
+        name = pc.binary_join_element_wise(t["c_name"], t["c_mktsegment"], " ")
+        return pa.table({"rid": t["c_custkey"], "name": name})
+
+    def incoming(df: pd.DataFrame) -> pd.DataFrame:
+        full = df["c_name"] + " " + df["c_mktsegment"]
+        k = df["c_custkey"]
+        frames = [
+            pd.DataFrame({"id": k[k < 40] + 100000,
+                          "name": full[k < 40]}),
+            pd.DataFrame({"id": k[k < 20] + 500000,
+                          "name": full[k < 20]}),
+            pd.DataFrame({"id": k[(k >= 40) & (k < 80)] + 200000,
+                          "name": full[(k >= 40) & (k < 80)].str.upper()}),
+            pd.DataFrame({"id": k[(k >= 80) & (k < 120)] + 300000,
+                          "name": (df["c_name"] + " x " + df["c_mktsegment"])
+                          [(k >= 80) & (k < 120)]}),
+            pd.DataFrame({"id": k[(k >= 120) & (k < 140)] + 400000,
+                          "name": "zz unknown " +
+                          k[(k >= 120) & (k < 140)].astype(str)}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    reg_ds = cust.map_batches(registry, batch_format="pyarrow")
+    inc_ds = cust.map_batches(incoming, batch_format="pandas")
+    out = resolve_entities(
+        inc_ds, reg_ds, incoming_id="id", incoming_name="name",
+        registry_id="rid", registry_name="name", fuzzy_threshold=90,
+    ).to_pandas()
+    out = out.rename(columns={"incoming_id": "incoming_id"})
+    out["score"] = out["score"].astype(np.int64)
+    return out.sort_values("incoming_id").reset_index(drop=True)[
+        ["incoming_id", "matched_id", "tier", "score", "won"]
+    ]
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered by the driver)
 # --------------------------------------------------------------------------
@@ -1172,6 +1227,95 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_suppkey, s_name, s_acctbal
         FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
     """,
+    "entity_resolution_cascade": """
+        WITH reg AS (
+            SELECT c_custkey AS rid, c_name || ' ' || c_mktsegment AS rname
+            FROM customer
+        ), inc AS (
+            SELECT c_custkey + 100000 AS incoming_id,
+                   c_name || ' ' || c_mktsegment AS name
+            FROM customer WHERE c_custkey < 40
+            UNION ALL
+            SELECT c_custkey + 500000, c_name || ' ' || c_mktsegment
+            FROM customer WHERE c_custkey < 20
+            UNION ALL
+            SELECT c_custkey + 200000, upper(c_name || ' ' || c_mktsegment)
+            FROM customer WHERE c_custkey >= 40 AND c_custkey < 80
+            UNION ALL
+            SELECT c_custkey + 300000, c_name || ' x ' || c_mktsegment
+            FROM customer WHERE c_custkey >= 80 AND c_custkey < 120
+            UNION ALL
+            SELECT c_custkey + 400000,
+                   'zz unknown ' || CAST(c_custkey AS VARCHAR)
+            FROM customer WHERE c_custkey >= 120 AND c_custkey < 140
+        ), regn AS (
+            SELECT rid, rname,
+                   trim(regexp_replace(lower(rname), '[^a-z0-9]+', ' ', 'g'))
+                       AS rnorm
+            FROM reg
+        ), regt AS (
+            SELECT rid, rname, rnorm,
+                   array_to_string(list_sort(string_split(rnorm, ' ')), ' ')
+                       AS rtsort,
+                   string_split(rnorm, ' ')[1] || '|' ||
+                   string_split(rnorm, ' ')[-1] AS rblock
+            FROM regn
+        ), incn AS (
+            SELECT incoming_id, name,
+                   trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g'))
+                       AS inorm
+            FROM inc
+        ), inct AS (
+            SELECT incoming_id, name, inorm,
+                   array_to_string(list_sort(string_split(inorm, ' ')), ' ')
+                       AS itsort,
+                   string_split(inorm, ' ')[1] || '|' ||
+                   string_split(inorm, ' ')[-1] AS iblock
+            FROM incn
+        ), raw_t AS (
+            SELECT rname, min(rid) AS rid FROM reg GROUP BY rname
+        ), norm_t AS (
+            SELECT rnorm, min(rid) AS rid FROM regn GROUP BY rnorm
+        ), fuzzy_t AS (
+            SELECT incoming_id, rid, ratio FROM (
+                SELECT i.incoming_id, r.rid,
+                       CAST(floor(100 * (1 - levenshtein(i.itsort, r.rtsort)
+                            * 1.0 / greatest(length(i.itsort),
+                                             length(r.rtsort), 1)) + 0.5)
+                            AS BIGINT) AS ratio,
+                       row_number() OVER (PARTITION BY i.incoming_id
+                                          ORDER BY CAST(floor(100 * (1 -
+                                            levenshtein(i.itsort, r.rtsort)
+                                            * 1.0 / greatest(length(i.itsort),
+                                              length(r.rtsort), 1)) + 0.5)
+                                            AS BIGINT) DESC, r.rid) AS rn
+                FROM inct i JOIN regt r ON i.iblock = r.rblock
+                WHERE floor(100 * (1 - levenshtein(i.itsort, r.rtsort) * 1.0 /
+                      greatest(length(i.itsort), length(r.rtsort), 1)) + 0.5)
+                      >= 90
+            ) WHERE rn = 1
+        ), cascade AS (
+            SELECT i.incoming_id,
+                   coalesce(rt.rid, nt.rid, ft.rid, -1) AS matched_id,
+                   CASE WHEN rt.rid IS NOT NULL THEN 'raw'
+                        WHEN nt.rid IS NOT NULL THEN 'normalized'
+                        WHEN ft.rid IS NOT NULL THEN 'fuzzy'
+                        ELSE 'none' END AS tier,
+                   CASE WHEN rt.rid IS NOT NULL OR nt.rid IS NOT NULL THEN 100
+                        WHEN ft.rid IS NOT NULL THEN ft.ratio
+                        ELSE 0 END AS score
+            FROM inct i
+            LEFT JOIN raw_t rt ON i.name = rt.rname
+            LEFT JOIN norm_t nt ON i.inorm = nt.rnorm
+            LEFT JOIN fuzzy_t ft ON i.incoming_id = ft.incoming_id
+        )
+        SELECT incoming_id, matched_id, tier, score,
+               (matched_id >= 0 AND
+                row_number() OVER (PARTITION BY matched_id
+                                   ORDER BY score DESC, incoming_id) = 1)
+                   AS won
+        FROM cascade ORDER BY incoming_id
+    """,
     "cdc_lww_lineitem": """
         WITH ev AS (
             SELECT l_partkey, l_suppkey,
@@ -1214,6 +1358,7 @@ QUERIES = {
     "range_join_ship_activity": range_join_ship_activity,
     "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
+    "entity_resolution_cascade": entity_resolution_cascade,
     "weighted_vote_resolution": weighted_vote_resolution,
     "consolidate_winners": consolidate_winners,
     "evidence_flags": evidence_flags,
