@@ -561,33 +561,28 @@ def top_suppliers(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def supplier_cograph(sf_dir: str) -> pd.DataFrame:
-    """Collaboration-graph edges (A5/§1.1 parity: the people co-membership
-    graph of /root/reference/src/core/logic/people_relationship_graph_generator.py:166-181
-    as pair-expansion → groupby count): suppliers co-occurring in an order,
-    edge weight = #orders shared.
-
-    Bucketed expansion: orders are hash-bucketed into P groups so the pair
-    expansion runs as ~P vectorized calls (not one Python call per order),
-    with a partial count inside each bucket before the small global sum —
-    one wide exchange on the raw rows, one on the pre-aggregated edges.
-    """
-    P = 32
-    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+def _cooccurrence_edges(ds, group_key: str, item_key: str, P: int = 32):
+    """Co-occurrence edge Dataset (s1, s2, w) from (group, item) rows — the
+    pair-expansion → groupby-count core shared by the collaboration-graph
+    queries. Bucketed expansion: groups are hash-bucketed into P buckets so
+    the pair expansion runs as ~P vectorized calls (not one Python call per
+    group), with a partial count inside each bucket before the small global
+    sum — one wide exchange on the raw rows, one on the pre-aggregated
+    edges."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        key = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        # cheap multiplicative hash; all rows of an order share a bucket
+        key = t.column(group_key).to_numpy(zero_copy_only=False)
+        # cheap multiplicative hash; all rows of a group share a bucket
         bucket = ((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
                   >> np.uint64(32)) % np.uint64(P)
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     def expand_count(g: pd.DataFrame) -> pd.DataFrame:
-        # distinct (order, supplier), contiguous per order
-        g = g.drop_duplicates(["l_orderkey", "l_suppkey"]).sort_values(
-            ["l_orderkey", "l_suppkey"])
-        key = g["l_orderkey"].to_numpy()
-        sup = g["l_suppkey"].to_numpy()
+        # distinct (group, item), contiguous per group
+        g = g.drop_duplicates([group_key, item_key]).sort_values(
+            [group_key, item_key])
+        key = g[group_key].to_numpy()
+        sup = g[item_key].to_numpy()
         if len(key) == 0:
             return pd.DataFrame({"s1": pd.Series([], dtype="int64"),
                                  "s2": pd.Series([], dtype="int64"),
@@ -622,15 +617,78 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
         return (g.groupby(["s1", "s2"], sort=False)["w"].sum()
                 .reset_index())
 
-    out = (
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(expand_count, batch_format="pandas")
         .groupby("edge_bucket")
         .map_groups(sum_edges, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def supplier_cograph(sf_dir: str) -> pd.DataFrame:
+    """Collaboration-graph edges (A5/§1.1 parity: the people co-membership
+    graph of /root/reference/src/core/logic/people_relationship_graph_generator.py:166-181
+    as pair-expansion → groupby count): suppliers co-occurring in an order,
+    edge weight = #orders shared."""
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    out = _cooccurrence_edges(ds, "l_orderkey", "l_suppkey").to_pandas()
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
+
+
+def connected_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components + isolation (A5 parity — the missing half of the
+    graph stats, /root/reference/src/core/logic/
+    people_relationship_graph_generator.py:436-510): the part co-occurrence
+    graph (parts sharing an order in ≥2 distinct orders — weight threshold
+    keeps the graph sparse, 129 components / 120 isolated at sf0.01).
+
+    Scale split, documented per the repo's custom-operator rule: the HEAVY
+    stage (pair expansion over all lineitems → weighted edges → threshold)
+    is distributed; component labeling then runs as a driver union-find over
+    the DEDUPED, THRESHOLDED edge list — the contracted graph, whose size is
+    O(surviving edges), not O(input rows). The output itself is node-sized,
+    so driver-side labeling adds no asymptotic driver state beyond the
+    result. For edge lists too large for one machine, use the distributed
+    min-label-propagation operator ``functions.graph.connected_components``
+    (same semantics; iterative exchanges). Degrees come from the distributed
+    ``node_degrees`` reduce."""
+    from ..functions.graph import node_degrees
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = _cooccurrence_edges(li, "l_orderkey", "l_partkey").map_batches(
+        lambda df: df[df["w"] >= 2], batch_format="pandas").materialize()
+    nodes = _rp(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        lambda t: pa.table({"node": t["p_partkey"]}), batch_format="pyarrow")
+
+    deg = node_degrees(edges, nodes).to_pandas()  # distributed reduce
+    e = edges.select_columns(["s1", "s2"]).to_pandas()  # contracted graph
+
+    # union-find with path compression over the edge list
+    node_ids = np.sort(deg["node"].to_numpy(dtype=np.int64))
+    pos = {int(n): i for i, n in enumerate(node_ids)}
+    parent = np.arange(len(node_ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in zip(e["s1"].to_numpy(), e["s2"].to_numpy()):
+        ra, rb = find(pos[int(a)]), find(pos[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root ⇒ min-id label
+
+    comp = np.array([node_ids[find(i)] for i in range(len(node_ids))],
+                    dtype=np.int64)
+    out = pd.DataFrame({"node": node_ids, "component": comp})
+    out = out.merge(deg, on="node")
+    out["degree"] = out["degree"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)[
+        ["node", "component", "degree"]]
 
 
 def asof_purchase_attribution(sf_dir: str) -> pd.DataFrame:
@@ -1227,6 +1285,33 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_suppkey, s_name, s_acctbal
         FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
     """,
+    "connected_components": """
+        WITH RECURSIVE s AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS s1, b.l_partkey AS s2
+            FROM s a JOIN s b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY s1, s2 HAVING count(*) >= 2
+        ), es AS (
+            SELECT s1 AS a, s2 AS b FROM e
+            UNION ALL SELECT s2, s1 FROM e
+        ), nodes AS (
+            SELECT DISTINCT p_partkey AS node FROM part
+        ), wr(node, reach) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT wr.node, es.b FROM wr JOIN es ON wr.reach = es.a
+        ), comp AS (
+            SELECT node, min(reach) AS component FROM wr GROUP BY node
+        ), deg AS (
+            SELECT a AS node, count(*) AS degree FROM es GROUP BY a
+        )
+        SELECT c.node, c.component,
+               coalesce(d.degree, 0) AS degree
+        FROM comp c LEFT JOIN deg d USING (node)
+        ORDER BY c.node
+    """,
     "entity_resolution_cascade": """
         WITH reg AS (
             SELECT c_custkey AS rid, c_name || ' ' || c_mktsegment AS rname
@@ -1358,6 +1443,7 @@ QUERIES = {
     "range_join_ship_activity": range_join_ship_activity,
     "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
+    "connected_components": connected_components,
     "entity_resolution_cascade": entity_resolution_cascade,
     "weighted_vote_resolution": weighted_vote_resolution,
     "consolidate_winners": consolidate_winners,

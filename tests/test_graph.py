@@ -1,0 +1,36 @@
+"""Graph operators: distributed min-label-propagation connected components
+and full-universe node degrees (A5 parity)."""
+
+import numpy as np
+import pandas as pd
+
+from horizon_etl_ray.functions import graph as G
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_connected_components_label_propagation():
+    # two chains + a triangle + two isolated nodes
+    edges = pd.DataFrame({
+        "s1": [1, 2, 3, 10, 11, 20, 21, 22],
+        "s2": [2, 3, 4, 11, 12, 21, 22, 20]})
+    nodes = pd.DataFrame({"node": list(range(1, 5)) + [10, 11, 12,
+                                                       20, 21, 22, 30, 31]})
+    out = (G.connected_components(_ds(edges), _ds(nodes))
+           .to_pandas().set_index("node")["component"])
+    assert all(out[n] == 1 for n in [1, 2, 3, 4])
+    assert all(out[n] == 10 for n in [10, 11, 12])
+    assert all(out[n] == 20 for n in [20, 21, 22])
+    assert out[30] == 30 and out[31] == 31  # isolated → own component
+
+
+def test_node_degrees_includes_isolated():
+    edges = pd.DataFrame({"s1": [1, 1], "s2": [2, 3]})
+    nodes = pd.DataFrame({"node": [1, 2, 3, 4]})
+    out = (G.node_degrees(_ds(edges), _ds(nodes))
+           .to_pandas().set_index("node")["degree"])
+    assert out[1] == 2 and out[2] == 1 and out[3] == 1 and out[4] == 0
