@@ -82,6 +82,13 @@ class CdcConfig:
     #   into a single base. Requires key columns stable across the schema
     #   script (run compact() before renaming a key column).
     write_mode: str = "cow"
+    # Pluggable conflict resolution (§2.11): an object with
+    # ``reduce(pa.Table) -> pa.Table`` used as BOTH the per-block combiner
+    # and the per-partition merge (must be associative/commutative/
+    # idempotent — see state/merge_policy.py). None = last-writer-wins.
+    # Composes with write_mode='cow' only (the delta index merge is
+    # LWW-specific); apply_epoch enforces this.
+    merge_policy: object | None = None
 
 
 # --------------------------------------------------------------------------
@@ -217,15 +224,20 @@ class MergeWritePartition:
         prior = self._read_prior(pid)
         if prior is not None:
             group = pa.concat_tables([prior, group], promote_options="permissive")
-        # lww_resolve_table sorts by (keys asc, seq desc) and filters — its
-        # output is already key-ascending, so no second sort is needed
-        winners = lww_resolve_table(
-            group,
-            list(cfg.key_columns),
-            cfg.seq_column,
-            cfg.op_column,
-            keep_tombstones=True,
-        )
+        if cfg.merge_policy is not None:
+            # pluggable final merge: prior state re-enters as rows, so the
+            # policy's associativity/idempotence contract carries the epoch
+            winners = cfg.merge_policy.reduce(group)
+        else:
+            # lww_resolve_table sorts by (keys asc, seq desc) and filters —
+            # its output is already key-ascending, so no second sort needed
+            winners = lww_resolve_table(
+                group,
+                list(cfg.key_columns),
+                cfg.seq_column,
+                cfg.op_column,
+                keep_tombstones=True,
+            )
         deleted = pc.fill_null(pc.equal(winners[cfg.op_column], "delete"), False)
         lake = winners.drop_columns([cfg.op_column]).append_column("deleted", deleted)
         atomic_write_table(
@@ -289,6 +301,19 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
             return batch
         if "epoch" in batch.column_names:
             batch = batch.drop_columns(["epoch"])  # partition col of the tail layout
+        if cfg.merge_policy is not None:
+            # policy combiner: fence raw rows first (the policy may keep
+            # history aggregates, so the fence must see raw events), then
+            # reduce; part_id rides the reduce (constant within a key)
+            part = assign_partition(batch, keys, cfg.num_partitions)
+            if "part_id" in batch.column_names:
+                batch = batch.drop_columns(["part_id"])
+            batch = batch.append_column("part_id", pa.array(part, type=pa.int32()))
+            fence = offsets[part]
+            keep = batch[seq_col].to_numpy(zero_copy_only=False) > fence
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+            return cfg.merge_policy.reduce(batch) if len(batch) else batch
         out, part = lww_partial_fast(batch, keys, seq_col, cfg.num_partitions)
         if "part_id" in out.column_names:
             out = out.drop_columns(["part_id"])
@@ -352,6 +377,11 @@ def apply_epoch(
     re-applying a committed epoch is a no-op; a crash before the manifest
     commit leaves only invisible orphan files that get rewritten on retry."""
     cfg = cfg or CdcConfig()
+    if cfg.merge_policy is not None and cfg.write_mode == "delta":
+        raise ValueError(
+            "merge_policy requires write_mode='cow': the delta index merge "
+            "is LWW-specific (see state/merge_policy.py)"
+        )
     store = ManifestStore(lake_dir)
     manifest = store.load()
     if epoch <= manifest.epoch:

@@ -62,8 +62,9 @@ _EV_SQL = """
 """
 
 
-def _lineitem_events(sf_dir: str):
-    """lineitem → (l_partkey, l_suppkey, seq, op, content, epoch) Dataset."""
+def _lineitem_events(sf_dir: str, with_quantity: bool = False):
+    """lineitem → (l_partkey, l_suppkey, seq, op, content, epoch) Dataset
+    (+ integer ``l_quantity`` payload when ``with_quantity``)."""
     ds = _rp(sf_dir, "lineitem",
              columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                       "l_returnflag", "l_quantity", "l_extendedprice"])
@@ -93,11 +94,14 @@ def _lineitem_events(sf_dir: str):
         epoch = np.minimum(
             1 + (sq.to_numpy() * _EPOCHS) // (max_seq + 1), _EPOCHS
         ).astype(np.int64)
-        return pa.table({
+        cols = {
             "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
             "seq": seq, "op": op, "content": content,
             "epoch": pa.array(epoch),
-        })
+        }
+        if with_quantity:
+            cols["l_quantity"] = t["l_quantity"].cast(pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(to_events, batch_format="pyarrow")
 
@@ -214,7 +218,58 @@ def cdc_epoch_lineage_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("epoch").reset_index(drop=True)
 
 
+def cdc_widen_merge_lineitem(sf_dir: str) -> pd.DataFrame:
+    """The merge-policy plug point (§2.11) through the FULL engine: replay
+    the lineitem change log in bulk under ``WidenOnlyPolicy`` — the winning
+    row is still max-seq LWW (tombstones, sha invariant), but
+    ``l_quantity_min`` / ``l_quantity_max`` aggregate over EVERY event the
+    key ever saw (the widen-only rollup of
+    /root/reference/src/core/logic/project_loader.py:229-237, now a policy
+    callable instead of a kernel edit)."""
+    from .cdc import CdcConfig, read_lake, replay
+    from ..state.merge_policy import WidenOnlyPolicy
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"/tmp/horizon_cdc_li/widen/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+    _lineitem_events(sf_dir, with_quantity=True).write_parquet(
+        events_dir, partition_cols=["epoch"])
+    keys = ("l_partkey", "l_suppkey")
+    cfg = CdcConfig(
+        key_columns=keys, num_partitions=16,
+        merge_policy=WidenOnlyPolicy(key_columns=keys,
+                                     widen_columns=("l_quantity",)),
+    )
+    replay(events_dir, os.path.join(base, "lake"), cfg, mode="bulk")
+    out = (
+        read_lake(os.path.join(base, "lake"))
+        .select_columns(["l_partkey", "l_suppkey", "seq", "l_quantity",
+                         "l_quantity_min", "l_quantity_max",
+                         "content_sha256"])
+        .to_pandas()
+    )
+    for c in ("l_quantity", "l_quantity_min", "l_quantity_max"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "cdc_widen_merge_lineitem": f"""
+        WITH ev AS ({_EV_SQL.replace("FROM lineitem",
+                    ", CAST(l_quantity AS BIGINT) AS qty FROM lineitem")})
+        SELECT l_partkey, l_suppkey, seq, qty AS l_quantity,
+               min(qty) OVER (PARTITION BY l_partkey, l_suppkey)
+                   AS l_quantity_min,
+               max(qty) OVER (PARTITION BY l_partkey, l_suppkey)
+                   AS l_quantity_max,
+               sha256(content) AS content_sha256
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                   ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
     "cdc_replay_lineitem_epochs": f"""
         WITH ev AS ({_EV_SQL})
         SELECT l_partkey, l_suppkey, seq, content,
@@ -270,6 +325,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "cdc_widen_merge_lineitem": cdc_widen_merge_lineitem,
     "cdc_replay_lineitem_epochs": cdc_replay_lineitem_epochs,
     "cdc_replay_lineitem_evolved": cdc_replay_lineitem_evolved,
     "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,

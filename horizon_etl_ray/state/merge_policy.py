@@ -1,0 +1,78 @@
+"""Pluggable merge/conflict-resolution policies for the CDC kernel (§2.11).
+
+The reference exposes merge behavior through its strategy/handler registry
+(/root/reference/src/core/logic/project_loader.py:67-73) — e.g. the parent
+rollup's WIDEN-ONLY update, which only moves a start date earlier or an end
+date later (/root/reference/src/core/logic/project_loader.py:229-237).
+Round 1 hard-coded last-writer-wins; this module makes the policy a plain
+callable plugged into ``CdcConfig.merge_policy``.
+
+Contract — a policy is an object with::
+
+    reduce(table: pa.Table) -> pa.Table
+
+where ``table`` holds change events (and/or previously reduced rows) for
+any subset of keys, and the result has EXACTLY ONE row per key. ``reduce``
+MUST be associative + commutative + idempotent over event multisets (it is
+used as both the per-block combiner and the per-partition final merge, and
+prior state re-enters as rows), must preserve every input column (plus any
+aggregate columns it adds on first reduction), keep the ``op`` column of
+the winning row (tombstone semantics), and return rows sorted ascending by
+the key columns (the digest is computed in row order).
+
+Policies currently compose with ``write_mode='cow'``; the delta path's
+narrow-index merge assumes plain LWW (``apply_epoch`` raises otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+@dataclass
+class WidenOnlyPolicy:
+    """LWW for the payload + widen-only aggregates for selected columns.
+
+    The winning row is still the max-``seq`` event (so tombstones and the
+    content sha invariant behave exactly like LWW), but for every column in
+    ``widen_columns`` the policy also maintains ``<col>_min`` / ``<col>_max``
+    over ALL events ever seen for the key — the project-rollup semantics of
+    project_loader.py:229-237 (a re-run can only widen the range, never
+    shrink it). min/max are associative+commutative+idempotent, so the
+    policy is safe as a combiner and under replay."""
+
+    key_columns: tuple[str, ...]
+    seq_column: str = "seq"
+    op_column: str = "op"
+    widen_columns: tuple[str, ...] = field(default_factory=tuple)
+
+    def reduce(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keys = list(self.key_columns)
+        df = t.to_pandas()
+        work = df.copy()
+        for c in self.widen_columns:
+            lo, hi = f"{c}_min", f"{c}_max"
+            # coalesce: raw events carry only c; reduced rows carry c_min/max
+            work[lo] = (work[lo].fillna(work[c]) if lo in df.columns
+                        else work[c])
+            work[hi] = (work[hi].fillna(work[c]) if hi in df.columns
+                        else work[c])
+        g = work.groupby(keys, sort=False)
+        aggs = {}
+        for c in self.widen_columns:
+            aggs[f"{c}_min"] = g[f"{c}_min"].min()
+            aggs[f"{c}_max"] = g[f"{c}_max"].max()
+        winners = (work.sort_values(keys + [self.seq_column],
+                                    ascending=[True] * len(keys) + [False])
+                   .drop_duplicates(subset=keys, keep="first"))
+        for name, series in aggs.items():
+            winners = winners.drop(columns=[name]).merge(
+                series.reset_index(), on=keys, how="left")
+        winners = winners.sort_values(keys).reset_index(drop=True)
+        return pa.Table.from_pandas(winners, preserve_index=False)

@@ -37,3 +37,43 @@ def test_lineage_monotone_epochs():
     lineage = eq.cdc_epoch_lineage_lineitem(SF)
     assert list(lineage["epoch"]) == sorted(lineage["epoch"])
     assert (lineage["live_rows"] > 0).all()
+
+
+def test_widen_policy_incremental_equals_bulk(tmp_path):
+    """The merge-policy contract (associative/commutative/idempotent) must
+    make per-epoch application converge to the bulk result."""
+    import pandas as pd
+    import pytest
+
+    from horizon_etl_ray.pipelines import engine_queries as eqm
+    from horizon_etl_ray.pipelines.cdc import CdcConfig, read_lake, replay
+    from horizon_etl_ray.state.merge_policy import WidenOnlyPolicy
+
+    events_dir = str(tmp_path / "events")
+    eqm._lineitem_events(SF, with_quantity=True).write_parquet(
+        events_dir, partition_cols=["epoch"])
+    keys = ("l_partkey", "l_suppkey")
+
+    def run(mode, lake):
+        cfg = CdcConfig(key_columns=keys, num_partitions=8,
+                        merge_policy=WidenOnlyPolicy(
+                            key_columns=keys, widen_columns=("l_quantity",)))
+        replay(events_dir, str(tmp_path / lake), cfg, mode=mode)
+        out = (read_lake(str(tmp_path / lake))
+               .select_columns(["l_partkey", "l_suppkey", "seq",
+                                "l_quantity", "l_quantity_min",
+                                "l_quantity_max"]).to_pandas())
+        return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+    bulk = run("bulk", "bulk")
+    inc = run("incremental", "inc")
+    pd.testing.assert_frame_equal(bulk, inc)
+    # aggregates genuinely widen beyond the winner value somewhere
+    assert (bulk["l_quantity_min"] < bulk["l_quantity"]).any()
+    assert (bulk["l_quantity_max"] > bulk["l_quantity"]).any()
+
+    with pytest.raises(ValueError, match="merge_policy requires"):
+        cfg = CdcConfig(key_columns=keys, num_partitions=8, write_mode="delta",
+                        merge_policy=WidenOnlyPolicy(
+                            key_columns=keys, widen_columns=("l_quantity",)))
+        replay(events_dir, str(tmp_path / "bad"), cfg, mode="bulk")
