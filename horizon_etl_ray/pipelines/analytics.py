@@ -1049,6 +1049,119 @@ def entity_resolution_cascade(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def nested_customer_mart(sf_dir: str) -> pd.DataFrame:
+    """Nested mart with per-group collect_list (A3/A4 parity — the
+    list-valued marts of /root/reference/src/core/logic/mart_generator.py:25-123):
+    per nation — customer count, sorted distinct market segments, and the
+    top-3 customers by account balance, both serialized as joined strings
+    (the mart's nested JSON arrays, stringified for the driver's
+    hash-compare). One bucketed exchange, vectorized list building."""
+    P = 16
+    ds = _rp(sf_dir, "customer",
+             columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                      "c_mktsegment"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = _hash_bucket(df["c_nationkey"].to_numpy(), P)
+        return df
+
+    def mart(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, sub in g.groupby("c_nationkey", sort=False):
+            segs = ",".join(sorted(sub["c_mktsegment"].unique()))
+            top = sub.sort_values(["c_acctbal", "c_custkey"],
+                                  ascending=[False, True]).head(3)
+            rows.append((nk, len(sub), segs, "|".join(top["c_name"])))
+        return pd.DataFrame(rows, columns=["c_nationkey", "n_customers",
+                                           "segments", "top_customers"])
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(mart, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def year_expansion_mart(sf_dir: str) -> pd.DataFrame:
+    """Year-range expansion mart (A4 parity — the per-year evolution mart of
+    /root/reference/src/core/logic/mart_generator.py:137-420): each
+    customer's [first order year, last order year] span is expanded with a
+    flat_map, then a per-year active-customer count. Expansion factor is
+    bounded by the year range, so the exchange stays linear."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def to_year(t: pa.Table) -> pa.Table:
+        year = pc.year(t["o_orderdate"]).cast(pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "year": year})
+
+    spans = (
+        ds.map_batches(to_year, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Min("year", alias_name="y0"), Max("year", alias_name="y1"))
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        y0 = df["y0"].to_numpy(dtype=np.int64)
+        y1 = df["y1"].to_numpy(dtype=np.int64)
+        n = (y1 - y0 + 1)
+        years = np.concatenate([np.arange(a, b + 1)
+                                for a, b in zip(y0, y1)]) if len(df) else \
+            np.array([], dtype=np.int64)
+        return pd.DataFrame({"year": years, "one": np.ones(int(n.sum()),
+                                                           dtype=np.int64)})
+
+    out = (
+        spans.map_batches(expand, batch_format="pandas")
+        .groupby("year")
+        .sum("one")
+        .to_pandas()
+        .rename(columns={"sum(one)": "active_customers"})
+    )
+    out["active_customers"] = out["active_customers"].astype(np.int64)
+    return out.sort_values("year").reset_index(drop=True)
+
+
+def disambiguate_titles(sf_dir: str) -> pd.DataFrame:
+    """Title-disambiguation rewrite (J2 parity — the suffix rewrite of
+    colliding titles in /root/reference/src/core/logic/
+    initiative_handlers.py:487-573): colliding part names keep the first
+    occurrence (by part key) verbatim and rewrite later ones to
+    ``name (n)``. Bucketed by name so every collision group is co-located;
+    vectorized cumcount per bucket. Output titles are unique by
+    construction (the unique-index invariant, D8)."""
+    P = 16
+    ds = _rp(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["p_name"].to_numpy(dtype=object))
+        df["bucket"] = (h % np.uint64(P)).astype(np.int64)
+        return df
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_name", "p_partkey"])
+        rn = g.groupby("p_name", sort=False).cumcount() + 1
+        title = np.where(rn == 1, g["p_name"],
+                         g["p_name"] + " (" + rn.astype(str) + ")")
+        return pd.DataFrame({"p_partkey": g["p_partkey"].to_numpy(),
+                             "title": title})
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rewrite, batch_format="pandas")
+        .to_pandas()
+    )
+    assert out["title"].is_unique  # D8 invariant
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered by the driver)
 # --------------------------------------------------------------------------
@@ -1285,6 +1398,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_suppkey, s_name, s_acctbal
         FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
     """,
+    "nested_customer_mart": """
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                   AS segments,
+               array_to_string(
+                   (list(c_name ORDER BY c_acctbal DESC, c_custkey))[1:3],
+                   '|') AS top_customers
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "year_expansion_mart": """
+        WITH spans AS (
+            SELECT o_custkey, min(year(o_orderdate)) AS y0,
+                   max(year(o_orderdate)) AS y1
+            FROM orders GROUP BY o_custkey
+        ), expanded AS (
+            SELECT unnest(range(y0, y1 + 1)) AS year FROM spans
+        )
+        SELECT year, count(*) AS active_customers
+        FROM expanded GROUP BY year ORDER BY year
+    """,
+    "disambiguate_titles": """
+        WITH r AS (
+            SELECT p_partkey, p_name,
+                   row_number() OVER (PARTITION BY p_name
+                                      ORDER BY p_partkey) AS rn
+            FROM part
+        )
+        SELECT p_partkey,
+               CASE WHEN rn = 1 THEN p_name
+                    ELSE p_name || ' (' || CAST(rn AS VARCHAR) || ')' END
+                   AS title
+        FROM r ORDER BY p_partkey
+    """,
     "connected_components": """
         WITH RECURSIVE s AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1444,6 +1591,9 @@ QUERIES = {
     "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
     "connected_components": connected_components,
+    "nested_customer_mart": nested_customer_mart,
+    "year_expansion_mart": year_expansion_mart,
+    "disambiguate_titles": disambiguate_titles,
     "entity_resolution_cascade": entity_resolution_cascade,
     "weighted_vote_resolution": weighted_vote_resolution,
     "consolidate_winners": consolidate_winners,
