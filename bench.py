@@ -290,8 +290,87 @@ def scaling() -> None:
     )
 
 
+def skew() -> None:
+    """Adversarial-skew bench: ONE key receives 50% of all events (vs the
+    default bench's mild skew). Reports replay throughput on the skewed
+    tail plus the combiner's shuffle-row numbers proving the skew defence:
+    the hot key enters the exchange with ≤ #read-blocks rows."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.cdc import (CdcConfig, _partial_stage,
+                                               manifest_digest, replay)
+    from horizon_etl_ray.sources.generator import EventGenConfig, write_events
+
+    base = _event_cfg()
+    cfg = EventGenConfig(
+        n_keys=base.n_keys, n_events=base.n_events, seed=base.seed,
+        epoch_size=base.epoch_size, p_delete=base.p_delete,
+        dup_fraction=base.dup_fraction,
+        hot_fraction=1.0 / base.n_keys,  # exactly one hot key
+        hot_event_fraction=0.5,          # ...receiving 50% of all events
+        content_mean_bytes=base.content_mean_bytes,
+    )
+    tag = f"skew_{_sf_tag()}_n{cfg.n_events}_s{cfg.seed}"
+    events_dir = os.path.join(BENCH_TMP, f"events_{tag}")
+    marker = os.path.join(events_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(events_dir, ignore_errors=True)
+        write_events(cfg, events_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    n_blocks, n_parts = 32, 128
+    # shuffle-row audit: run the combiner alone and count what would enter
+    # the exchange (narrow projection of the partial output). The read is
+    # materialized first so we can count the ACTUAL physical blocks (Ray's
+    # dynamic block splitting can exceed override_num_blocks) — the combiner
+    # bound is per physical block.
+    ds = rd.read_parquet(events_dir, override_num_blocks=n_blocks).materialize()
+    blocks_actual = ds.num_blocks()
+    ccfg = CdcConfig(num_partitions=n_parts)
+    shuffled = ds.map_batches(
+        _partial_stage(ccfg, np.full(n_parts, -1, dtype=np.int64)),
+        batch_format="pyarrow", batch_size=None,
+    ).select_columns(["repo", "path"]).to_pandas()
+    per_key_max = int(shuffled.groupby(["repo", "path"]).size().max())
+
+    lake_dir = os.path.join(BENCH_TMP, f"lake_{tag}_{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    t0 = time.time()
+    replay(events_dir, lake_dir,
+           CdcConfig(num_partitions=n_parts, shuffle_mode="staged"),
+           mode="bulk", override_num_blocks=n_blocks)
+    dt = time.time() - t0
+    out = {
+        "metric": "cdc replay under adversarial skew (1 key = 50% of events)",
+        "sf": _sf_tag(), "num_cpus": NUM_CPUS, "events": cfg.n_events,
+        "skew_replay_sec": round(dt, 3),
+        "skew_events_per_sec": round(cfg.n_events / dt, 1),
+        "shuffle_rows_total": int(len(shuffled)),
+        "shuffle_rows_hot_key": per_key_max,
+        "read_blocks": n_blocks,
+        "physical_blocks": int(blocks_actual),
+        "combiner_bound_held": per_key_max <= blocks_actual,
+        "lake_digest16": manifest_digest(lake_dir)[:16],
+    }
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(events_dir, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--skew" in sys.argv:
+        skew()
     else:
         main()

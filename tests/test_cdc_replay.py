@@ -256,3 +256,32 @@ def test_delta_mode_write_amplification_bounded(tmp_path):
     # cow rewrites the whole growing state every epoch (Σ state_e ≈ 4× the
     # final size here); delta writes each event's payload once
     assert delta_payload < cow_total / 2, (delta_payload, cow_total)
+
+
+def test_partial_combiner_bounds_hot_key_shuffle(tmp_path):
+    """Adversarial skew: ONE key receives 50% of all events. The per-block
+    LWW combiner must collapse it to ≤ #read-blocks rows entering the
+    exchange (the skew defence of SURVEY.md §7.5)."""
+    import numpy as np
+
+    from horizon_etl_ray.pipelines.cdc import CdcConfig, _partial_stage
+
+    cfg_ev = EventGenConfig(n_keys=2000, n_events=40_000, seed=9,
+                            epoch_size=40_000, hot_fraction=1e-9,
+                            hot_event_fraction=0.5, content_mean_bytes=64)
+    events_dir = str(tmp_path / "events")
+    write_events(cfg_ev, events_dir)
+
+    B = 8
+    ds = rd.read_parquet(events_dir, override_num_blocks=B)
+    cfg = CdcConfig(num_partitions=8)
+    shuffled = ds.map_batches(
+        _partial_stage(cfg, np.full(8, -1, dtype=np.int64)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+
+    per_key = shuffled.groupby(["repo", "path"]).size()
+    hot_rows = int(per_key.max())
+    assert hot_rows <= B, f"hot key shipped {hot_rows} rows > {B} blocks"
+    # and the exchange as a whole is collapsed far below the input size
+    assert len(shuffled) < 40_000 / 2
