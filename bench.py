@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "exact_dedup_documents",
     "ann_cosine_topk",
     "multimodal_meta",
+    "entity_resolution_cascade",
+    "connected_components",
+    "cdc_replay_lineitem_epochs",
 ]
 
 

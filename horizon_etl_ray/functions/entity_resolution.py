@@ -69,6 +69,40 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _lev_banded(a: str, b: str, k: int) -> int | None:
+    """Exact edit distance if ≤ k, else None (Ukkonen band of width 2k+1 —
+    O(len·k) instead of O(len²); the cascade only needs distances that beat
+    the current best score, so the band prunes most candidates)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    if k <= 0:
+        return 0 if a == b else None
+    big = k + 1
+    prev = [j if j <= k else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        lo, hi = max(1, i - k), min(lb, i + k)
+        row_min = big
+        ai = a[i - 1]
+        for j in range(lo, hi + 1):
+            c = prev[j - 1] + (ai != b[j - 1])
+            if prev[j] + 1 < c:
+                c = prev[j] + 1
+            if cur[j - 1] + 1 < c:
+                c = cur[j - 1] + 1
+            if c < big:
+                cur[j] = c
+                if c < row_min:
+                    row_min = c
+        if row_min >= big and (i > k or cur[0] >= big):
+            return None  # the whole band exceeded k — no path back under it
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
 def lev_token_sort_ratio(a: str, b: str) -> int:
     import math
 
@@ -91,7 +125,9 @@ class RegistryIndex:
             rid, nm = int(ids[i]), names[i]
             self.raw[nm] = rid
             self.norm[normalize_loose(nm)] = rid
-        for i in order:
+        for i in order:  # ascending rid — the fuzzy scan relies on this so
+            # the FIRST candidate reaching the best score is the min-rid
+            # tiebreak winner (later equal scores can be pruned)
             rid, nm = int(ids[i]), names[i]
             bk = block_key_loose(nm)
             if bk:
@@ -148,8 +184,20 @@ class CascadeMatcher:
             nm = names.iloc[i]
             cands = self.idx.blocks.get(block_key_loose(nm), ())
             best_rid, best_score = -1, self.fuzzy_threshold - 1
+            ts_in = token_sort(nm)
             for rid, rname in cands:
-                r = lev_token_sort_ratio(nm, rname)
+                ts_reg = token_sort(rname)
+                denom = max(len(ts_in), len(ts_reg), 1)
+                # a score > best_score needs lev < denom*(1 - (best+0.5)/100)
+                # (floor(x+0.5) rounding) — skip candidates whose length gap
+                # alone exceeds the bound, and band the DP by it
+                bound = denom * (100 - best_score - 0.5) / 100.0
+                if abs(len(ts_in) - len(ts_reg)) > bound:
+                    continue
+                d = _lev_banded(ts_in, ts_reg, int(bound))
+                if d is None:
+                    continue
+                r = int(np.floor(100 * (1 - d / denom) + 0.5))
                 if r > best_score or (r == best_score and 0 <= rid < best_rid):
                     best_rid, best_score = rid, r
             if best_rid >= 0:

@@ -192,44 +192,90 @@ def broadcast_region_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
-def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+def q3_top_orders(sf_dir: str, bloom_threshold: int = 10_000_000
+                  ) -> pd.DataFrame:
     """J6+O1 parity: segment-filtered 3-way join, revenue per order, top-10
-    with deterministic tiebreak. Build sides (customer keys of the segment,
-    then their order keys) are broadcast; lineitem streams."""
-    import pyarrow.parquet as pq
+    with deterministic tiebreak.
+
+    Both build sides come from DISTRIBUTED Dataset filters (no driver
+    full-table reads — the round-1 nit). The order-key semi-join against
+    lineitem is hybrid, same policy as ``exact_dedup``:
+      - ≤ ``bloom_threshold`` keys: broadcast the sorted key array once.
+      - above it (the 10^10 target): a fixed-size **Bloom filter built
+        distributed** (functions/bloom.py) pre-filters lineitem, and bloom
+        false positives are removed EXACTLY by a ``Dataset.join`` of the
+        (tiny) per-order aggregate back to the filtered orders."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    building = pc.equal(cust["c_mktsegment"], "BUILDING")
-    ckeys = set(cust.filter(building)["c_custkey"].to_pylist())
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    okeys = np.sort(
-        orders.filter(pc.is_in(orders["o_custkey"], value_set=pa.array(list(ckeys))))[
-            "o_orderkey"
-        ].to_numpy()
-    )
-    ref = ray.put(okeys)
+    from ..functions.bloom import bloom_contains, build_bloom
 
-    def semi_and_revenue(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        mask = keys[np.searchsorted(keys, ok).clip(0, len(keys) - 1)] == ok if len(keys) else np.zeros(len(ok), bool)
-        t = t.filter(pa.array(mask))
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+               filter=pc.field("c_mktsegment") == "BUILDING")
+    ckeys = np.sort(np.concatenate(
+        [b["c_custkey"].to_numpy() for b in
+         cust.select_columns(["c_custkey"]).iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)]))
+    cref = ray.put(ckeys)
+
+    def orders_of_segment(t: pa.Table) -> pa.Table:
+        keys = ray.get(cref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck).clip(0, max(len(keys) - 1, 0))
+        mask = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(pa.array(mask))})
+
+    seg_orders = _rp(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey"]).map_batches(
+        orders_of_segment, batch_format="pyarrow").materialize()
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
-    agg = (
-        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(semi_and_revenue, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
-        .to_pandas()
-    )
-    agg = _round(agg, {"revenue": 2})
-    agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    return agg.reset_index(drop=True)
+    if seg_orders.count() <= bloom_threshold:
+        okeys = np.sort(np.concatenate(
+            [b["o_orderkey"].to_numpy() for b in
+             seg_orders.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        kref = ray.put(okeys)
+
+        def exact_semi(t: pa.Table) -> pa.Table:
+            keys = ray.get(kref)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok).clip(0, max(len(keys) - 1, 0))
+            mask = keys[pos] == ok if len(keys) else np.zeros(len(ok), bool)
+            return revenue(t.filter(pa.array(mask)))
+
+        agg = (li.map_batches(exact_semi, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Sum("rev", alias_name="revenue")))
+        out = agg.to_pandas()
+    else:
+        bloom = build_bloom(seg_orders, "o_orderkey")
+        bref = ray.put(bloom)
+
+        def bloom_semi(t: pa.Table) -> pa.Table:
+            bits = ray.get(bref)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            return revenue(t.filter(pa.array(bloom_contains(bits, ok))))
+
+        agg = (li.map_batches(bloom_semi, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Sum("rev", alias_name="revenue")))
+        # exact FP removal on the (small) aggregate
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        exact = agg.join(seg_orders, join_type="inner",
+                         num_partitions=max(2, min(8, 2 * cpus)),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+        out = exact.to_pandas()[["l_orderkey", "revenue"]]
+    out = _round(out, {"revenue": 2})
+    out = out.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
 
 
 def anti_join_customers(sf_dir: str) -> pd.DataFrame:

@@ -61,3 +61,17 @@ def test_matches_duckdb_oracle(ray_session, con, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_q3_bloom_path_matches_exact_path():
+    """Forcing the bloom+join plan (threshold 0) must reproduce the exact
+    broadcast plan's top-10 (bloom FPs removed by the aggregate-level
+    Dataset.join)."""
+    import pandas as pd
+
+    from horizon_etl_ray.pipelines.analytics import q3_top_orders
+
+    sf = "/root/testdata/sf0.001"
+    fast = q3_top_orders(sf)
+    bloom = q3_top_orders(sf, bloom_threshold=0)
+    pd.testing.assert_frame_equal(fast, bloom)
