@@ -191,12 +191,19 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
 
+    replay_only = "--replay-only" in sys.argv or os.environ.get(
+        "GRAFT_REPLAY_ONLY")
+
     cdc = bench_cdc_replay()
     timings["cdc_replay_bulk"] = cdc["cdc_replay_sec"]
-    incr = bench_cdc_incremental(cdc["lake_digest"])
-    timings["cdc_replay_incremental_delta"] = incr["cdc_incr_delta_sec"]
+    if replay_only:  # scaling children: only the headline replay is compared
+        incr = {"cdc_incr_delta_sec": None, "incr_events_per_sec": None,
+                "incr_digest_matches_bulk": None}
+    else:
+        incr = bench_cdc_incremental(cdc["lake_digest"])
+        timings["cdc_replay_incremental_delta"] = incr["cdc_incr_delta_sec"]
 
-    for name in BENCH_QUERIES:
+    for name in ([] if replay_only else BENCH_QUERIES):
         t0 = time.time()
         res = queries[name](SF_DIR)
         # materialize if lazy
@@ -255,7 +262,8 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_TMP=bench_tmp,
-                   GRAFT_KEEP_EVENTS_CACHE="1")  # shared across the two runs
+                   GRAFT_KEEP_EVENTS_CACHE="1",  # shared across the two runs
+                   GRAFT_REPLAY_ONLY="1")  # strong-scaling: replay only
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -332,18 +340,35 @@ def skew() -> None:
 
     n_blocks, n_parts = 32, 128
     # shuffle-row audit: run the combiner alone and count what would enter
-    # the exchange (narrow projection of the partial output). The read is
-    # materialized first so we can count the ACTUAL physical blocks (Ray's
-    # dynamic block splitting can exceed override_num_blocks) — the combiner
-    # bound is per physical block.
+    # the exchange. The read is materialized first so we can count the
+    # ACTUAL physical blocks (Ray's dynamic block splitting can exceed
+    # override_num_blocks) — the combiner bound is per physical block. The
+    # hot key is key 0 by construction, so both counters reduce to two tiny
+    # per-batch sums (no driver-side groupby over the exchange rows).
+    from horizon_etl_ray.sources.generator import path_of_key, repo_of_key
+
+    hot_repo, hot_path = repo_of_key(cfg, 0), path_of_key(cfg, 0)
     ds = rd.read_parquet(events_dir, override_num_blocks=n_blocks).materialize()
     blocks_actual = ds.num_blocks()
     ccfg = CdcConfig(num_partitions=n_parts)
-    shuffled = ds.map_batches(
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        hot = pc.and_(pc.equal(t["repo"], hot_repo),
+                      pc.equal(t["path"], hot_path))
+        nhot = pc.sum(hot.cast(pa.int64())).as_py() or 0
+        return pa.table({"rows": pa.array([len(t)], pa.int64()),
+                         "hot": pa.array([int(nhot)], pa.int64())})
+
+    audit = ds.map_batches(
         _partial_stage(ccfg, np.full(n_parts, -1, dtype=np.int64)),
         batch_format="pyarrow", batch_size=None,
-    ).select_columns(["repo", "path"]).to_pandas()
-    per_key_max = int(shuffled.groupby(["repo", "path"]).size().max())
+    ).map_batches(count_rows, batch_format="pyarrow",
+                  batch_size=None).to_pandas()
+    shuffle_total = int(audit["rows"].sum())
+    per_key_max = int(audit["hot"].sum())
 
     lake_dir = os.path.join(BENCH_TMP, f"lake_{tag}_{NUM_CPUS}")
     shutil.rmtree(lake_dir, ignore_errors=True)
@@ -357,7 +382,7 @@ def skew() -> None:
         "sf": _sf_tag(), "num_cpus": NUM_CPUS, "events": cfg.n_events,
         "skew_replay_sec": round(dt, 3),
         "skew_events_per_sec": round(cfg.n_events / dt, 1),
-        "shuffle_rows_total": int(len(shuffled)),
+        "shuffle_rows_total": shuffle_total,
         "shuffle_rows_hot_key": per_key_max,
         "read_blocks": n_blocks,
         "physical_blocks": int(blocks_actual),

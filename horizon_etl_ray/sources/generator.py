@@ -121,29 +121,28 @@ def plan_events(cfg: EventGenConfig) -> EventPlan:
     rank = np.empty(n, dtype=np.int64)
     rank[order] = rank_sorted
 
-    # op state machine, vectorized: first op insert; op after delete is insert
+    # op state machine: first op of a key is insert; an op right after a
+    # delete is insert (resurrection); otherwise delete with prob p, else
+    # update. The scan recurrence s[i] = c[i] & ~s[i-1] (s = "this op is a
+    # delete", c = "delete candidate") closes in closed form: every maximal
+    # run of consecutive candidates starts in state False, so deletes sit at
+    # EVEN offsets within each candidate run — fully vectorized, O(n)
+    # regardless of the per-key event count (the old per-rank loop was
+    # O(n × max_rank): quadratic for an adversarially hot key).
     u = rng.random(n)
     u_sorted = u[order]
-    prev_delete_sorted = np.zeros(n, dtype=bool)
-    # a delete happens when (not first) and (prev wasn't delete) and u < p
-    # compute iteratively per group position is avoidable: delete[i] depends
-    # on delete[i-1]; but delete[i-1] depends only on u and delete[i-2]...
-    # resolve with a scan over positions within groups (max rank is small
-    # relative to n; loop over "rank levels" is vectorized per level)
-    op_sorted = np.ones(n, dtype=np.int8)  # default update
     is_first = rank_sorted == 0
+    c = (u_sorted < cfg.p_delete) & ~is_first  # delete candidates
+    idx = np.arange(n, dtype=np.int64)
+    run_start = c & ~np.r_[False, c[:-1]]
+    start_ff = np.maximum.accumulate(np.where(run_start, idx, -1))
+    offset = idx - start_ff  # position within the current candidate run
+    delete = c & (offset % 2 == 0)
+    prev_delete = np.r_[False, delete[:-1]] & ~is_first
+    op_sorted = np.ones(n, dtype=np.int8)  # default update
+    op_sorted[prev_delete] = 0  # resurrection insert
+    op_sorted[delete] = 2
     op_sorted[is_first] = 0
-    max_rank = int(rank_sorted.max()) if n else 0
-    prev_was_delete = np.zeros(n, dtype=bool)
-    for r in range(1, max_rank + 1):
-        at_r = rank_sorted == r
-        prev_idx = np.flatnonzero(at_r) - 1  # previous event of same key
-        prev_del = op_sorted[prev_idx] == 2
-        idx = np.flatnonzero(at_r)
-        op_sorted[idx[prev_del]] = 0  # resurrection insert
-        eligible = idx[~prev_del]
-        dele = eligible[u_sorted[eligible] < cfg.p_delete]
-        op_sorted[dele] = 2
     op_code = np.empty(n, dtype=np.int8)
     op_code[order] = op_sorted
 
