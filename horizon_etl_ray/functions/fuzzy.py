@@ -57,10 +57,13 @@ class FuzzyBlocker:
 
 def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
                       threshold: int = 90, strict: bool = False,
-                      concurrency=(1, 4)):
+                      concurrency=(1, 4), max_block: int = 512):
     """Candidate duplicate pairs: block on (first,last) canonical tokens,
     score token_sort_ratio within blocks only. ``strict=True`` ⇒ ratio must
-    be exactly 100 (the reference's strict mode)."""
+    be exactly 100 (the reference's strict mode). ``max_block`` caps the
+    O(B²) scan per block (the hot-bucket guard of minhash_lsh_groups): an
+    adversarial block beyond it is truncated to the max_block smallest ids —
+    a block that large carries no dedup signal anyway."""
     import ray.data as rd  # noqa: F401
 
     blocked = ds.map_batches(
@@ -71,7 +74,8 @@ def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
     minimum = 100 if strict else threshold
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_column).drop_duplicates(subset=[id_column])
+        g = (g.sort_values(id_column).drop_duplicates(subset=[id_column])
+             .head(max_block))
         ids = g[id_column].to_list()
         names = g["norm_name"].to_list()
         rows = []

@@ -50,6 +50,25 @@ def token_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def token_counts_bpeish(sf_dir: str) -> pd.DataFrame:
+    """Regex tokenizer count (words + punctuation runs — the BPE-ish
+    pre-tokenization pattern), vectorized via pandas str.count."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "n_tokens": tx.count_tokens_bpeish(batch["text"])}
+        )
+
+    return (
+        ds.map_batches(count, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def quality_stats(sf_dir: str) -> pd.DataFrame:
     """Quality-scoring features (length / token-shape ratios)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
@@ -387,6 +406,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, array_length(string_split(text, ' ')) AS n_tokens
         FROM documents ORDER BY doc_id
     """,
+    "token_counts_bpeish": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
     "quality_stats": """
         WITH f AS (
             SELECT doc_id,
@@ -593,6 +617,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "token_counts": token_counts,
+    "token_counts_bpeish": token_counts_bpeish,
     "quality_stats": quality_stats,
     "exact_dedup_documents": exact_dedup_documents,
     "multimodal_meta": multimodal_meta,
