@@ -285,6 +285,26 @@ def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "vec_id"]].reset_index(drop=True)
 
 
+def ivf_ann_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """IVF machinery with ``nprobe == nlist`` (every list probed): must
+    reproduce the EXACT brute-force top-k, which gives the IVF code path a
+    driver-oracle-checked row; the approximate operating point stays
+    ``ivf_ann_topk`` (rows-only by design, recall-tested in
+    tests/test_similarity.py)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    queries = np.stack([np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    params = sim.IvfIndexParams.fit(ds, nlist=16)
+    out = sim.ivf_topk(ds, params, queries, k=10, nprobe=16, query_ids=qids)
+    return out[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
 def cdc_replay_synthetic(sf_dir: str) -> pd.DataFrame:
     """The full CDC engine on a deterministic synthetic tail sized by the
     scale factor: generate → validate → partition → LWW merge → manifest
@@ -596,6 +616,23 @@ ORACLE_SQL: dict[str, str] = {
                                 for h in list_sort(hs)[1:4]], '-') AS fingerprint
         FROM w ORDER BY doc_id
     """,
+    "ivf_ann_exhaustive": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN (0, 1, 2)
+        ), s AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding, q.qv) AS sim
+            FROM embeddings e CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
     "ann_cosine_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -628,6 +665,7 @@ QUERIES = {
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_fingerprints": doc_fingerprints,
+    "ivf_ann_exhaustive": ivf_ann_exhaustive,
     # rows-only (non-SQL-expressible: approximate by design)
     "ivf_ann_topk": ivf_ann_topk,
     "cdc_replay_synthetic": cdc_replay_synthetic,

@@ -52,23 +52,27 @@ class UpserterShard:
         self.lo, self.hi = lo, hi
         self.state: dict[int, pa.Table] = {}
 
-    def restore(self, committed: dict[int, int]) -> int:
-        """Rebuild in-memory state from the committed lake view."""
+    def restore(self, committed: dict[int, list]) -> int:
+        """Rebuild in-memory state from the committed lake view.
+        ``committed`` maps pid → its data files (base + any delta-mode
+        deltas); deltas are LWW-reconciled on restore, so the actor path
+        resumes correctly from a lake written in either write mode."""
         import pyarrow.parquet as pq
 
         n = 0
         for pid in range(self.lo, self.hi):
-            e = committed.get(pid)
-            if e is None:
+            files = committed.get(pid)
+            if not files:
                 continue
-            t = pq.read_table(
-                os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={e}.parquet")
-            )
+            t = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="permissive")
             op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
-            self.state[pid] = t.drop_columns(["deleted"]).append_column(
-                self.op_column, op
-            )
-            n += len(t)
+            ev = t.drop_columns(["deleted"]).append_column(self.op_column, op)
+            if len(files) > 1:  # delta partition: reconcile to winners
+                ev = lww_resolve_table(ev, self.key_columns, self.seq_column,
+                                       self.op_column, keep_tombstones=True)
+            self.state[pid] = ev
+            n += len(ev)
         return n
 
     def apply(self, winners: pa.Table) -> int:
@@ -144,7 +148,8 @@ class StreamingUpserter:
             for lo, hi in zip(bounds[:-1], bounds[1:])
         ]
         self.bounds = bounds
-        committed = {pid: ps.epoch for pid, ps in self.store.load().partitions.items()}
+        committed = {pid: self.store.partition_data_files(ps)
+                     for pid, ps in self.store.load().partitions.items()}
         ray.get([s.restore.remote(committed) for s in self.shards])
 
     def _owner(self, pid: np.ndarray) -> np.ndarray:

@@ -93,3 +93,37 @@ def test_compaction_drops_tombstones_keeps_digest(tmp_path):
     assert sum(ps.tombstones for ps in m1.partitions.values()) == 0
     assert lake_global_digest(lake) == before  # live rows untouched
     assert read_lake(lake, include_tombstones=True).count() == read_lake(lake).count()
+
+
+def test_streaming_restores_from_delta_mode_lake(tmp_path):
+    """An actor pool must rebuild correct state from a lake written in
+    delta (merge-on-read) mode — base + deltas reconciled on restore —
+    and continue the tail with digests equal to the batch path."""
+    from horizon_etl_ray.pipelines.cdc import (CdcConfig, lake_global_digest,
+                                               replay)
+    from horizon_etl_ray.pipelines.streaming import StreamingUpserter
+    from horizon_etl_ray.sources.generator import EventGenConfig, write_events
+    import ray.data as rd
+
+    gen = EventGenConfig(n_keys=150, n_events=2400, seed=17, epoch_size=600,
+                         content_mean_bytes=96)
+    events_dir, lake = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(gen, events_dir)
+    # first two epochs via the BATCH path in delta mode (creates deltas)
+    cfg = CdcConfig(num_partitions=8, write_mode="delta")
+    replay(events_dir, lake, cfg, mode="incremental", epochs=[0, 1])
+
+    # actor pool restores from base+deltas and follows the remaining tail
+    up = StreamingUpserter(lake, CdcConfig(num_partitions=8), num_shards=2)
+    for e in (2, 3):
+        d = str(tmp_path / "events" / f"epoch={e}")
+        import os
+
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+        up.apply_epoch(rd.read_parquet(files), e)
+    up.shutdown()
+
+    # full batch replay into a fresh lake == streaming-continued lake
+    ref_lake = str(tmp_path / "ref")
+    replay(events_dir, ref_lake, CdcConfig(num_partitions=8), mode="bulk")
+    assert lake_global_digest(lake) == lake_global_digest(ref_lake)
