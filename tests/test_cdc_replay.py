@@ -285,3 +285,76 @@ def test_partial_combiner_bounds_hot_key_shuffle(tmp_path):
     assert hot_rows <= B, f"hot key shipped {hot_rows} rows > {B} blocks"
     # and the exchange as a whole is collapsed far below the input size
     assert len(shuffled) < 40_000 / 2
+
+
+def test_orphan_epoch_files_invisible_until_committed(tmp_path, small_cfg):
+    """A crash AFTER a partition data write but BEFORE the manifest commit
+    leaves an orphan file: readers must not see it, and a retry must
+    converge to the oracle digest."""
+    import os
+
+    import pyarrow as pa
+
+    from horizon_etl_ray.state.manifest import atomic_write_table
+
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(small_cfg, events_dir)
+    cfg = CdcConfig(num_partitions=8)
+    replay(events_dir, lake_dir, cfg, mode="incremental", epochs=[0, 1])
+    d_before = lake_global_digest(lake_dir)
+
+    # simulate the crashed epoch-2 writer: an orphan data file, no commit
+    orphan = pa.table({
+        "repo": ["evil"], "path": ["x"], "commit": ["c"], "lang": ["py"],
+        "content": ["boom"], "seq": [10**9], "op": ["update"],
+        "content_sha256": ["0" * 64], "deleted": [False]})
+    atomic_write_table(
+        os.path.join(lake_dir, "part_id=0", "epoch=2.parquet"), orphan)
+
+    assert lake_global_digest(lake_dir) == d_before  # orphan invisible
+    # resume overwrites the orphan and commits properly
+    replay(events_dir, lake_dir, cfg, mode="incremental")
+    assert lake_global_digest(lake_dir) == _oracle_digest(small_cfg)[0]
+
+
+def test_staged_shuffle_composes_with_delta_mode(tmp_path, small_cfg):
+    events_dir = str(tmp_path / "events")
+    write_events(small_cfg, events_dir)
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=8, shuffle_mode="staged",
+                    write_mode="delta")
+    replay(events_dir, lake, cfg, mode="incremental")
+    assert lake_global_digest(lake) == _oracle_digest(small_cfg)[0]
+    m = ManifestStore(lake).load()
+    assert any(ps.delta_epochs for ps in m.partitions.values())
+
+
+def test_delta_mode_with_add_column_evolution(tmp_path, small_cfg):
+    """Schema evolution (add_column — the delta-safe class) composes with
+    merge-on-read: old deltas conform on read, digests match cow."""
+    import pyarrow as pa
+
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    script = SchemaScript.from_json(
+        base_fields=[("repo", pa.string()), ("path", pa.string()),
+                     ("commit", pa.string()), ("lang", pa.string()),
+                     ("content", pa.string())],
+        script=[{"epoch": 2, "op": "add_column", "name": "size_bytes",
+                 "type": "int64"}],
+    )
+    events_dir = str(tmp_path / "events")
+    write_events(small_cfg, events_dir)
+    lakes = {}
+    for mode in ("cow", "delta"):
+        lake = str(tmp_path / mode)
+        cfg = CdcConfig(num_partitions=8, write_mode=mode,
+                        schema_script=script)
+        replay(events_dir, lake, cfg, mode="incremental")
+        lakes[mode] = (lake, cfg)
+    assert (lake_global_digest(lakes["cow"][0])
+            == lake_global_digest(lakes["delta"][0])
+            == _oracle_digest(small_cfg)[0])
+    # evolved column present in the committed delta view
+    cols = read_lake(*[lakes["delta"][0]], cfg=lakes["delta"][1]).schema().names
+    assert "size_bytes" in cols
