@@ -488,26 +488,87 @@ class SignLshStage:
         n = len(batch)
         weights = (1 << np.arange(self.band_bits, dtype=np.int64))
         bvals = (bits.reshape(n, self.bands, self.band_bits) @ weights)
+        # ids + bucket values only: the band explode must NOT replicate the
+        # vector payload ``bands``× — vectors are re-attached to candidate
+        # PAIRS later via a bucketed join (each vector ships once per pair
+        # endpoint, not once per band)
         return pd.DataFrame({
             "_id": np.repeat(batch[self.id_column].to_numpy(), self.bands),
             "_band": np.tile(np.arange(self.bands, dtype=np.int64), n),
             "_bval": bvals.reshape(-1).astype(np.int64),
-            "_vec": [row for row in np.repeat(v, self.bands, axis=0)],
         })
+
+
+def _attach_vec(pairs_ds, vecs_ds, key_col: str, carry_int: list[str],
+                carry_vec: list[str], out_col: str, id_column: str,
+                vec_column: str, num_buckets: int = 32):
+    """Bucketed hash-join attaching a vector column to pair rows by
+    ``pairs[key_col] == vecs[id_column]`` — the vector sibling of
+    ``attach_doc_column`` (union-tag co-shuffle, vectorized merge per
+    bucket; nothing materializes on the driver)."""
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[carry_int + carry_vec].copy()
+        out["_k"] = df[key_col].to_numpy(dtype=np.int64)
+        out["_v"] = [np.zeros(0)] * len(df)
+        out["_side"] = np.int8(0)
+        out["_jb"] = _pair_bucket(out["_k"].to_numpy(),
+                                  np.zeros(len(out), dtype=np.int64),
+                                  num_buckets)
+        return out
+
+    def tag_vecs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = pd.DataFrame(index=range(n))
+        for c in carry_int:
+            out[c] = np.zeros(n, dtype=np.int64)
+        for c in carry_vec:
+            out[c] = [np.zeros(0)] * n
+        out["_k"] = df[id_column].to_numpy(dtype=np.int64)
+        out["_v"] = [np.asarray(v, dtype=np.float64)
+                     for v in df[vec_column]]
+        out["_side"] = np.int8(1)
+        out["_jb"] = _pair_bucket(out["_k"].to_numpy(),
+                                  np.zeros(n, dtype=np.int64), num_buckets)
+        return out
+
+    left = pairs_ds.map_batches(tag_pairs, batch_format="pandas")
+    right = vecs_ds.map_batches(tag_vecs, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lp = g[g["_side"] == 0][carry_int + carry_vec + ["_k"]]
+        if len(lp) == 0:
+            out = pd.DataFrame({c: np.array([], dtype=np.int64)
+                                for c in carry_int})
+            for c in carry_vec + [out_col]:
+                out[c] = pd.Series([], dtype=object)
+            return out
+        rp = g[g["_side"] == 1][["_k", "_v"]].drop_duplicates(subset=["_k"])
+        m = lp.merge(rp, on="_k", how="left")
+        out = m[carry_int + carry_vec].copy()
+        out[out_col] = m["_v"]
+        return out
+
+    return left.union(right).groupby("_jb").map_groups(
+        merge, batch_format="pandas")
 
 
 def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
                         threshold=0.95, bands=16, band_bits=8, seed=42,
                         max_bucket=1024, num_buckets=32, concurrency=(1, 4)):
-    """Near-duplicate pairs by embedding cosine ≥ threshold — LSH-bucketed.
+    """Near-duplicate pairs by embedding cosine ≥ threshold — LSH-bucketed,
+    two-phase:
 
-    sign-bit LSH explode (actor pool) → coarse-bucket co-shuffle → in-bucket
-    vectorized all-pairs cosine (capped at ``max_bucket`` members — the
-    hot-bucket guard of minhash_lsh_groups) → bucketed pair dedup. No driver
-    materialization and no corpus×corpus matmul: flops are
-    O(Σ bucket_size²) ≪ O(n²) once buckets split the corpus. ``num_buckets``
-    coarse groups keep the groupby at P vectorized calls, not one per LSH
-    bucket (Ray's many-small-groups penalty)."""
+      1. sign-bit LSH explode (actor pool; ids + bucket values ONLY — the
+         band explode never replicates vectors) → coarse-bucket co-shuffle →
+         in-bucket candidate pairs (capped at ``max_bucket`` members — the
+         hot-bucket guard) → bucketed pair dedup.
+      2. vectors are attached to the DEDUPED pairs via two bucketed joins
+         (each vector ships once per pair endpoint) and cosine is verified
+         vectorized per batch.
+
+    No driver materialization and no corpus×corpus matmul; the vector bytes
+    moved are O(pair endpoints), not O(n × bands)."""
 
     exploded = ds.map_batches(
         SignLshStage,
@@ -526,26 +587,46 @@ def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
     def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for _, sub in g.groupby(["_band", "_bval"], sort=False):
-            sub = (sub.drop_duplicates(subset=["_id"])
-                   .sort_values("_id").head(max_bucket))
-            if len(sub) < 2:
+            ids = np.unique(sub["_id"].to_numpy())[:max_bucket]
+            if len(ids) < 2:
                 continue
-            v = np.stack(sub["_vec"].to_numpy())
-            ids = sub["_id"].to_numpy()
-            sims = v @ v.T
             i, j = np.triu_indices(len(ids), k=1)
-            hit = sims[i, j] >= threshold
-            if hit.any():
-                frames.append(pd.DataFrame({
-                    "id_a": ids[i[hit]], "id_b": ids[j[hit]],
-                    "cosine": sims[i[hit], j[hit]].astype(np.float64)}))
+            frames.append(pd.DataFrame({"id_a": ids[i], "id_b": ids[j]}))
         if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cands = dedup_pairs(
+        (exploded.map_batches(route, batch_format="pandas")
+         .groupby("_cb")
+         .map_groups(pairs_in_buckets, batch_format="pandas")),
+        num_buckets=num_buckets)
+
+    vecs = ds.select_columns([id_column, vec_column])
+    with_a = _attach_vec(cands, vecs, key_col="id_a",
+                         carry_int=["id_a", "id_b"], carry_vec=[],
+                         out_col="_va", id_column=id_column,
+                         vec_column=vec_column, num_buckets=num_buckets)
+    with_ab = _attach_vec(with_a, vecs, key_col="id_b",
+                          carry_int=["id_a", "id_b"], carry_vec=["_va"],
+                          out_col="_vb", id_column=id_column,
+                          vec_column=vec_column, num_buckets=num_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(frames, ignore_index=True)
+        va = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in batch["_va"]])
+        vb = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in batch["_vb"]])
+        va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-12)
+        vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-12)
+        cos = np.einsum("ij,ij->i", va, vb)
+        out = batch[["id_a", "id_b"]].copy()
+        out["cosine"] = cos
+        return out[out["cosine"] >= threshold]
 
-    pairs = (exploded.map_batches(route, batch_format="pandas")
-             .groupby("_cb")
-             .map_groups(pairs_in_buckets, batch_format="pandas"))
-    return dedup_pairs(pairs, num_buckets=num_buckets)
+    return with_ab.map_batches(verify, batch_format="pandas")

@@ -668,10 +668,23 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     return ds
 
 
-def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS) -> str:
+def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,
+                       max_rows: int = 20_000_000) -> str:
     """FIXTURES.md §4 global digest: sha256 of newline-joined per-row content
-    sha256s of live rows, sorted by key — partition-count invariant. Row-level
-    (test scales); at lake scale use ``manifest_digest`` instead."""
+    sha256s of live rows, sorted by key — partition-count invariant.
+
+    Row-level and DRIVER-CONCATENATING by design (the verification oracle for
+    test scales); it refuses lakes above ``max_rows`` so nobody points it at
+    a production lake by accident — use ``manifest_digest`` there (combines
+    the committed per-partition digests, O(partitions))."""
+    m = ManifestStore(lake_dir).load()
+    live = sum(ps.row_count for ps in m.partitions.values())
+    if live > max_rows:
+        raise ValueError(
+            f"lake has {live} live rows > max_rows={max_rows}: "
+            "lake_global_digest materializes row digests on the driver; "
+            "use manifest_digest() at this scale"
+        )
     ds = read_lake(lake_dir).select_columns(list(key_columns) + ["content_sha256"])
     t = ds.to_arrow_refs()
     import pyarrow as _pa

@@ -33,6 +33,13 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=128)
     ap.add_argument("--mode", choices=["bulk", "incremental"], default="incremental")
     ap.add_argument("--shuffle", choices=["groupby", "staged"], default="staged")
+    ap.add_argument("--write-mode", choices=["cow", "delta"], default="cow",
+                    help="delta = per-epoch delta files + merge-on-read "
+                         "(tail-follow deployments; run --compact to "
+                         "reconcile)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the replay, reconcile deltas into single "
+                         "bases, drop tombstones and GC superseded files")
     ap.add_argument("--read-blocks", type=int, default=None)
     args = ap.parse_args()
 
@@ -52,23 +59,32 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from horizon_etl_ray.pipelines.cdc import CdcConfig, manifest_digest, replay
+    from horizon_etl_ray.pipelines.cdc import (CdcConfig, compact,
+                                               manifest_digest, replay)
 
+    cfg = CdcConfig(num_partitions=args.partitions,
+                    shuffle_mode=args.shuffle, write_mode=args.write_mode)
     t0 = time.time()
     results = replay(
-        args.events, args.lake,
-        CdcConfig(num_partitions=args.partitions, shuffle_mode=args.shuffle),
+        args.events, args.lake, cfg,
         mode=args.mode, override_num_blocks=args.read_blocks,
     )
     applied = [r for r in results if not r.get("skipped")]
-    print(json.dumps({
+    out = {
         "epochs_total": len(results),
         "epochs_applied": len(applied),
         "epochs_skipped": len(results) - len(applied),
         "live_rows": sum(r.get("live_rows", 0) for r in applied),
         "wall_sec": round(time.time() - t0, 2),
         "manifest_digest16": manifest_digest(args.lake)[:16],
-    }))
+    }
+    if args.compact:
+        c = compact(args.lake, cfg)
+        out["compacted_epoch"] = c["epoch"]
+        out["tombstones_dropped"] = c["tombstones_dropped"]
+        out["files_gc"] = c["files_gc"]
+        out["manifest_digest16"] = manifest_digest(args.lake)[:16]
+    print(json.dumps(out))
     ray.shutdown()
     return 0
 
