@@ -140,13 +140,69 @@ class RegistryIndex:
         return cls(t[id_column].to_numpy(), t[name_column].tolist())
 
 
-class CascadeMatcher:
-    """Actor-pool stage: applies the tier cascade to each incoming batch.
+def cascade_match(names: pd.Series, iid: np.ndarray, idx: RegistryIndex,
+                  fuzzy_threshold: int) -> pd.DataFrame:
+    """Apply the tier cascade to one batch of incoming (id, name) rows
+    against a registry index. Exact tiers are vectorized dict lookups; the
+    fuzzy tier scores only the rows that fell through, against registry
+    candidates in the SAME block only, with a banded early-exit
+    Levenshtein bounded by the running best score."""
+    n = len(names)
+    matched = np.full(n, -1, dtype=np.int64)
+    tier = np.full(n, _TIER_NONE, dtype=object)
+    score = np.zeros(n, dtype=np.int64)
 
-    Exact tiers are vectorized dict lookups (pandas map); the fuzzy tier
-    scores only the rows that fell through, against registry candidates in
-    the SAME block only (the blocking strategy that keeps the scan bounded).
-    """
+    raw_hit = names.map(idx.raw)
+    m = raw_hit.notna().to_numpy()
+    matched[m] = raw_hit[m].astype(np.int64)
+    tier[m] = _TIER_RAW
+    score[m] = 100
+
+    todo = ~m
+    if todo.any():
+        norm_names = names[todo].map(normalize_loose)
+        norm_hit = norm_names.map(idx.norm)
+        hit_idx = np.flatnonzero(todo)[norm_hit.notna().to_numpy()]
+        matched[hit_idx] = norm_hit[norm_hit.notna()].astype(np.int64)
+        tier[hit_idx] = _TIER_NORM
+        score[hit_idx] = 100
+
+    for i in np.flatnonzero(tier == _TIER_NONE):
+        nm = names.iloc[i]
+        cands = idx.blocks.get(block_key_loose(nm), ())
+        best_rid, best_score = -1, fuzzy_threshold - 1
+        ts_in = token_sort(nm)
+        for rid, rname in cands:
+            ts_reg = token_sort(rname)
+            denom = max(len(ts_in), len(ts_reg), 1)
+            # a score > best_score needs lev < denom*(1 - (best+0.5)/100)
+            # (floor(x+0.5) rounding) — skip candidates whose length gap
+            # alone exceeds the bound, and band the DP by it
+            bound = denom * (100 - best_score - 0.5) / 100.0
+            if abs(len(ts_in) - len(ts_reg)) > bound:
+                continue
+            d = _lev_banded(ts_in, ts_reg, int(bound))
+            if d is None:
+                continue
+            r = int(np.floor(100 * (1 - d / denom) + 0.5))
+            if r > best_score or (r == best_score and 0 <= rid < best_rid):
+                best_rid, best_score = rid, r
+        if best_rid >= 0:
+            matched[i] = best_rid
+            tier[i] = _TIER_FUZZY
+            score[i] = best_score
+
+    return pd.DataFrame({
+        "incoming_id": iid,
+        "matched_id": matched,
+        "tier": tier.astype(str),
+        "score": score,
+    })
+
+
+class CascadeMatcher:
+    """Actor-pool stage for the broadcast-registry mode: holds the (small)
+    registry index once per actor and applies ``cascade_match`` per batch."""
 
     def __init__(self, index_ref, id_column: str, name_column: str,
                  fuzzy_threshold: int = 90):
@@ -158,89 +214,20 @@ class CascadeMatcher:
         self.fuzzy_threshold = fuzzy_threshold
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        names = batch[self.name_column].fillna("")
-        iid = batch[self.id_column].to_numpy()
-        n = len(batch)
-        matched = np.full(n, -1, dtype=np.int64)
-        tier = np.full(n, _TIER_NONE, dtype=object)
-        score = np.zeros(n, dtype=np.int64)
-
-        raw_hit = names.map(self.idx.raw)
-        m = raw_hit.notna().to_numpy()
-        matched[m] = raw_hit[m].astype(np.int64)
-        tier[m] = _TIER_RAW
-        score[m] = 100
-
-        todo = ~m
-        if todo.any():
-            norm_names = names[todo].map(normalize_loose)
-            norm_hit = norm_names.map(self.idx.norm)
-            hit_idx = np.flatnonzero(todo)[norm_hit.notna().to_numpy()]
-            matched[hit_idx] = norm_hit[norm_hit.notna()].astype(np.int64)
-            tier[hit_idx] = _TIER_NORM
-            score[hit_idx] = 100
-
-        for i in np.flatnonzero(tier == _TIER_NONE):
-            nm = names.iloc[i]
-            cands = self.idx.blocks.get(block_key_loose(nm), ())
-            best_rid, best_score = -1, self.fuzzy_threshold - 1
-            ts_in = token_sort(nm)
-            for rid, rname in cands:
-                ts_reg = token_sort(rname)
-                denom = max(len(ts_in), len(ts_reg), 1)
-                # a score > best_score needs lev < denom*(1 - (best+0.5)/100)
-                # (floor(x+0.5) rounding) — skip candidates whose length gap
-                # alone exceeds the bound, and band the DP by it
-                bound = denom * (100 - best_score - 0.5) / 100.0
-                if abs(len(ts_in) - len(ts_reg)) > bound:
-                    continue
-                d = _lev_banded(ts_in, ts_reg, int(bound))
-                if d is None:
-                    continue
-                r = int(np.floor(100 * (1 - d / denom) + 0.5))
-                if r > best_score or (r == best_score and 0 <= rid < best_rid):
-                    best_rid, best_score = rid, r
-            if best_rid >= 0:
-                matched[i] = best_rid
-                tier[i] = _TIER_FUZZY
-                score[i] = best_score
-
-        return pd.DataFrame({
-            "incoming_id": iid,
-            "matched_id": matched,
-            "tier": tier.astype(str),
-            "score": score,
-        })
+        return cascade_match(batch[self.name_column].fillna(""),
+                             batch[self.id_column].to_numpy(),
+                             self.idx, self.fuzzy_threshold)
 
 
-def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
-                     incoming_name="name", registry_id="rid",
-                     registry_name="name", fuzzy_threshold=90,
-                     concurrency=(1, 4)):
-    """Run the cascade; returns a Dataset of
-    ``(incoming_id, matched_id, tier, score, won)`` where ``won`` marks the
-    claim each registry entity keeps (score desc, incoming_id asc; unmatched
-    rows carry matched_id=-1, won=false)."""
-    import ray
+def _resolve_claims(claims_ds, num_buckets: int = 16):
+    """Per-entity argmax claim resolution (bucketed — one exchange)."""
 
-    idx = RegistryIndex.from_dataset(registry_ds, registry_id, registry_name)
-    ref = ray.put(idx)
-
-    claims = incoming_ds.map_batches(
-        CascadeMatcher,
-        fn_constructor_kwargs=dict(index_ref=ref, id_column=incoming_id,
-                                   name_column=incoming_name,
-                                   fuzzy_threshold=fuzzy_threshold),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
-
-    # claim resolution: per-entity argmax (bucketed — one exchange)
     def route(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         key = df["matched_id"].to_numpy()
         df["_cb"] = (((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                      >> np.uint64(32)) % np.uint64(16)).astype(np.int64)
+                      >> np.uint64(32)) % np.uint64(num_buckets)
+                     ).astype(np.int64)
         return df
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
@@ -251,5 +238,88 @@ def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
         out["won"] = won.to_numpy()
         return out
 
-    return claims.map_batches(route, batch_format="pandas").groupby(
+    return claims_ds.map_batches(route, batch_format="pandas").groupby(
         "_cb").map_groups(pick, batch_format="pandas")
+
+
+def _block_bucket(names: pd.Series, P: int) -> np.ndarray:
+    h = pd.util.hash_array(
+        names.map(block_key_loose).to_numpy(dtype=object))
+    return (h % np.uint64(P)).astype(np.int64)
+
+
+def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
+                     incoming_name="name", registry_id="rid",
+                     registry_name="name", fuzzy_threshold=90,
+                     concurrency=(1, 4), mode="broadcast", num_buckets=16):
+    """Run the cascade; returns a Dataset of
+    ``(incoming_id, matched_id, tier, score, won)`` where ``won`` marks the
+    claim each registry entity keeps (score desc, incoming_id asc; unmatched
+    rows carry matched_id=-1, won=false).
+
+    ``mode="broadcast"`` (default): the registry's tier indexes are built
+    once and broadcast — faithful to the reference's preloaded matcher
+    caches, right whenever the registry is the small side.
+    ``mode="partitioned"``: both sides are co-shuffled on the BLOCK key and
+    the cascade runs per bucket — right when the registry itself is too
+    large for one machine. Correctness relies on the block key co-locating
+    every tier's candidates: raw-equal names are byte-equal (same block),
+    normalized-equal names share normalized tokens (same block), and the
+    fuzzy tier only ever scans within a block by construction."""
+    import ray
+
+    if mode == "broadcast":
+        idx = RegistryIndex.from_dataset(registry_ds, registry_id,
+                                         registry_name)
+        ref = ray.put(idx)
+        claims = incoming_ds.map_batches(
+            CascadeMatcher,
+            fn_constructor_kwargs=dict(index_ref=ref, id_column=incoming_id,
+                                       name_column=incoming_name,
+                                       fuzzy_threshold=fuzzy_threshold),
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+        return _resolve_claims(claims, num_buckets)
+
+    # partitioned: union-tag co-shuffle on hash(block_key) % num_buckets
+    def tag_incoming(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "_id": df[incoming_id].to_numpy(dtype=np.int64),
+            "_name": df[incoming_name].fillna("").to_numpy(),
+        })
+        out["_side"] = np.int8(0)
+        out["_bb"] = _block_bucket(df[incoming_name].fillna(""), num_buckets)
+        return out
+
+    def tag_registry(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "_id": df[registry_id].to_numpy(dtype=np.int64),
+            "_name": df[registry_name].fillna("").to_numpy(),
+        })
+        out["_side"] = np.int8(1)
+        out["_bb"] = _block_bucket(df[registry_name].fillna(""), num_buckets)
+        return out
+
+    both = (incoming_ds.map_batches(tag_incoming, batch_format="pandas")
+            .union(registry_ds.map_batches(tag_registry,
+                                           batch_format="pandas")))
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        inc = g[g["_side"] == 0]
+        reg = g[g["_side"] == 1]
+        if len(inc) == 0:
+            return pd.DataFrame({
+                "incoming_id": pd.Series([], dtype="int64"),
+                "matched_id": pd.Series([], dtype="int64"),
+                "tier": pd.Series([], dtype="str"),
+                "score": pd.Series([], dtype="int64")})
+        idx = RegistryIndex(reg["_id"].to_numpy(dtype=np.int64),
+                            reg["_name"].tolist())
+        return cascade_match(inc["_name"].reset_index(drop=True),
+                             inc["_id"].to_numpy(dtype=np.int64),
+                             idx, fuzzy_threshold)
+
+    claims = both.groupby("_bb").map_groups(match_bucket,
+                                            batch_format="pandas")
+    return _resolve_claims(claims, num_buckets)

@@ -57,3 +57,34 @@ def test_fuzzy_respects_blocking():
         registry_id="rid", registry_name="name",
     ).to_pandas()
     assert out.iloc[0]["tier"] == "none"
+
+
+def test_partitioned_mode_matches_broadcast():
+    """The co-shuffle cascade (registry too big to broadcast) must produce
+    the same output as the broadcast plan — the block key co-locates every
+    tier's candidates."""
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.analytics import entity_resolution_cascade
+
+    reg = pd.DataFrame({
+        "rid": [1, 2, 3, 4],
+        "name": ["Ana Beatriz Costa", "Bruno Lima Souza",
+                 "Carla Dias Rocha", "Ana Beatriz Costa"]})  # dup name
+    inc = pd.DataFrame({
+        "id": [10, 11, 12, 13, 14],
+        "name": ["Ana Beatriz Costa", "ANA BEATRIZ COSTA",
+                 "Bruno Lima X Souza", "Zuleica Nobody Q",
+                 "Carla  Dias   Rocha"]})
+    outs = {}
+    for mode in ("broadcast", "partitioned"):
+        out = er.resolve_entities(
+            rd.from_pandas(inc), rd.from_pandas(reg),
+            incoming_id="id", incoming_name="name",
+            registry_id="rid", registry_name="name", fuzzy_threshold=85,
+            mode=mode,
+        ).to_pandas().sort_values("incoming_id").reset_index(drop=True)
+        outs[mode] = out
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["partitioned"])
+    # duplicate registry names resolve to min rid in both modes
+    assert outs["partitioned"].set_index("incoming_id").loc[10, "matched_id"] == 1
