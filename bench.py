@@ -369,6 +369,10 @@ def skew() -> None:
                   batch_size=None).to_pandas()
     shuffle_total = int(audit["rows"].sum())
     per_key_max = int(audit["hot"].sum())
+    del ds  # release the materialized audit input before timing the replay
+    import gc
+
+    gc.collect()
 
     lake_dir = os.path.join(BENCH_TMP, f"lake_{tag}_{NUM_CPUS}")
     shutil.rmtree(lake_dir, ignore_errors=True)

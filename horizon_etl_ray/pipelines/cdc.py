@@ -296,6 +296,20 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
     keys = list(cfg.key_columns)
     seq_col = cfg.seq_column
 
+    def add_sha(winners: pa.Table) -> pa.Table:
+        """Deferred content sha (validate runs with compute_sha=False): only
+        WINNER rows are hashed — the combiner's dedup ratio is a free sha
+        speedup, extreme under hot-key skew."""
+        from ..functions.hashing import sha256_column
+
+        if "content_sha256" in winners.column_names:
+            return winners
+        if cfg.content_column in winners.column_names:
+            sha = sha256_column(winners[cfg.content_column])
+        else:
+            sha = pa.nulls(len(winners), pa.string())
+        return winners.append_column("content_sha256", sha)
+
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
@@ -313,7 +327,9 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
             keep = batch[seq_col].to_numpy(zero_copy_only=False) > fence
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
-            return cfg.merge_policy.reduce(batch) if len(batch) else batch
+            if len(batch) == 0:
+                return batch
+            return add_sha(cfg.merge_policy.reduce(batch))
         out, part = lww_partial_fast(batch, keys, seq_col, cfg.num_partitions)
         if "part_id" in out.column_names:
             out = out.drop_columns(["part_id"])
@@ -322,7 +338,7 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
         keep = out[seq_col].to_numpy(zero_copy_only=False) > fence
         if not keep.all():
             out = out.filter(pa.array(keep))
-        return out
+        return add_sha(out)
 
     return partial
 
@@ -406,6 +422,7 @@ def apply_epoch(
             op_column=cfg.op_column,
             content_column=cfg.content_column,
             quarantine_dir=os.path.join(lake_dir, "_quarantine") if cfg.quarantine else None,
+            compute_sha=False,  # deferred to post-combiner (winners only)
         )
         ds = ds.map_batches(validator, batch_format="pyarrow", batch_size=None)
     if cfg.schema_script is not None:

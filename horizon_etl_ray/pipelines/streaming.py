@@ -173,6 +173,7 @@ class StreamingUpserter:
                 key_columns=list(cfg.key_columns), seq_column=cfg.seq_column,
                 op_column=cfg.op_column, content_column=cfg.content_column,
                 quarantine_dir=os.path.join(self.lake_dir, "_quarantine"),
+                compute_sha=False,  # _partial_stage hashes winners only
             ),
             batch_format="pyarrow",
         ).map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow")

@@ -42,12 +42,18 @@ class ValidateEvents:
         op_column: str = "op",
         content_column: str = "content",
         quarantine_dir: str | None = None,
+        compute_sha: bool = True,
     ):
         self.key_columns = list(key_columns)
         self.seq_column = seq_column
         self.op_column = op_column
         self.content_column = content_column
         self.quarantine_dir = quarantine_dir
+        # the CDC pipeline defers the sha to AFTER the partial LWW combiner
+        # (compute_sha=False): only winner rows need hashing, which cuts the
+        # dominant CPU item by the block dedup ratio (dramatic under skew —
+        # a 10^7-event hot key hashes once per block instead of 10^7 times)
+        self.compute_sha = compute_sha
 
     def _valid_mask(self, t: pa.Table) -> pa.ChunkedArray:
         mask = pc.is_in(t[self.op_column], value_set=pa.array(list(VALID_OPS)))
@@ -83,6 +89,8 @@ class ValidateEvents:
                 name = f"bad-{os.getpid()}-{time.time_ns()}.parquet"
                 pq.write_table(bad, os.path.join(self.quarantine_dir, name))
             t = t.filter(mask)
+        if not self.compute_sha:
+            return t
         if self.content_column in t.column_names:
             sha = sha256_column(t[self.content_column])
         else:
