@@ -880,10 +880,10 @@ def graph_degree_stats(sf_dir: str) -> pd.DataFrame:
     /root/reference/src/core/logic/people_relationship_graph_generator.py:436-480,
     sort by (-weighted_degree, node id)): built FROM the co-occurrence edge
     list, so edges Dataset → per-endpoint explode → bucketed degree reduce →
-    sort + limit."""
-    import ray.data as rd
-
-    edges = rd.from_pandas(supplier_cograph(sf_dir))
+    sort + limit. The edge Dataset chains straight from the pair-expansion
+    stage — no driver round-trip of the edge list."""
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    edges = _cooccurrence_edges(li, "l_orderkey", "l_suppkey")
 
     def explode(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays(
