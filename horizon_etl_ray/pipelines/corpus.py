@@ -137,6 +137,38 @@ def multimodal_meta(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Frame/chunk sampling over opaque payloads (the 1→N explode layout of
+    stages/multimodal.py:FrameSampleStage, run as a real actor-pool stage):
+    3 deterministic 32-byte frames per document. The sampler's byte
+    arithmetic is SQL-expressible, so the whole stage is oracle-checked;
+    frames are emitted as utf8 for the driver's hash compare (payloads here
+    are ASCII text standing in for media bytes)."""
+    from ..stages.multimodal import FrameSampleStage, attach_payload
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    framed = ds.map_batches(
+        lambda t: attach_payload(t, "text"), batch_format="pyarrow"
+    ).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(payload_column="payload",
+                                   id_column="doc_id"),
+        batch_format="pyarrow",
+        batch_size=256,  # payloads are large in real deployments
+        concurrency=(1, 4),
+    )
+
+    def to_utf8(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "frame_idx": t["frame_idx"].cast(pa.int64()),
+            "frame": t["frame"].cast(pa.string()),
+        })
+
+    out = framed.map_batches(to_utf8, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for three fixed query vectors (vec_id 0/1/2)
     — numpy matmul per batch against the broadcast query matrix; rank
@@ -616,6 +648,19 @@ ORACLE_SQL: dict[str, str] = {
                                 for h in list_sort(hs)[1:4]], '-') AS fingerprint
         FROM w ORDER BY doc_id
     """,
+    "multimodal_frames": """
+        WITH f AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS L,
+                   unnest([0, 1, 2]) AS frame_idx
+            FROM documents WHERE octet_length(encode(text)) > 0
+        )
+        SELECT doc_id, frame_idx,
+               substr(text,
+                      least(frame_idx * greatest(L // 3, 1),
+                            greatest(L - 1, 0)) + 1,
+                      32) AS frame
+        FROM f ORDER BY doc_id, frame_idx
+    """,
     "ivf_ann_exhaustive": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -658,6 +703,7 @@ QUERIES = {
     "quality_stats": quality_stats,
     "exact_dedup_documents": exact_dedup_documents,
     "multimodal_meta": multimodal_meta,
+    "multimodal_frames": multimodal_frames,
     "ann_cosine_topk": ann_cosine_topk,
     "quality_scores": quality_scores,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
