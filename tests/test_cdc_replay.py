@@ -358,3 +358,22 @@ def test_delta_mode_with_add_column_evolution(tmp_path, small_cfg):
     # evolved column present in the committed delta view
     cols = read_lake(*[lakes["delta"][0]], cfg=lakes["delta"][1]).schema().names
     assert "size_bytes" in cols
+
+
+def test_wide_content_rows_replay(tmp_path):
+    """SURVEY §7.5 hard part 5: multi-hundred-KB content strings flow
+    through validate → combiner → exchange → merge intact (large payloads,
+    digest-exact vs the oracle)."""
+    cfg_ev = EventGenConfig(n_keys=60, n_events=400, seed=13, epoch_size=200,
+                            content_mean_bytes=65_536,
+                            content_max_bytes=262_144)
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(cfg_ev, events_dir)
+    replay(events_dir, lake_dir, CdcConfig(num_partitions=4),
+           mode="incremental")
+    want_digest, want_rows = _oracle_digest(cfg_ev)
+    assert read_lake(lake_dir).count() == want_rows
+    assert lake_global_digest(lake_dir) == want_digest
+    # the big payloads really are big
+    sizes = [len(r["content"]) for r in read_lake(lake_dir).take(50)]
+    assert max(sizes) > 100_000
