@@ -278,30 +278,63 @@ def q3_top_orders(sf_dir: str, bloom_threshold: int = 10_000_000
     return out.reset_index(drop=True)
 
 
-def anti_join_customers(sf_dir: str) -> pd.DataFrame:
-    """J8 parity: customers with no big order (>300k) — anti-join via
-    broadcast key set (at 100 TB: a Bloom filter of the keys instead)."""
-    import pyarrow.parquet as pq
+def anti_join_customers(sf_dir: str, bloom_threshold: int = 10_000_000
+                        ) -> pd.DataFrame:
+    """J8 parity: customers with no big order (>300k). The build side is a
+    DISTRIBUTED filtered read (keys only — never a driver full-table read),
+    with the same hybrid policy as ``q3_top_orders``:
+
+      - ≤ ``bloom_threshold`` build keys: broadcast the sorted key array once
+        (``ray.put``) and anti-filter each customer batch vectorized.
+      - above it (the 10^10 target): a fixed-size **Bloom filter built
+        distributed** splits customers into definite-keeps (bloom negative ⇒
+        provably no big order) and maybes (bloom positive); only the maybes —
+        a small, FP-bounded slice — go through an exact hash-shuffle
+        ``left_anti`` ``Dataset.join`` against the build keys. Join partition
+        count is tied to cluster CPUs (same observed-deadlock guard as q3)."""
     import ray
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_totalprice"])
-    big = orders.filter(pc.greater(orders["o_totalprice"], 300_000.0))
-    okeys = np.unique(big["o_custkey"].to_numpy())
-    ref = ray.put(okeys)
+    from ..functions.bloom import bloom_contains, build_bloom
 
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck).clip(0, max(len(keys) - 1, 0))
-        has = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
-        return t.filter(pa.array(~has))
+    big = (_rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+               filter=pc.field("o_totalprice") > 300_000.0)
+           .select_columns(["o_custkey"]).materialize())
+    cust = _rp(sf_dir, "customer", columns=["c_custkey"])
 
-    out = (
-        _rp(sf_dir, "customer", columns=["c_custkey"])
-        .map_batches(anti, batch_format="pyarrow")
-        .to_pandas()
-    )
+    if big.count() <= bloom_threshold:
+        okeys = np.unique(np.concatenate(
+            [b["o_custkey"].to_numpy() for b in
+             big.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        ref = ray.put(okeys)
+
+        def anti(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ck).clip(0, max(len(keys) - 1, 0))
+            has = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+            return t.filter(pa.array(~has))
+
+        out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    else:
+        bloom = build_bloom(big, "o_custkey")
+        bref = ray.put(bloom)
+
+        def bloom_split(keep_positive: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                bits = ray.get(bref)
+                ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+                hit = bloom_contains(bits, ck)
+                return t.filter(pa.array(hit if keep_positive else ~hit))
+            return fn
+
+        definite = cust.map_batches(bloom_split(False), batch_format="pyarrow")
+        maybe = cust.map_batches(bloom_split(True), batch_format="pyarrow")
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        exact = maybe.join(big, join_type="left_anti",
+                           num_partitions=max(2, min(8, 2 * cpus)),
+                           on=("c_custkey",), right_on=("o_custkey",))
+        out = definite.union(exact).to_pandas()
     if out.empty:  # empty Dataset → pandas loses the schema
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
     return out.sort_values("c_custkey").reset_index(drop=True)
