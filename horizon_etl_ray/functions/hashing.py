@@ -94,6 +94,29 @@ def sha256_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def sha_digest_of_column(arr: pa.ChunkedArray | pa.Array) -> str:
+    """Partition content digest: sha256 of the newline-joined values of a
+    string column (nulls → ''), identical to
+    ``hashlib.sha256("\\n".join(s or "" for s in col).encode())`` but built
+    with ONE vectorized ``pc.binary_join`` over a single-list wrapper instead
+    of a per-row Python loop — this runs on the commit path of every touched
+    partition."""
+    import pyarrow.compute as pc
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(a) == 0:
+        return hashlib.sha256(b"").hexdigest()
+    a = pc.fill_null(a, "")
+    if pa.types.is_large_string(a.type):
+        offsets = pa.array([0, len(a)], type=pa.int64())
+        wrapped = pa.LargeListArray.from_arrays(offsets, a)
+    else:
+        offsets = pa.array([0, len(a)], type=pa.int32())
+        wrapped = pa.ListArray.from_arrays(offsets, a)
+    joined = pc.binary_join(wrapped, "\n")[0].as_py()
+    return hashlib.sha256(joined.encode()).hexdigest()
+
+
 _HASH_KEY_A = "horizon-sipkey-0"  # 16 chars, pandas siphash key
 _HASH_KEY_B = "horizon-sipkey-1"
 

@@ -86,8 +86,10 @@ class CdcConfig:
     # ``reduce(pa.Table) -> pa.Table`` used as BOTH the per-block combiner
     # and the per-partition merge (must be associative/commutative/
     # idempotent — see state/merge_policy.py). None = last-writer-wins.
-    # Composes with write_mode='cow' only (the delta index merge is
-    # LWW-specific); apply_epoch enforces this.
+    # Composes with write_mode='delta' too when the policy declares
+    # ``index_columns()`` (the narrow-index merge re-runs the policy across
+    # epochs); apply_epoch enforces this. Readers of a policy+delta lake must
+    # pass cfg (read_lake/compact re-reduce with the policy).
     merge_policy: object | None = None
 
 
@@ -153,8 +155,21 @@ class MergeWritePartition:
         return t
 
     def _index_columns(self) -> list[str]:
-        return list(self.cfg.key_columns) + [self.cfg.seq_column,
+        cols = list(self.cfg.key_columns) + [self.cfg.seq_column,
                                              "content_sha256"]
+        pol = self.cfg.merge_policy
+        if pol is not None:  # policy aggregates ride the narrow index
+            cols += [c for c in pol.index_columns() if c not in cols]
+        return cols
+
+    def _resolve(self, ev: pa.Table) -> pa.Table:
+        """Events (and/or reduced rows) → one winner row per key: the
+        configured merge policy, or plain LWW."""
+        if self.cfg.merge_policy is not None:
+            return self.cfg.merge_policy.reduce(ev)
+        return lww_resolve_table(ev, list(self.cfg.key_columns),
+                                 self.cfg.seq_column, self.cfg.op_column,
+                                 keep_tombstones=True)
 
     def _read_prior_index(self, pid: int) -> pa.Table | None:
         """Prior narrow index; falls back to rebuilding it from the payload
@@ -179,9 +194,7 @@ class MergeWritePartition:
         # rebuilt payload may itself contain deltas → resolve to winners
         op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
         ev = t.drop_columns(["deleted"]).append_column("op", op)
-        winners = lww_resolve_table(ev, list(self.cfg.key_columns),
-                                    self.cfg.seq_column, self.cfg.op_column,
-                                    keep_tombstones=True)
+        winners = self._resolve(ev)
         deleted = pc.fill_null(
             pc.equal(winners[self.cfg.op_column], "delete"), False)
         return winners.select(self._index_columns()).append_column(
@@ -197,10 +210,10 @@ class MergeWritePartition:
         live_mask = pc.invert(deleted)
         live_count = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
         tomb_count = len(lake_like) - live_count
-        shas = lake_like.filter(live_mask)["content_sha256"].to_pylist()
-        digest = hashlib.sha256(
-            "\n".join(s or "" for s in shas).encode()
-        ).hexdigest()
+        from ..functions.hashing import sha_digest_of_column
+
+        digest = sha_digest_of_column(
+            lake_like.filter(live_mask)["content_sha256"])
         offset = (pc.max(lake_like[cfg.seq_column]).as_py()
                   if len(lake_like) else -1)
         return pa.table(
@@ -249,11 +262,9 @@ class MergeWritePartition:
     def _call_delta(self, pid: int, group: pa.Table) -> pa.Table:
         cfg = self.cfg
         store = self._store()
-        # in-epoch winners only (the delta payload — written once per event)
-        winners = lww_resolve_table(
-            group, list(cfg.key_columns), cfg.seq_column, cfg.op_column,
-            keep_tombstones=True,
-        )
+        # in-epoch winners only (the delta payload — written once per event);
+        # policy mode: per-epoch reduce carries partial aggregates forward
+        winners = self._resolve(group)
         deleted = pc.fill_null(pc.equal(winners[cfg.op_column], "delete"), False)
         delta_rows = winners.drop_columns([cfg.op_column]).append_column(
             "deleted", deleted)
@@ -262,7 +273,9 @@ class MergeWritePartition:
                 else store.delta_file(pid, self.epoch))
         atomic_write_table(path, delta_rows)
 
-        # merge the NARROW index (not the payload) for digest/counts/offset
+        # merge the NARROW index (not the payload) for digest/counts/offset —
+        # under a policy the index re-reduces across epochs, which the
+        # policy's associativity/idempotence contract licenses
         new_idx = delta_rows.select(self._index_columns() + ["deleted"])
         prior_idx = self._read_prior_index(pid)
         if prior_idx is not None:
@@ -271,15 +284,26 @@ class MergeWritePartition:
             op = pc.if_else(both["deleted"], pa.scalar("delete"),
                             pa.scalar("update"))
             ev = both.drop_columns(["deleted"]).append_column(cfg.op_column, op)
-            merged = lww_resolve_table(ev, list(cfg.key_columns),
-                                       cfg.seq_column, cfg.op_column,
-                                       keep_tombstones=True)
+            merged = self._resolve(ev)
             mdel = pc.fill_null(pc.equal(merged[cfg.op_column], "delete"), False)
             merged_idx = merged.drop_columns([cfg.op_column]).append_column(
-                "deleted", mdel)
+                "deleted", mdel).select(new_idx.column_names)
         else:
             merged_idx = new_idx
         atomic_write_table(store.index_file(pid, self.epoch), merged_idx)
+        # ADVICE fix: superseded index file is dead the moment the new one
+        # commits — unlink it now so a never-compacting tail-follow doesn't
+        # accumulate one stale index per partition per epoch (gc() remains
+        # the backstop for crash windows)
+        if not first_touch:
+            ps_prev = self.prior.get(pid)
+            if ps_prev is not None:
+                old = store.index_file(pid, ps_prev["epoch"])
+                if old != store.index_file(pid, self.epoch):
+                    try:
+                        os.unlink(old)
+                    except OSError:
+                        pass
         return self._stats_row(pid, merged_idx)
 
 
@@ -393,10 +417,13 @@ def apply_epoch(
     re-applying a committed epoch is a no-op; a crash before the manifest
     commit leaves only invisible orphan files that get rewritten on retry."""
     cfg = cfg or CdcConfig()
-    if cfg.merge_policy is not None and cfg.write_mode == "delta":
+    if (cfg.merge_policy is not None and cfg.write_mode == "delta"
+            and not hasattr(cfg.merge_policy, "index_columns")):
         raise ValueError(
-            "merge_policy requires write_mode='cow': the delta index merge "
-            "is LWW-specific (see state/merge_policy.py)"
+            "write_mode='delta' needs the merge policy to declare "
+            "index_columns() — the columns its reduce() must see to "
+            "re-reduce narrow index rows across epochs (see "
+            "state/merge_policy.py)"
         )
     store = ManifestStore(lake_dir)
     manifest = store.load()
@@ -659,9 +686,12 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
                             pa.scalar("update"))
             ev = t.drop_columns(["deleted"]).append_column(
                 cfg_eff.op_column, op)
-            winners = lww_resolve_table(
-                ev, list(cfg_eff.key_columns), cfg_eff.seq_column,
-                cfg_eff.op_column, keep_tombstones=True)
+            if cfg_eff.merge_policy is not None:
+                winners = cfg_eff.merge_policy.reduce(ev)
+            else:
+                winners = lww_resolve_table(
+                    ev, list(cfg_eff.key_columns), cfg_eff.seq_column,
+                    cfg_eff.op_column, keep_tombstones=True)
             deleted = pc.fill_null(
                 pc.equal(winners[cfg_eff.op_column], "delete"), False)
             return winners.drop_columns([cfg_eff.op_column]).append_column(
@@ -737,16 +767,21 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
     new_epoch = m.epoch + 1
     keys, seq_col, op_col = list(cfg.key_columns), cfg.seq_column, cfg.op_column
 
+    policy = cfg.merge_policy
+
     @ray.remote(num_cpus=1)
     def compact_one(pid: int, srcs: list[str], dst: str, ps_dict: dict) -> dict:
         t = pa.concat_tables([pq.read_table(s) for s in srcs],
                              promote_options="permissive")
-        if len(srcs) > 1:  # delta partition: LWW-reconcile base + deltas
+        if len(srcs) > 1:  # delta partition: reconcile base + deltas
             op = pc.if_else(t["deleted"], pa.scalar("delete"),
                             pa.scalar("update"))
             ev = t.drop_columns(["deleted"]).append_column(op_col, op)
-            winners = lww_resolve_table(ev, keys, seq_col, op_col,
-                                        keep_tombstones=True)
+            if policy is not None:
+                winners = policy.reduce(ev)
+            else:
+                winners = lww_resolve_table(ev, keys, seq_col, op_col,
+                                            keep_tombstones=True)
             deleted = pc.fill_null(pc.equal(winners[op_col], "delete"), False)
             t = winners.drop_columns([op_col]).append_column("deleted", deleted)
         d = 0

@@ -106,14 +106,25 @@ def _lineitem_events(sf_dir: str, with_quantity: bool = False):
     return ds.map_batches(to_events, batch_format="pyarrow")
 
 
-def _replay_lineitem(sf_dir: str, tag: str, schema_script=None):
-    """Write the epoch-partitioned tail and run the engine incrementally.
-    Returns (lake_dir, cfg)."""
+def _run_base(tag: str) -> str:
+    """Per-RUN unique scratch dir (tempfile.mkdtemp): two concurrent
+    invocations of the same query (driver gate + bench, parallel test
+    workers) must never share — or rmtree — each other's in-flight
+    lake/events. Callers clean up via ``_cleanup``."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"horizon_cdc_li_{tag}_")
+
+
+def _cleanup(base: str) -> None:
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _replay_lineitem(sf_dir: str, base: str, schema_script=None):
+    """Write the epoch-partitioned tail under ``base`` and run the engine
+    incrementally. Returns (lake_dir, cfg)."""
     from .cdc import CdcConfig, replay
 
-    sf_tag = sf_dir.rstrip("/").split("/")[-1]
-    base = f"/tmp/horizon_cdc_li/{tag}/{sf_tag}"
-    shutil.rmtree(base, ignore_errors=True)
     events_dir = os.path.join(base, "events")
     _lineitem_events(sf_dir).write_parquet(events_dir, partition_cols=["epoch"])
     cfg = CdcConfig(
@@ -131,13 +142,17 @@ def cdc_replay_lineitem_epochs(sf_dir: str) -> pd.DataFrame:
     content_sha256) — oracle-checked against a window-function SQL twin."""
     from .cdc import read_lake
 
-    lake_dir, cfg = _replay_lineitem(sf_dir, "epochs")
-    out = (
-        read_lake(lake_dir)
-        .select_columns(["l_partkey", "l_suppkey", "seq", "content",
-                         "content_sha256"])
-        .to_pandas()
-    )
+    base = _run_base("epochs")
+    try:
+        lake_dir, cfg = _replay_lineitem(sf_dir, base)
+        out = (
+            read_lake(lake_dir)
+            .select_columns(["l_partkey", "l_suppkey", "seq", "content",
+                             "content_sha256"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
@@ -164,9 +179,7 @@ def cdc_replay_lineitem_evolved(sf_dir: str) -> pd.DataFrame:
     # the evolved run derives one extra payload column before the engine
     from .cdc import CdcConfig, replay
 
-    sf_tag = sf_dir.rstrip("/").split("/")[-1]
-    base = f"/tmp/horizon_cdc_li/evolved/{sf_tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _run_base("evolved")
     events_dir = os.path.join(base, "events")
 
     # flag = last char of content (the returnflag rendering); events arriving
@@ -180,18 +193,21 @@ def cdc_replay_lineitem_evolved(sf_dir: str) -> pd.DataFrame:
         df["size_bytes"] = size.where(df["epoch"] >= 2, other=pd.NA).astype("Int64")
         return df
 
-    _lineitem_events(sf_dir).map_batches(
-        add_evolved_cols, batch_format="pandas"
-    ).write_parquet(events_dir, partition_cols=["epoch"])
-    cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"), num_partitions=16,
-                    schema_script=script)
-    replay(events_dir, os.path.join(base, "lake"), cfg, mode="incremental")
-    out = (
-        read_lake(os.path.join(base, "lake"), cfg=cfg)
-        .select_columns(["l_partkey", "l_suppkey", "status_flag", "size_bytes",
-                         "content_sha256"])
-        .to_pandas()
-    )
+    try:
+        _lineitem_events(sf_dir).map_batches(
+            add_evolved_cols, batch_format="pandas"
+        ).write_parquet(events_dir, partition_cols=["epoch"])
+        cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"),
+                        num_partitions=16, schema_script=script)
+        replay(events_dir, os.path.join(base, "lake"), cfg, mode="incremental")
+        out = (
+            read_lake(os.path.join(base, "lake"), cfg=cfg)
+            .select_columns(["l_partkey", "l_suppkey", "status_flag",
+                             "size_bytes", "content_sha256"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
     # -1 = null-filled by the add_column migration (winner predates epoch 2)
     out["size_bytes"] = (pd.to_numeric(out["size_bytes"])
                          .fillna(-1).astype(np.int64))
@@ -204,17 +220,21 @@ def cdc_epoch_lineage_lineitem(sf_dir: str) -> pd.DataFrame:
     commit log (T8/A6 parity) — oracle = per-boundary SQL aggregates."""
     from ..state.manifest import ManifestStore
 
-    lake_dir, _ = _replay_lineitem(sf_dir, "lineage")
-    state: dict[int, tuple[int, int]] = {}  # pid -> (live, tombstones)
-    rows = []
-    for rec in ManifestStore(lake_dir).epoch_records():
-        for ps in rec["partitions"]:
-            state[ps["part_id"]] = (ps["row_count"], ps["tombstones"])
-        rows.append({
-            "epoch": int(rec["epoch"]),
-            "live_rows": int(sum(v[0] for v in state.values())),
-            "tombstones": int(sum(v[1] for v in state.values())),
-        })
+    base = _run_base("lineage")
+    try:
+        lake_dir, _ = _replay_lineitem(sf_dir, base)
+        state: dict[int, tuple[int, int]] = {}  # pid -> (live, tombstones)
+        rows = []
+        for rec in ManifestStore(lake_dir).epoch_records():
+            for ps in rec["partitions"]:
+                state[ps["part_id"]] = (ps["row_count"], ps["tombstones"])
+            rows.append({
+                "epoch": int(rec["epoch"]),
+                "live_rows": int(sum(v[0] for v in state.values())),
+                "tombstones": int(sum(v[1] for v in state.values())),
+            })
+    finally:
+        _cleanup(base)
     return pd.DataFrame(rows).sort_values("epoch").reset_index(drop=True)
 
 
@@ -229,26 +249,27 @@ def cdc_widen_merge_lineitem(sf_dir: str) -> pd.DataFrame:
     from .cdc import CdcConfig, read_lake, replay
     from ..state.merge_policy import WidenOnlyPolicy
 
-    sf_tag = sf_dir.rstrip("/").split("/")[-1]
-    base = f"/tmp/horizon_cdc_li/widen/{sf_tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _run_base("widen")
     events_dir = os.path.join(base, "events")
-    _lineitem_events(sf_dir, with_quantity=True).write_parquet(
-        events_dir, partition_cols=["epoch"])
-    keys = ("l_partkey", "l_suppkey")
-    cfg = CdcConfig(
-        key_columns=keys, num_partitions=16,
-        merge_policy=WidenOnlyPolicy(key_columns=keys,
-                                     widen_columns=("l_quantity",)),
-    )
-    replay(events_dir, os.path.join(base, "lake"), cfg, mode="bulk")
-    out = (
-        read_lake(os.path.join(base, "lake"))
-        .select_columns(["l_partkey", "l_suppkey", "seq", "l_quantity",
-                         "l_quantity_min", "l_quantity_max",
-                         "content_sha256"])
-        .to_pandas()
-    )
+    try:
+        _lineitem_events(sf_dir, with_quantity=True).write_parquet(
+            events_dir, partition_cols=["epoch"])
+        keys = ("l_partkey", "l_suppkey")
+        cfg = CdcConfig(
+            key_columns=keys, num_partitions=16,
+            merge_policy=WidenOnlyPolicy(key_columns=keys,
+                                         widen_columns=("l_quantity",)),
+        )
+        replay(events_dir, os.path.join(base, "lake"), cfg, mode="bulk")
+        out = (
+            read_lake(os.path.join(base, "lake"))
+            .select_columns(["l_partkey", "l_suppkey", "seq", "l_quantity",
+                             "l_quantity_min", "l_quantity_max",
+                             "content_sha256"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
     for c in ("l_quantity", "l_quantity_min", "l_quantity_max"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)

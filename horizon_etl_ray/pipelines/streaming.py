@@ -27,13 +27,13 @@ the instructions reserve for ``@ray.remote``.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import sha_digest_of_column
 from ..state.lww import lww_resolve_table
 from ..state.manifest import ManifestStore, PartitionState, atomic_write_table
 from .cdc import CdcConfig, _partial_stage
@@ -49,8 +49,17 @@ class UpserterShard:
         self.key_columns = list(cfg_dict["key_columns"])
         self.seq_column = cfg_dict["seq_column"]
         self.op_column = cfg_dict["op_column"]
+        self.write_mode = cfg_dict.get("write_mode", "cow")
         self.lo, self.hi = lo, hi
         self.state: dict[int, pa.Table] = {}
+        # dirty-partition tracking: snapshot() writes ONLY partitions touched
+        # since the last snapshot (a per-epoch cadence must not rewrite the
+        # whole owned lake slice — the batch path's touched-only discipline)
+        self.dirty: set[int] = set()
+        # delta mode: winners folded since the last snapshot, per pid — what
+        # gets written as the delta-epoch file (payload once per event)
+        self.pending: dict[int, pa.Table] = {}
+        self.on_disk: set[int] = set()  # pids with a committed base file
 
     def restore(self, committed: dict[int, list]) -> int:
         """Rebuild in-memory state from the committed lake view.
@@ -72,6 +81,7 @@ class UpserterShard:
                 ev = lww_resolve_table(ev, self.key_columns, self.seq_column,
                                        self.op_column, keep_tombstones=True)
             self.state[pid] = ev
+            self.on_disk.add(pid)
             n += len(ev)
         return n
 
@@ -94,32 +104,67 @@ class UpserterShard:
                 merged, self.key_columns, self.seq_column, self.op_column,
                 keep_tombstones=True,
             )
+            self.dirty.add(pid)
+            if self.write_mode == "delta":
+                pend = self.pending.get(pid)
+                pend_merged = (
+                    pa.concat_tables([pend, sub], promote_options="permissive")
+                    if pend is not None else sub
+                )
+                self.pending[pid] = lww_resolve_table(
+                    pend_merged, self.key_columns, self.seq_column,
+                    self.op_column, keep_tombstones=True,
+                )
         return len(winners)
 
+    def _as_lake(self, t: pa.Table) -> pa.Table:
+        t = t.sort_by([(k, "ascending") for k in self.key_columns])
+        deleted = pc.fill_null(pc.equal(t[self.op_column], "delete"), False)
+        return t.drop_columns([self.op_column]).append_column("deleted", deleted)
+
     def snapshot(self, epoch: int, schema_version: int = 0) -> list[dict]:
-        """Write owned partitions to the lake (atomic, epoch-named) and
-        return manifest rows (same commit discipline as the batch path)."""
+        """Write DIRTY owned partitions to the lake (atomic, epoch-named) and
+        return manifest rows (same commit discipline as the batch path).
+        Untouched partitions are never rewritten — their committed files and
+        manifest rows stay as-is.
+
+        ``cow`` mode writes the partition's full state; ``delta`` mode writes
+        only the winners folded since the last snapshot as a
+        ``delta-epoch=<e>`` file (base file on first touch), with stats/digest
+        computed from the full in-memory state (no index file needed — the
+        actor IS the merged view)."""
         rows = []
-        for pid, t in sorted(self.state.items()):
-            t = t.sort_by([(k, "ascending") for k in self.key_columns])
-            deleted = pc.fill_null(pc.equal(t[self.op_column], "delete"), False)
-            lake = t.drop_columns([self.op_column]).append_column("deleted", deleted)
+        for pid in sorted(self.dirty):
+            lake = self._as_lake(self.state[pid])
+            deleted = lake["deleted"]
+            if isinstance(deleted, pa.ChunkedArray):
+                deleted = deleted.combine_chunks()
             live_mask = pc.invert(deleted)
             live = pc.sum(live_mask.cast(pa.int64())).as_py() or 0
-            shas = lake.filter(live_mask)["content_sha256"]
-            digest = hashlib.sha256(
-                "\n".join(s.as_py() or "" for s in shas).encode()
-            ).hexdigest()
+            digest = sha_digest_of_column(lake.filter(live_mask)["content_sha256"])
             offset = pc.max(lake[self.seq_column]).as_py() if len(lake) else -1
-            atomic_write_table(
-                os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={epoch}.parquet"),
-                lake,
-            )
+            wrote_delta = self.write_mode == "delta" and pid in self.on_disk
+            if wrote_delta:
+                atomic_write_table(
+                    os.path.join(self.lake_dir, f"part_id={pid}",
+                                 f"delta-epoch={epoch}.parquet"),
+                    self._as_lake(self.pending[pid]),
+                )
+            else:
+                atomic_write_table(
+                    os.path.join(self.lake_dir, f"part_id={pid}",
+                                 f"epoch={epoch}.parquet"),
+                    lake,
+                )
+            self.on_disk.add(pid)
             rows.append(
                 dict(part_id=pid, epoch=epoch, offset=int(offset),
                      row_count=int(live), tombstones=int(len(lake) - live),
-                     content_digest=digest, schema_version=schema_version)
+                     content_digest=digest, schema_version=schema_version,
+                     wrote_delta=wrote_delta)
             )
+        self.dirty.clear()
+        self.pending.clear()
         return rows
 
 
@@ -132,6 +177,11 @@ class StreamingUpserter:
         import ray
 
         self.cfg = cfg or CdcConfig()
+        if self.cfg.merge_policy is not None:
+            raise ValueError(
+                "StreamingUpserter folds with plain LWW; custom merge "
+                "policies are a batch-path (apply_epoch/replay) feature"
+            )
         self.lake_dir = lake_dir
         self.store = ManifestStore(lake_dir)
         self.num_shards = num_shards
@@ -141,6 +191,7 @@ class StreamingUpserter:
             "key_columns": self.cfg.key_columns,
             "seq_column": self.cfg.seq_column,
             "op_column": self.cfg.op_column,
+            "write_mode": self.cfg.write_mode,
         }
         Shard = ray.remote(UpserterShard)
         self.shards = [
@@ -198,11 +249,23 @@ class StreamingUpserter:
 
         rows = [r for rs in ray.get([s.snapshot.remote(epoch) for s in self.shards])
                 for r in rs]
+        partition_rows = []
+        for r in rows:
+            wrote_delta = r.pop("wrote_delta", False)
+            pid = int(r["part_id"])
+            base_epoch, delta_epochs = int(r["epoch"]), []
+            if wrote_delta:
+                prev = manifest.partitions[pid]
+                base_epoch = prev.resolved_base_epoch()
+                delta_epochs = list(prev.delta_epochs) + [epoch]
+            partition_rows.append(PartitionState(
+                **r, base_epoch=base_epoch, delta_epochs=delta_epochs))
         self.store.commit_epoch(
-            epoch, [PartitionState(**r) for r in rows],
+            epoch, partition_rows,
             metrics={"applied_winners": int(applied), "mode": "streaming"},
         )
-        return {"epoch": epoch, "skipped": False, "applied_winners": int(applied)}
+        return {"epoch": epoch, "skipped": False, "applied_winners": int(applied),
+                "partitions_updated": len(partition_rows)}
 
     def shutdown(self) -> None:
         import ray

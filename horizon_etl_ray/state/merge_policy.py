@@ -20,8 +20,13 @@ aggregate columns it adds on first reduction), keep the ``op`` column of
 the winning row (tombstone semantics), and return rows sorted ascending by
 the key columns (the digest is computed in row order).
 
-Policies currently compose with ``write_mode='cow'``; the delta path's
-narrow-index merge assumes plain LWW (``apply_epoch`` raises otherwise).
+Policies compose with BOTH write modes. ``write_mode='delta'`` keeps a
+narrow per-partition index whose merge re-runs the policy across epochs —
+so a policy must additionally declare ``index_columns()``: the payload
+columns its ``reduce`` needs to re-reduce already-reduced rows (for
+``WidenOnlyPolicy``: the widened column plus its ``_min``/``_max``
+aggregates — min/max are as mergeable as LWW). A policy without
+``index_columns`` support still works with ``write_mode='cow'``.
 """
 
 from __future__ import annotations
@@ -49,6 +54,15 @@ class WidenOnlyPolicy:
     seq_column: str = "seq"
     op_column: str = "op"
     widen_columns: tuple[str, ...] = field(default_factory=tuple)
+
+    def index_columns(self) -> list[str]:
+        """Extra columns the delta-mode narrow index must carry so
+        ``reduce`` can re-reduce index rows across epochs: the raw widened
+        column (coalesce source) and its running min/max aggregates."""
+        out: list[str] = []
+        for c in self.widen_columns:
+            out += [c, f"{c}_min", f"{c}_max"]
+        return out
 
     def reduce(self, t: pa.Table) -> pa.Table:
         if len(t) == 0:

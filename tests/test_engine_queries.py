@@ -72,8 +72,29 @@ def test_widen_policy_incremental_equals_bulk(tmp_path):
     assert (bulk["l_quantity_min"] < bulk["l_quantity"]).any()
     assert (bulk["l_quantity_max"] > bulk["l_quantity"]).any()
 
-    with pytest.raises(ValueError, match="merge_policy requires"):
-        cfg = CdcConfig(key_columns=keys, num_partitions=8, write_mode="delta",
-                        merge_policy=WidenOnlyPolicy(
-                            key_columns=keys, widen_columns=("l_quantity",)))
-        replay(events_dir, str(tmp_path / "bad"), cfg, mode="bulk")
+    # delta mode composes with the policy: the narrow index carries the
+    # policy's aggregate columns (index_columns()) and re-reduces per epoch —
+    # merged read must equal the cow/bulk result exactly
+    pol = WidenOnlyPolicy(key_columns=keys, widen_columns=("l_quantity",))
+    cfg_d = CdcConfig(key_columns=keys, num_partitions=8, write_mode="delta",
+                      merge_policy=pol)
+    replay(events_dir, str(tmp_path / "delta"), cfg_d, mode="incremental")
+    from horizon_etl_ray.state.manifest import ManifestStore
+
+    m = ManifestStore(str(tmp_path / "delta")).load()
+    assert any(ps.delta_epochs for ps in m.partitions.values())
+    delta = (read_lake(str(tmp_path / "delta"), cfg=cfg_d)
+             .select_columns(["l_partkey", "l_suppkey", "seq", "l_quantity",
+                              "l_quantity_min", "l_quantity_max"]).to_pandas()
+             .sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bulk, delta)
+
+    # a policy WITHOUT index_columns() still refuses delta mode up front
+    class BarePolicy:
+        def reduce(self, t):
+            return t
+
+    with pytest.raises(ValueError, match="index_columns"):
+        cfg_bad = CdcConfig(key_columns=keys, num_partitions=8,
+                            write_mode="delta", merge_policy=BarePolicy())
+        replay(events_dir, str(tmp_path / "bad"), cfg_bad, mode="bulk")

@@ -95,6 +95,89 @@ def test_compaction_drops_tombstones_keeps_digest(tmp_path):
     assert read_lake(lake, include_tombstones=True).count() == read_lake(lake).count()
 
 
+def _tiny_events(keys_seq_ops):
+    """rows of (path, seq, op[, content]) under one repo → events table."""
+    import pyarrow as pa
+
+    return pa.table({
+        "repo": ["r"] * len(keys_seq_ops),
+        "path": [r[0] for r in keys_seq_ops],
+        "commit": [f"c{r[1]}" for r in keys_seq_ops],
+        "lang": ["py"] * len(keys_seq_ops),
+        "content": [r[3] if len(r) > 3 else f"body-{r[0]}-{r[1]}"
+                    for r in keys_seq_ops],
+        "op": [r[2] for r in keys_seq_ops],
+        "seq": pa.array([r[1] for r in keys_seq_ops], pa.int64()),
+    })
+
+
+def test_streaming_snapshot_touches_only_dirty_partitions(tmp_path):
+    """A later epoch that touches ONE key must rewrite only that key's
+    partition file — untouched partitions keep their committed file
+    byte-for-byte (mtime unchanged) and their old manifest epoch."""
+    import os
+
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    up = StreamingUpserter(lake, CdcConfig(num_partitions=8), num_shards=2)
+    try:
+        e0 = _tiny_events([(f"p{i}", i, "update") for i in range(64)])
+        up.apply_epoch(rd.from_arrow(e0), 0)
+        mtimes = {}
+        for pid_dir in os.listdir(lake):
+            if pid_dir.startswith("part_id="):
+                for f in os.listdir(os.path.join(lake, pid_dir)):
+                    p = os.path.join(lake, pid_dir, f)
+                    mtimes[p] = os.stat(p).st_mtime_ns
+        assert len(mtimes) > 2  # epoch 0 touched many partitions
+
+        e1 = _tiny_events([("p0", 1000, "update")])
+        up.apply_epoch(rd.from_arrow(e1), 1)
+    finally:
+        up.shutdown()
+
+    m = ManifestStore(lake).load()
+    touched = [pid for pid, ps in m.partitions.items() if ps.epoch == 1]
+    assert len(touched) == 1  # exactly the partition owning ("r","p0")
+    untouched_old_files = [p for p in mtimes
+                           if f"part_id={touched[0]}" + os.sep not in p
+                           and f"{os.sep}part_id={touched[0]}{os.sep}" not in p]
+    for p in untouched_old_files:
+        assert os.stat(p).st_mtime_ns == mtimes[p], f"rewritten: {p}"
+    # state is still correct end-to-end
+    assert read_lake(lake).count() == 64
+
+
+def test_streaming_delta_write_mode_matches_batch(tmp_path):
+    """Streaming path with write_mode='delta': later epochs append
+    delta-epoch files (payload once per event) instead of rewriting full
+    partition state; merged read + digest equal the bulk batch path."""
+    import os
+
+    import ray.data as rd
+
+    ev = _events_dir(tmp_path)
+    lake = str(tmp_path / "lake_sd")
+    up = StreamingUpserter(lake, CdcConfig(num_partitions=8, write_mode="delta"),
+                           num_shards=2)
+    try:
+        for e in range(4):
+            d = os.path.join(ev, f"epoch={e}")
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+            up.apply_epoch(rd.read_parquet(files), e)
+    finally:
+        up.shutdown()
+    assert lake_global_digest(lake) == _want_digest()
+    m = ManifestStore(lake).load()
+    assert any(ps.delta_epochs for ps in m.partitions.values())
+    # compaction reconciles the streaming-written deltas too
+    compact(lake)
+    m2 = ManifestStore(lake).load()
+    assert not any(ps.delta_epochs for ps in m2.partitions.values())
+    assert lake_global_digest(lake) == _want_digest()
+
+
 def test_streaming_restores_from_delta_mode_lake(tmp_path):
     """An actor pool must rebuild correct state from a lake written in
     delta (merge-on-read) mode — base + deltas reconciled on restore —
