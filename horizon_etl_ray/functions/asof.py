@@ -20,11 +20,28 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _bucket(key: np.ndarray, P: int) -> np.ndarray:
     return (((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
              >> np.uint64(32)) % np.uint64(P)).astype(np.int64)
+
+
+def _placeholder_spec(arrow_type) -> tuple[object, object]:
+    """(numpy dtype, fill value) for a typed placeholder column — the
+    non-owning side of the union carries these so the unified schema keeps
+    each value column's NATIVE type (int64 stays int64: no float64 carry, no
+    2^53 ceiling; ``_side`` tells the merge which rows are real)."""
+    if pa.types.is_integer(arrow_type):
+        return np.int64, 0
+    if pa.types.is_floating(arrow_type):
+        return np.float64, 0.0
+    if pa.types.is_boolean(arrow_type):
+        return np.bool_, False
+    if pa.types.is_timestamp(arrow_type):
+        return "datetime64[us]", np.datetime64(0, "us")
+    return object, ""
 
 
 def asof_join(
@@ -42,27 +59,37 @@ def asof_join(
     with no prior right row are dropped.
 
     Returns a Dataset with columns ``[by, on, *left_value_columns,
-    *right_value_columns]``. Value columns are carried as float64 through
-    the unified-schema co-shuffle (the side that lacks a column holds nulls);
-    cast back downstream if integer identity matters. CAVEAT: float64 only
-    represents integers exactly up to 2^53 — ids at or above that (possible
-    at the 10^10-row target scale) must be pre-mapped to a narrower surrogate
-    or carried as strings before this operator.
+    *right_value_columns]``. Value columns keep their NATIVE dtypes through
+    the unified-schema co-shuffle — the side that lacks a column carries a
+    typed zero placeholder (never read: ``_side`` marks real rows), and
+    integer right-side columns ride ``merge_asof`` as nullable ``Int64`` so
+    unmatched rows never force a float64 upcast. Exact for int64 keys of any
+    magnitude (incl. > 2^53).
 
     Unmatched left rows are detected with an explicit right-side row marker
     (``_matched``), never by nulls in the value columns — a genuine null in a
     matched right row survives the join.
     """
     cols = [by, on, *left_value_columns, *right_value_columns]
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    spec = {}
+    for c in left_value_columns:
+        spec[c] = _placeholder_spec(l_schema.base_schema.field(c).type)
+    for c in right_value_columns:
+        spec[c] = _placeholder_spec(r_schema.base_schema.field(c).type)
 
     def tag(side: int):
         mine = left_value_columns if side == 0 else right_value_columns
 
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
             out = pd.DataFrame({by: df[by].to_numpy(), on: df[on].to_numpy()})
             for c in left_value_columns + right_value_columns:
-                out[c] = (df[c].astype(np.float64).to_numpy()
-                          if c in mine else np.nan)
+                dtype, fill = spec[c]
+                if c in mine:
+                    out[c] = df[c].to_numpy()
+                else:
+                    out[c] = np.full(n, fill, dtype=dtype)
             out["_side"] = np.int8(side)
             out["_bucket"] = _bucket(df[by].to_numpy(), num_buckets)
             return out
@@ -77,10 +104,18 @@ def asof_join(
               .sort_values(on))
         rf = (g[g["_side"] == 1][[by, on, *right_value_columns]]
               .sort_values(on))
+        # nullable Int64 ⇒ unmatched rows get pd.NA, ints stay exact
+        int_right = [c for c in right_value_columns
+                     if pd.api.types.is_integer_dtype(rf[c])]
+        for c in int_right:
+            rf[c] = rf[c].astype("Int64")
         rf = rf.assign(_matched=True)  # non-null row marker survives merge_asof
         out = pd.merge_asof(lf, rf, on=on, by=by, direction="backward",
                             allow_exact_matches=True)
-        return out[out["_matched"].notna()][cols]
+        out = out[out["_matched"].notna()][cols]
+        for c in int_right:
+            out[c] = out[c].astype(np.int64)
+        return out
 
     return left.union(right).groupby("_bucket").map_groups(
         merge, batch_format="pandas"

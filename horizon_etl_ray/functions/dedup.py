@@ -253,7 +253,8 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
                       out_col: str, id_column: str = "doc_id",
-                      text_column: str = "text", num_buckets: int = 32):
+                      text_column: str = "text", num_buckets: int = 32,
+                      carry_dtypes: dict[str, str] | None = None):
     """Bucketed hash-join: attach ``docs[text_column]`` to each pair row by
     ``pairs[key_col] == docs[id_column]``.
 
@@ -261,7 +262,31 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
     (the union-tag co-shuffle recipe of functions/asof.py); inside each
     bucket a vectorized pandas merge does the lookup. Nothing materializes on
     the driver — this is the 100-TB-safe replacement for broadcasting a
-    whole-corpus text dict."""
+    whole-corpus text dict. Placeholder dtypes for the docs-side rows come
+    from the ACTUAL pairs-side column types (never a name convention):
+    pass ``carry_dtypes`` (col → 'int'|'float'|'bool'|'str') when known, else
+    they are read from ``pairs_ds.schema()`` (which may execute the upstream
+    plan's first block — prefer the explicit map on derived pipelines)."""
+    _FILLS = {"int": (np.int64, 0), "float": (np.float64, 0.0),
+              "bool": (np.bool_, False), "str": (object, "")}
+    spec: dict[str, tuple[object, object]] = {}
+    if carry_dtypes is not None:
+        for c in carry_cols:
+            spec[c] = _FILLS[carry_dtypes[c]]
+    else:
+        import pyarrow as _pa
+
+        pschema = pairs_ds.schema().base_schema
+        for c in carry_cols:
+            t = pschema.field(c).type
+            if _pa.types.is_integer(t):
+                spec[c] = _FILLS["int"]
+            elif _pa.types.is_floating(t):
+                spec[c] = _FILLS["float"]
+            elif _pa.types.is_boolean(t):
+                spec[c] = _FILLS["bool"]
+            else:
+                spec[c] = _FILLS["str"]
 
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = df[carry_cols].copy()
@@ -277,7 +302,8 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
         n = len(df)
         out = pd.DataFrame(index=range(n))
         for c in carry_cols:  # typed placeholders so the union schema unifies
-            out[c] = ("" if c.startswith("_t") else np.zeros(n, dtype=np.int64))
+            dtype, fill = spec[c]
+            out[c] = np.full(n, fill, dtype=dtype)
         out["_k"] = df[id_column].to_numpy(dtype=np.int64)
         out["_v"] = df[text_column].fillna("").to_numpy()
         out["_side"] = np.int8(1)
@@ -293,8 +319,7 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
         lp = g[g["_side"] == 0][carry_cols + ["_k"]]
         if len(lp) == 0:  # typed empty frame (object cols confuse sizing)
             out = pd.DataFrame({
-                c: np.array([], dtype=(str if c.startswith("_t") else np.int64))
-                for c in carry_cols})
+                c: np.array([], dtype=spec[c][0]) for c in carry_cols})
             out[out_col] = np.array([], dtype=str)
             return out
         rp = (g[g["_side"] == 1][["_k", "_v"]]
@@ -322,11 +347,12 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
     with_a = attach_doc_column(
         pairs_ds, docs, key_col="id_a", carry_cols=["id_a", "id_b"],
         out_col="_ta", id_column=id_column, text_column=text_column,
-        num_buckets=num_buckets)
+        num_buckets=num_buckets, carry_dtypes={"id_a": "int", "id_b": "int"})
     with_ab = attach_doc_column(
         with_a, docs, key_col="id_b", carry_cols=["id_a", "id_b", "_ta"],
         out_col="_tb", id_column=id_column, text_column=text_column,
-        num_buckets=num_buckets)
+        num_buckets=num_buckets,
+        carry_dtypes={"id_a": "int", "id_b": "int", "_ta": "str"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         sims = [

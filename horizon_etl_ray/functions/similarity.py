@@ -94,7 +94,19 @@ class IvfIndexParams:
     @classmethod
     def fit(cls, ds, nlist: int = 16, vec_column: str = "embedding",
             sample_rows: int = 4096, seed: int = 42) -> "IvfIndexParams":
-        sample = ds.limit(sample_rows).to_pandas()
+        # seeded CORPUS-WIDE Bernoulli sample (ds.random_sample), never the
+        # first blocks — a corpus sorted by anything meaningful would bias
+        # limit()-style sampling and the buckets with it
+        n = ds.count()
+        if n > sample_rows:
+            frac = min(1.0, (sample_rows * 1.2) / n)
+            sample = ds.random_sample(frac, seed=seed).to_pandas()
+            if len(sample) > sample_rows:  # trim overshoot, still seeded
+                pick = np.random.default_rng(seed).choice(
+                    len(sample), size=sample_rows, replace=False)
+                sample = sample.iloc[np.sort(pick)]
+        else:
+            sample = ds.to_pandas()
         m = _normalize(_stack(sample[vec_column].to_numpy()))
         rng = np.random.default_rng(seed)
         idx = rng.choice(len(m), size=min(nlist, len(m)), replace=False)

@@ -715,35 +715,22 @@ def supplier_cograph(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
 
 
-def connected_components(sf_dir: str) -> pd.DataFrame:
-    """Connected components + isolation (A5 parity — the missing half of the
-    graph stats, /root/reference/src/core/logic/
-    people_relationship_graph_generator.py:436-510): the part co-occurrence
-    graph (parts sharing an order in ≥2 distinct orders — weight threshold
-    keeps the graph sparse, 129 components / 120 isolated at sf0.01).
-
-    Scale split, documented per the repo's custom-operator rule: the HEAVY
-    stage (pair expansion over all lineitems → weighted edges → threshold)
-    is distributed; component labeling then runs as a driver union-find over
-    the DEDUPED, THRESHOLDED edge list — the contracted graph, whose size is
-    O(surviving edges), not O(input rows). The output itself is node-sized,
-    so driver-side labeling adds no asymptotic driver state beyond the
-    result. For edge lists too large for one machine, use the distributed
-    min-label-propagation operator ``functions.graph.connected_components``
-    (same semantics; iterative exchanges). Degrees come from the distributed
-    ``node_degrees`` reduce."""
-    from ..functions.graph import node_degrees
-
+def _part_cograph(sf_dir: str):
+    """(edges, nodes) of the part co-occurrence graph: parts sharing an order
+    in ≥2 distinct orders (the weight threshold keeps the graph sparse).
+    Edges are materialized once; both downstream labelers reuse them."""
     li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     edges = _cooccurrence_edges(li, "l_orderkey", "l_partkey").map_batches(
         lambda df: df[df["w"] >= 2], batch_format="pandas").materialize()
     nodes = _rp(sf_dir, "part", columns=["p_partkey"]).map_batches(
         lambda t: pa.table({"node": t["p_partkey"]}), batch_format="pyarrow")
+    return edges, nodes
 
-    deg = node_degrees(edges, nodes).to_pandas()  # distributed reduce
-    e = edges.select_columns(["s1", "s2"]).to_pandas()  # contracted graph
 
-    # union-find with path compression over the edge list
+def _driver_union_find(edges, deg: pd.DataFrame) -> pd.DataFrame:
+    """Small-graph labeler: union-find with path compression over the
+    contracted (thresholded) edge list, on the driver."""
+    e = edges.select_columns(["s1", "s2"]).to_pandas()
     node_ids = np.sort(deg["node"].to_numpy(dtype=np.int64))
     pos = {int(n): i for i, n in enumerate(node_ids)}
     parent = np.arange(len(node_ids), dtype=np.int64)
@@ -763,11 +750,108 @@ def connected_components(sf_dir: str) -> pd.DataFrame:
 
     comp = np.array([node_ids[find(i)] for i in range(len(node_ids))],
                     dtype=np.int64)
-    out = pd.DataFrame({"node": node_ids, "component": comp})
-    out = out.merge(deg, on="node")
-    out["degree"] = out["degree"].astype(np.int64)
+    return pd.DataFrame({"node": node_ids, "component": comp})
+
+
+def connected_components(sf_dir: str, edge_threshold: int = 100_000
+                         ) -> pd.DataFrame:
+    """Connected components + isolation (A5 parity — the missing half of the
+    graph stats, /root/reference/src/core/logic/
+    people_relationship_graph_generator.py:436-510) over the part
+    co-occurrence graph (129 components / 120 isolated at sf0.01).
+
+    The HEAVY stage (pair expansion over all lineitems → weighted edges →
+    threshold) is always distributed. Labeling ROUTES on the contracted
+    graph's size: at or below ``edge_threshold`` surviving edges a driver
+    union-find labels it (the contracted graph is tiny — no exchange
+    rounds); above it the DISTRIBUTED min-label-propagation operator
+    ``functions.graph.connected_components`` runs (iterative bucketed
+    exchanges — the edge list never needs one machine), so a dense graph at
+    100× never materializes its edges on the driver. Degrees always come
+    from the distributed ``node_degrees`` reduce."""
+    from ..functions.graph import connected_components as cc_labelprop
+    from ..functions.graph import node_degrees
+
+    edges, nodes = _part_cograph(sf_dir)
+    deg = node_degrees(edges, nodes).to_pandas()  # distributed reduce
+    deg["degree"] = deg["degree"].astype(np.int64)
+    if edges.count() <= edge_threshold:
+        comp = _driver_union_find(edges, deg)
+    else:
+        comp = cc_labelprop(edges, nodes).to_pandas()
+    out = comp.merge(deg, on="node")
     return out.sort_values("node").reset_index(drop=True)[
         ["node", "component", "degree"]]
+
+
+def connected_components_labelprop(sf_dir: str) -> pd.DataFrame:
+    """Same result as ``connected_components`` but FORCED through the
+    distributed min-label-propagation operator (edge_threshold=0), so the
+    driver gate oracle-checks the scale path itself — the iterative
+    edges⋈labels co-shuffle + min-reduce of ``functions/graph.py``."""
+    return connected_components(sf_dir, edge_threshold=0)
+
+
+def classify_customers(sf_dir: str) -> pd.DataFrame:
+    """Classification rule cascade parity
+    (/root/reference/src/core/logic/canonical_exporter.py:597-685: a
+    priority ladder over role-evidence signals deriving
+    classification + confidence + note): per-customer signals come from a
+    distributed orders aggregate (count / max price / urgent count),
+    attached with a hash-shuffle left-outer ``Dataset.join``, then the
+    ladder itself is one vectorized ``np.select`` — first rule wins, each
+    rule sets its own confidence tier, edge rules attach a note (the
+    reference's ``classification_note``)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        urgent = pc.cast(pc.equal(t["o_orderpriority"], "1-URGENT"),
+                         pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_totalprice": t["o_totalprice"],
+                         "urgent": urgent})
+
+    agg = (orders.map_batches(proj, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Count(alias_name="n_orders"),
+                      Max("o_totalprice", alias_name="max_price"),
+                      Sum("urgent", alias_name="n_urgent")))
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    joined = cust.join(agg, join_type="left_outer",
+                       num_partitions=max(2, min(8, 2 * cpus)),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def ladder(df: pd.DataFrame) -> pd.DataFrame:
+        n_orders = df["n_orders"].fillna(0).to_numpy(dtype=np.int64)
+        n_urgent = df["n_urgent"].fillna(0).to_numpy(dtype=np.int64)
+        max_price = df["max_price"].fillna(0.0).to_numpy(dtype=np.float64)
+        bal = df["c_acctbal"].to_numpy(dtype=np.float64)
+        strong = max_price > 250_000.0
+        active = n_orders > 0
+        negative = bal < 0.0
+        rules = [strong, active, negative]
+        category = np.select(
+            rules, ["key_account", "active", "delinquent"], "inactive")
+        confidence = np.select(
+            [strong & (n_urgent > 0), strong,
+             active & (n_orders >= 10), active,
+             negative],
+            ["high", "medium", "high", "medium", "medium"], "low")
+        note = np.select(
+            [~strong & ~active & negative, ~strong & ~active & ~negative],
+            ["negative_balance_no_orders", "no_signals"], "")
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(dtype=np.int64),
+            "category": category, "confidence": confidence, "note": note,
+        })
+
+    out = joined.map_batches(ladder, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
 
 
 def asof_purchase_attribution(sf_dir: str) -> pd.DataFrame:
@@ -808,9 +892,9 @@ def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
     counts matches per bin; partial counts sum per order in a small bucketed
     reduce. Partitioning assumption: band width = window width (tighter
     windows → more bins → more parallelism, never more replication).
-    CAVEAT: the order key rides the unified-schema union as float64 (NaN =
-    item-side sentinel), exact only below 2^53 — map larger ids to a
-    surrogate first (same ceiling as functions/asof.py)."""
+    The order key rides the unified-schema union as NATIVE int64 (the
+    ``_side`` flag marks item rows; no NaN sentinel, no float64 carry) —
+    exact for keys of any magnitude."""
     W = np.int64(7 * 86_400 * 1_000_000)  # 7 days in µs
 
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
@@ -823,7 +907,7 @@ def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
         t = _us(df["o_orderdate"])
         b = t // W
         out = pd.DataFrame({
-            "key": np.tile(df["o_orderkey"].to_numpy().astype(np.float64), 2),
+            "key": np.tile(df["o_orderkey"].to_numpy().astype(np.int64), 2),
             "t": np.tile(t, 2),
             "_bin": np.concatenate([b, b + 1]),
         })
@@ -833,7 +917,7 @@ def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
     def tag_items(df: pd.DataFrame) -> pd.DataFrame:
         t = _us(df["l_shipdate"])
         return pd.DataFrame({
-            "key": np.full(len(df), np.nan),
+            "key": np.zeros(len(df), dtype=np.int64),  # placeholder; _side=1
             "t": t,
             "_bin": t // W,
             "_side": np.int8(1),
@@ -845,10 +929,10 @@ def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
         t0 = o["t"].to_numpy()
         n = (np.searchsorted(s, t0 + W, side="left")
              - np.searchsorted(s, t0, side="left"))
-        out = pd.DataFrame({"o_orderkey": o["key"].to_numpy(), "n": n})
+        out = pd.DataFrame({"o_orderkey": o["key"].to_numpy(dtype=np.int64),
+                            "n": n})
         out = out[out["n"] > 0]
-        out["bucket"] = _hash_bucket(
-            out["o_orderkey"].to_numpy().astype(np.int64), 16)
+        out["bucket"] = _hash_bucket(out["o_orderkey"].to_numpy(), 16)
         return out
 
     def total(g: pd.DataFrame) -> pd.DataFrame:
@@ -1643,6 +1727,42 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# the forced-distributed labeler computes the same result as the routed query
+ORACLE_SQL["connected_components_labelprop"] = ORACLE_SQL["connected_components"]
+
+ORACLE_SQL["classify_customers"] = """
+    WITH agg AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               max(o_totalprice) AS max_price,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS n_urgent
+        FROM orders GROUP BY o_custkey
+    ), j AS (
+        SELECT c_custkey, c_acctbal,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(max_price, 0.0) AS max_price,
+               coalesce(n_urgent, 0) AS n_urgent
+        FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN max_price > 250000.0 THEN 'key_account'
+                WHEN n_orders > 0 THEN 'active'
+                WHEN c_acctbal < 0.0 THEN 'delinquent'
+                ELSE 'inactive' END AS category,
+           CASE WHEN max_price > 250000.0 AND n_urgent > 0 THEN 'high'
+                WHEN max_price > 250000.0 THEN 'medium'
+                WHEN n_orders > 0 AND n_orders >= 10 THEN 'high'
+                WHEN n_orders > 0 THEN 'medium'
+                WHEN c_acctbal < 0.0 THEN 'medium'
+                ELSE 'low' END AS confidence,
+           CASE WHEN max_price <= 250000.0 AND n_orders = 0
+                     AND c_acctbal < 0.0 THEN 'negative_balance_no_orders'
+                WHEN max_price <= 250000.0 AND n_orders = 0
+                     AND c_acctbal >= 0.0 THEN 'no_signals'
+                ELSE '' END AS note
+    FROM j ORDER BY c_custkey
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "parent_rollup": parent_rollup,
@@ -1670,6 +1790,8 @@ QUERIES = {
     "dist_join_priority_revenue": dist_join_priority_revenue,
     "graph_degree_stats": graph_degree_stats,
     "connected_components": connected_components,
+    "connected_components_labelprop": connected_components_labelprop,
+    "classify_customers": classify_customers,
     "nested_customer_mart": nested_customer_mart,
     "year_expansion_mart": year_expansion_mart,
     "disambiguate_titles": disambiguate_titles,

@@ -63,6 +63,61 @@ def test_matches_duckdb_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_asof_join_exact_above_2_53(ray_session, tmp_path):
+    """Int64 ids far above 2^53 must round-trip the as-of co-shuffle exactly
+    (the old float64 value carry collapsed adjacent huge ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    B = 2**60
+    # two purchases with ids B+1 / B+3 — indistinguishable in float64
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([100, 200], pa.int64()),
+        "event_id": pa.array([B + 1, B + 3], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([50, 150, 10], pa.int64()),
+        "prior_click_id": pa.array([B + 5, B + 7, B + 9], pa.int64()),
+    }))
+    from horizon_etl_ray.functions.asof import asof_join
+
+    out = asof_join(left, right, by="user_id", on="ts",
+                    left_value_columns=["event_id"],
+                    right_value_columns=["prior_click_id"]).to_pandas()
+    out = out.sort_values("ts").reset_index(drop=True)
+    assert out["event_id"].tolist() == [B + 1, B + 3]
+    assert out["prior_click_id"].tolist() == [B + 5, B + 7]
+    assert out["event_id"].dtype == np.int64
+
+
+def test_range_join_exact_above_2_53(ray_session, tmp_path):
+    """Order keys above 2^53 must survive the banded-range-join union
+    exactly (native int64 carry, no NaN sentinel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    B = 2**60
+    d = tmp_path / "sf"
+    d.mkdir()
+    day = np.datetime64("2024-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([B + 1, B + 3], pa.int64()),
+        "o_orderdate": pa.array([day, day + np.timedelta64(30, "D")]),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([day + np.timedelta64(2, "D"),
+                                day + np.timedelta64(3, "D"),
+                                day + np.timedelta64(31, "D")]),
+    }), str(d / "lineitem.parquet"))
+    from horizon_etl_ray.pipelines.analytics import range_join_ship_activity
+
+    out = range_join_ship_activity(str(d))
+    assert out["o_orderkey"].tolist() == [B + 1, B + 3]
+    assert out["n_shipped"].tolist() == [2, 1]
+
+
 def test_q3_bloom_path_matches_exact_path():
     """Forcing the bloom+join plan (threshold 0) must reproduce the exact
     broadcast plan's top-10 (bloom FPs removed by the aggregate-level
