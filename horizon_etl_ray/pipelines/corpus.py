@@ -453,7 +453,63 @@ def cdc_lineage_metrics(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("epoch").reset_index(drop=True)
 
 
+def doc_sections(sf_dir: str) -> pd.DataFrame:
+    """M6 parity — the multi-section document parser
+    (/root/reference/src/adapters/sources/lattes_parser.py:41-601): each
+    document becomes a CV-shaped JSON (deterministic render the DuckDB
+    oracle reproduces with word arithmetic), then the actor-pool
+    ``ParseDocSections`` stage flat-maps every JSON into typed rows for the
+    5 list sections plus the scalar ``info`` section. The oracle checks the
+    PARSER's full output — section routing, per-section ordering, the
+    info-scalar row, and the lang carry."""
+    from ..stages.doc_parser import ParseDocSections, render_doc_json
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def to_json(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "doc_json": [
+                render_doc_json(int(i), t, l, s)
+                for i, t, l, s in zip(batch["doc_id"], batch["text"],
+                                      batch["lang"], batch["source"])
+            ],
+        })
+
+    out = (
+        ds.map_batches(to_json, batch_format="pandas")
+        .map_batches(ParseDocSections, batch_format="pyarrow",
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "section", "idx"]).reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_sections": """
+        WITH w AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS j
+            FROM documents
+        ), s(sid, section) AS (
+            SELECT * FROM (VALUES (0, 'projects'), (1, 'articles'),
+                                  (2, 'education'), (3, 'awards'),
+                                  (4, 'languages')) t(sid, section)
+        ), items AS (
+            SELECT w.doc_id, s.section, w.j // 7 AS idx, w.word AS title,
+                   w.lang
+            FROM w JOIN s ON w.j % 7 = s.sid
+            WHERE w.j // 7 < 5
+        ), info AS (
+            SELECT doc_id, 'info' AS section, CAST(0 AS BIGINT) AS idx,
+                   source AS title, lang
+            FROM documents
+        )
+        SELECT doc_id, section, idx, title, lang FROM items
+        UNION ALL SELECT doc_id, section, idx, title, lang FROM info
+        ORDER BY doc_id, section, idx
+    """,
     "token_counts": """
         SELECT doc_id, array_length(string_split(text, ' ')) AS n_tokens
         FROM documents ORDER BY doc_id
@@ -698,6 +754,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "doc_sections": doc_sections,
     "token_counts": token_counts,
     "token_counts_bpeish": token_counts_bpeish,
     "quality_stats": quality_stats,
