@@ -57,3 +57,124 @@ def export_parquet_mirror(ds, out_dir: str, name: str) -> dict:
         json.dumps({"columns": cols}, indent=1).encode(),
     )
     return {"path": target, "columns": cols}
+
+
+def _edge_checksum(edges_ds) -> str:
+    """Order/partition-invariant content checksum of an edge Dataset:
+    per-row siphash of (s1, s2, w) summed mod 2^64 — computed distributed
+    (one map + a sum aggregate), never materializing edges on the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def row_hash(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64")})
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        acc = None
+        for c in ("s1", "s2", "w"):
+            h = pd.util.hash_array(
+                np.ascontiguousarray(df[c].to_numpy())).astype(np.uint64)
+            acc = h.copy() if acc is None else (acc * mult) ^ h
+        # per-block partial sum (uint64 wraps) → one tiny row per block
+        return pd.DataFrame({"h": [np.bitwise_and(
+            np.add.reduce(acc, dtype=np.uint64), np.uint64(0xFFFFFFFFFFFFFFFF))]})
+
+    total = np.uint64(0)
+    for b in (edges_ds.map_batches(row_hash, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for v in b["h"].to_numpy(dtype=np.uint64):
+            total = np.uint64((int(total) + int(v)) % (1 << 64))
+    return f"{int(total):016x}"
+
+
+def export_graph_bundle(edges_ds, nodes_ds, out_dir: str,
+                        classification_col: str = "classification") -> dict:
+    """Graph export bundle (the reference's flagship export,
+    /root/reference/src/core/logic/people_relationship_graph_generator.py:60-134:
+    full graph + one filtered subgraph per classification + manifest + a
+    directory alias): write ``nodes``/``edges`` parquet for the full graph,
+    then for every distinct value of ``nodes[classification_col]`` the
+    INDUCED subgraph (nodes of that class, edges with BOTH endpoints in it),
+    and a ``manifest.json`` recording per-export node/edge counts and an
+    order-invariant edge checksum.
+
+    Inputs: ``edges_ds`` with (s1, s2, w); ``nodes_ds`` with (node,
+    <classification_col>). Scale shape: the full graph streams through
+    ``write_parquet``; each subgraph's edge filter runs as a broadcast
+    membership test (a classification's node set is small by construction —
+    it is one category of a dimension; for huge classes the same filter
+    composes with the bucketed semi-join of functions/dedup.py). The alias
+    symlink mirrors the reference's membership-graph alias."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    edges = edges_ds.materialize()
+    nodes = nodes_ds.materialize()
+
+    edges.write_parquet(os.path.join(out_dir, "edges"), compression="zstd")
+    nodes.write_parquet(os.path.join(out_dir, "nodes"), compression="zstd")
+    manifest: dict = {
+        "full_graph": {
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+            "edge_checksum": _edge_checksum(edges),
+            "paths": {"nodes": "nodes", "edges": "edges"},
+        },
+        "classification_exports": [],
+    }
+
+    classes = sorted(
+        r[classification_col]
+        for r in nodes.groupby(classification_col).count().take_all()
+    )
+    for cls in classes:
+        cls_nodes = nodes.map_batches(
+            lambda t, _c=cls: t.filter(
+                pa.compute.equal(t[classification_col], _c)),
+            batch_format="pyarrow")
+        members = np.sort(np.concatenate(
+            [b["node"].to_numpy() for b in
+             cls_nodes.select_columns(["node"]).iter_batches(
+                 batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        mref = ray.put(members)
+
+        def in_class(t: pa.Table) -> pa.Table:
+            m = ray.get(mref)
+            if len(m) == 0:
+                return t.slice(0, 0)
+            s1 = t["s1"].to_numpy(zero_copy_only=False)
+            s2 = t["s2"].to_numpy(zero_copy_only=False)
+
+            def _has(v):
+                pos = np.searchsorted(m, v).clip(0, len(m) - 1)
+                return m[pos] == v
+
+            return t.filter(pa.array(_has(s1) & _has(s2)))
+
+        sub_edges = edges.map_batches(
+            in_class, batch_format="pyarrow").materialize()
+        sub_dir = f"classification={cls}"
+        cls_nodes.write_parquet(os.path.join(out_dir, sub_dir, "nodes"),
+                                compression="zstd")
+        sub_edges.write_parquet(os.path.join(out_dir, sub_dir, "edges"),
+                                compression="zstd")
+        manifest["classification_exports"].append({
+            "classification": str(cls),
+            "nodes": cls_nodes.count(),
+            "edges": sub_edges.count(),
+            "edge_checksum": _edge_checksum(sub_edges),
+            "path": sub_dir,
+        })
+
+    alias = os.path.join(out_dir, "subgraphs")
+    if os.path.islink(alias):
+        os.unlink(alias)
+    if not os.path.exists(alias) and classes:
+        os.symlink(f"classification={classes[0]}", alias)
+    atomic_write_bytes(os.path.join(out_dir, "manifest.json"),
+                       json.dumps(manifest, indent=1, sort_keys=True).encode())
+    return manifest
