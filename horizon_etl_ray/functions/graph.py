@@ -39,14 +39,24 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
     internally."""
     import ray.data as rd
 
-    def _snapshot(ds):
-        """Materialize AND cut lineage. ``materialize()`` alone is not
-        enough here: a union over a materialized dataset re-plans from the
-        logical root, so round k re-executes rounds 1..k-1 (measured:
-        per-round wall time growing ~3-4× — 2s → 121s by round 9).
-        ``from_arrow_refs`` rebuilds the dataset from the concrete block
-        refs, making each round O(round work)."""
-        return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+    def _snapshot(ds, nblocks=num_buckets):
+        """Materialize AND cut lineage AND pin the block count.
+
+        ``materialize()`` alone is not enough: a union over a materialized
+        dataset re-plans from the logical root, so round k re-executes
+        rounds 1..k-1. ``from_arrow_refs`` rebuilds the dataset from the
+        concrete block refs, making each round O(round work).
+
+        The ``repartition`` is equally load-bearing: each round's
+        union(labels, proposals) → groupby emits roughly
+        blocks(labels) + blocks(proposals) output blocks, so without a
+        coalesce the label table's block count DOUBLES per round
+        (measured: 48 → 112 → 240 → 496 blocks for 2k rows by round 4,
+        wall time 2.5s → 84s — per-block task overhead, not data, is the
+        cost). Labels are 2×int64 per node; ``num_buckets`` blocks keeps
+        them at target block size at any scale."""
+        return rd.from_arrow_refs(
+            ds.repartition(nblocks).materialize().to_arrow_refs())
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df[src].to_numpy(dtype=np.int64)
@@ -119,8 +129,13 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
     def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby("node", sort=False)["label"].min().reset_index())
 
+    import os
+    import time as _time
+    _dbg = bool(os.environ.get("GRAFT_GRAPH_DEBUG"))
+
     converged = False
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        _t0 = _time.time()
         tagged = (edges.map_batches(tag_edges, batch_format="pandas")
                   .union(labels.map_batches(tag_labels, batch_format="pandas")))
         proposals = tagged.groupby("_b").map_groups(
@@ -135,6 +150,10 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
                               batch_format="pandas"))
         labels = _snapshot(merged)
         cur_sum = labels.sum("label")
+        if _dbg:
+            print(f"[graph.cc] round {_round}: {_time.time() - _t0:.1f}s "
+                  f"sum={cur_sum} blocks={labels.num_blocks()} "
+                  f"rows={labels.count()}", flush=True)
         if cur_sum == prev_sum:  # min-propagation is monotone non-increasing
             converged = True
             break
