@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "entity_resolution_cascade",
     "connected_components",
+    "doc_sections",
+    "classify_customers",
     "cdc_replay_lineitem_epochs",
 ]
 

@@ -198,36 +198,56 @@ def q3_top_orders(sf_dir: str, bloom_threshold: int = 10_000_000
     with deterministic tiebreak.
 
     Both build sides come from DISTRIBUTED Dataset filters (no driver
-    full-table reads — the round-1 nit). The order-key semi-join against
-    lineitem is hybrid, same policy as ``exact_dedup``:
-      - ≤ ``bloom_threshold`` keys: broadcast the sorted key array once.
-      - above it (the 10^10 target): a fixed-size **Bloom filter built
-        distributed** (functions/bloom.py) pre-filters lineitem, and bloom
-        false positives are removed EXACTLY by a ``Dataset.join`` of the
-        (tiny) per-order aggregate back to the filtered orders."""
+    full-table reads — the round-1 nit), and BOTH semi-joins are hybrid on
+    build-side cardinality:
+      - customers⋉orders: ≤ ``bloom_threshold`` segment customers →
+        broadcast the sorted key array once; above it the segment keys
+        never touch the driver — an exact hash-shuffle ``Dataset.join``
+        produces the segment orders.
+      - orders⋉lineitem (same policy as ``exact_dedup``):
+        ≤ ``bloom_threshold`` keys → broadcast; above it (the 10^10
+        target) a fixed-size **Bloom filter built distributed**
+        (functions/bloom.py) pre-filters lineitem, and bloom false
+        positives are removed EXACTLY by a ``Dataset.join`` of the (tiny)
+        per-order aggregate back to the filtered orders."""
     import ray
     from ray.data.aggregate import Sum
 
     from ..functions.bloom import bloom_contains, build_bloom
 
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
-               filter=pc.field("c_mktsegment") == "BUILDING")
-    ckeys = np.sort(np.concatenate(
-        [b["c_custkey"].to_numpy() for b in
-         cust.select_columns(["c_custkey"]).iter_batches(batch_format="pyarrow")]
-        or [np.array([], dtype=np.int64)]))
-    cref = ray.put(ckeys)
+               filter=pc.field("c_mktsegment") == "BUILDING"
+               ).select_columns(["c_custkey"]).materialize()
 
-    def orders_of_segment(t: pa.Table) -> pa.Table:
-        keys = ray.get(cref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck).clip(0, max(len(keys) - 1, 0))
-        mask = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
-        return pa.table({"o_orderkey": t["o_orderkey"].filter(pa.array(mask))})
+    if cust.count() <= bloom_threshold:
+        # small segment: broadcast the sorted key array once
+        ckeys = np.sort(np.concatenate(
+            [b["c_custkey"].to_numpy() for b in
+             cust.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        cref = ray.put(ckeys)
 
-    seg_orders = _rp(sf_dir, "orders",
-                     columns=["o_orderkey", "o_custkey"]).map_batches(
-        orders_of_segment, batch_format="pyarrow").materialize()
+        def orders_of_segment(t: pa.Table) -> pa.Table:
+            keys = ray.get(cref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ck).clip(0, max(len(keys) - 1, 0))
+            mask = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+            return pa.table(
+                {"o_orderkey": t["o_orderkey"].filter(pa.array(mask))})
+
+        seg_orders = _rp(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey"]).map_batches(
+            orders_of_segment, batch_format="pyarrow").materialize()
+    else:
+        # billions of segment customers (the 100-TB shape): never collect
+        # the keys on the driver — exact hash-shuffle semi-join instead
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        seg_orders = (_rp(sf_dir, "orders",
+                          columns=["o_orderkey", "o_custkey"])
+                      .join(cust, join_type="inner",
+                            num_partitions=max(2, min(64, 2 * cpus)),
+                            on=("o_custkey",), right_on=("c_custkey",))
+                      .select_columns(["o_orderkey"]).materialize())
     li = _rp(sf_dir, "lineitem",
              columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
