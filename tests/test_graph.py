@@ -34,3 +34,20 @@ def test_node_degrees_includes_isolated():
     out = (G.node_degrees(_ds(edges), _ds(nodes))
            .to_pandas().set_index("node")["degree"])
     assert out[1] == 2 and out[2] == 1 and out[3] == 1 and out[4] == 0
+
+
+def test_connected_components_path_graph_log_rounds(ray_session):
+    """A 1,500-node PATH is the adversarial topology for plain min-label
+    propagation (diameter ≈ n; neighbors hash into different buckets, so
+    edge rounds alone move labels only a couple of hops per round and
+    max_rounds would exhaust → raise). The pointer-jump exchange squares
+    the reach each round, so the path must converge within O(log n)
+    global rounds and label every node with the path's minimum id."""
+    n = 1500
+    ids = np.random.RandomState(7).permutation(n) + 10  # non-contiguous ids
+    edges = pd.DataFrame({"s1": ids[:-1], "s2": ids[1:]})
+    nodes = pd.DataFrame({"node": ids})
+    out = (G.connected_components(_ds(edges), _ds(nodes), max_rounds=18)
+           .to_pandas())
+    assert len(out) == n
+    assert (out["component"] == ids.min()).all()
