@@ -169,19 +169,28 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _query_vectors(sf_dir: str, ids=(0, 1, 2)):
+    """The handful of fixed query vectors, read with PREDICATE PUSHDOWN —
+    only row groups containing the query ids leave storage (at the 100-TB
+    shape a full-table driver read here would dwarf the search itself).
+    Returns (queries ndarray sorted by id, qids ndarray)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", list(ids))])
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    queries = np.stack(
+        [np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
+    return queries, qids
+
+
 def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for three fixed query vectors (vec_id 0/1/2)
     — numpy matmul per batch against the broadcast query matrix; rank
     tiebreak (cosine desc, vec_id asc) matches the SQL window order."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2]))
-    qt = emb.filter(qmask)
-    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
-    queries = np.stack([np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
-
+    queries, qids = _query_vectors(sf_dir)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = sim.brute_force_topk(ds, queries, k=10, query_ids=qids)
     return out[["query_id", "rank", "vec_id"]].reset_index(drop=True)
@@ -303,14 +312,7 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
 
 def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN (scale path of ann_cosine_topk; approximate)."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
-    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
-    queries = np.stack([np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
-
+    queries, qids = _query_vectors(sf_dir)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     params = sim.IvfIndexParams.fit(ds, nlist=16)
     out = sim.ivf_topk(ds, params, queries, k=10, nprobe=6, query_ids=qids)
@@ -323,14 +325,7 @@ def ivf_ann_exhaustive(sf_dir: str) -> pd.DataFrame:
     driver-oracle-checked row; the approximate operating point stays
     ``ivf_ann_topk`` (rows-only by design, recall-tested in
     tests/test_similarity.py)."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
-    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
-    queries = np.stack([np.asarray(v) for v in qt["embedding"].to_pylist()])[order]
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
-
+    queries, qids = _query_vectors(sf_dir)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     params = sim.IvfIndexParams.fit(ds, nlist=16)
     out = sim.ivf_topk(ds, params, queries, k=10, nprobe=16, query_ids=qids)
