@@ -76,6 +76,56 @@ class DecodeStage:
         )
 
 
+class ResizeStage:
+    """Actor-pool resize/transcode stage for image-shaped payloads:
+    binary in → binary out (plus refreshed ``size_bytes`` and a
+    ``resize_ratio`` metadata column), the layout a real
+    PIL ``Image.resize`` + re-encode would produce.
+
+    The resize KERNEL is a stub (no codecs in this environment,
+    clearly marked): a deterministic byte subsample down to
+    ``target_bytes``. Swap ``self.resize`` for a real decode→resize→encode
+    in deployment; the Ray-side plumbing (actor signature, pyarrow-only
+    batches, small ``batch_size`` for MB-scale payloads, output schema) is
+    real and tested (tests/test_multimodal.py)."""
+
+    def __init__(self, payload_column: str = "payload",
+                 id_column: str = "doc_id", target_bytes: int = 64):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.target_bytes = target_bytes
+        # real deployment: load the codec here, once per actor
+        self.resize = self._resize_stub
+
+    def _resize_stub(self, payload: bytes) -> bytes:
+        """STUB — stands in for decode→resize→re-encode. Deterministic:
+        every k-th byte so the output is ≤ target_bytes."""
+        if len(payload) <= self.target_bytes:
+            return payload
+        step = -(-len(payload) // self.target_bytes)  # ceil div
+        return payload[::step]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        resized = [self.resize(v.as_py() or b"")
+                   for v in t[self.payload_column]]
+        out = pa.array(resized, type=pa.binary())
+        new_len = pc.binary_length(out).cast(pa.float64())
+        old_len = pc.binary_length(
+            t[self.payload_column].cast(pa.binary())).cast(pa.float64())
+        ratio = pc.if_else(pc.greater(old_len, 0.0),
+                           pc.divide(new_len, old_len), pa.scalar(1.0))
+        return pa.table(
+            {
+                self.id_column: t[self.id_column],
+                self.payload_column: out,
+                "size_bytes": pc.binary_length(out).cast(pa.int64()),
+                "resize_ratio": ratio,
+            }
+        )
+
+
 class FrameSampleStage:
     """Actor-pool frame/chunk sampler for video/audio-shaped payloads:
     deterministically samples ``n_frames`` byte-chunks per payload (stub for

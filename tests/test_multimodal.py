@@ -53,3 +53,37 @@ def test_decode_in_ray_pipeline():
     out = ds.to_pandas()
     assert len(out) == 3
     assert len(out["features"][0]) == 8
+
+
+def test_resize_stage_bounds_and_metadata():
+    from horizon_etl_ray.stages.multimodal import ResizeStage
+
+    t = attach_payload(_docs_table())
+    out = ResizeStage(target_bytes=8)(t)
+    assert out.column_names == ["doc_id", "payload", "size_bytes",
+                                "resize_ratio"]
+    sizes = out["size_bytes"].to_pylist()
+    assert all(s <= 8 for s in sizes)
+    # deterministic: same payload → same resized bytes
+    again = ResizeStage(target_bytes=8)(t)
+    assert out["payload"].to_pylist() == again["payload"].to_pylist()
+    # already-small payloads pass through (ratio 1.0)
+    small = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                      "text": pa.array(["hi"])})
+    s_out = ResizeStage(target_bytes=8)(attach_payload(small))
+    assert s_out["payload"].to_pylist() == [b"hi"]
+    assert s_out["resize_ratio"].to_pylist() == [1.0]
+
+
+def test_resize_in_ray_pipeline():
+    import ray.data as rd
+
+    from horizon_etl_ray.stages.multimodal import ResizeStage
+
+    ds = rd.from_arrow(_docs_table()).map_batches(
+        attach_payload, batch_format="pyarrow"
+    ).map_batches(ResizeStage, batch_format="pyarrow", batch_size=2,
+                  concurrency=(1, 2))
+    out = ds.to_pandas()
+    assert len(out) == 3
+    assert (out["size_bytes"] <= 64).all()
