@@ -44,7 +44,15 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
     minimum node id reachable (isolated nodes map to themselves).
 
     ``edges_ds`` is undirected input (each edge once); it is symmetrized
-    internally."""
+    internally.
+
+    Partitioning assumption: edges route by hash(source), so a node's full
+    star lands in ONE bucket group — memory per closure task ∝ the hottest
+    node's degree / ``num_buckets`` share. For extreme-degree hubs, salting
+    the source routing stays CORRECT (a bucket's closure over any edge
+    subset is a monotone partial merge; later rounds finish the job) at
+    the cost of extra rounds — raise ``num_buckets`` first, salt only if a
+    single star exceeds worker memory."""
     import os
     import time as _time
 
