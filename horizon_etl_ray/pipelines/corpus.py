@@ -480,7 +480,43 @@ def doc_sections(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "section", "idx"]).reset_index(drop=True)
 
 
+def sample_documents_hash(sf_dir: str, pct: int = 10) -> pd.DataFrame:
+    """Deterministic hash sample (the sampling operator a 100-TB corpus
+    pipeline needs and the reference lacks — SURVEY §2.8 "sampling: none"):
+    keep a document iff ``md5(doc_id) mod 100 < pct``. Content-addressed,
+    so the sample is REPRODUCIBLE across runs/engines and composable
+    (pct=10 ⊂ pct=20), unlike ``ds.random_sample``. Runs as a pruned-read
+    stateless ``map_batches`` filter — no shuffle, no driver state.
+
+    The md5-of-decimal-string hash is chosen (over the vectorized SipHash
+    in functions/hashing.py a production sampler would use) so DuckDB
+    reproduces the exact same sample: ``('0x' || substr(md5(CAST(doc_id AS
+    VARCHAR)),1,16))::UBIGINT % 100`` — same convention as the simhash
+    word hash (functions/dedup.py)."""
+    import hashlib
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        mask = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(i)).encode()).digest()[:8], "big")
+             % 100 < pct for i in ids),
+            dtype=bool, count=len(ids))
+        return batch[mask]
+
+    out = (_rp(sf_dir, "documents", columns=["doc_id", "lang"])
+           .map_batches(keep, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "sample_documents_hash": """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % 100 < 10
+        ORDER BY doc_id
+    """,
     "doc_sections": """
         WITH w AS (
             SELECT doc_id, lang,
@@ -750,6 +786,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "doc_sections": doc_sections,
+    "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_counts_bpeish": token_counts_bpeish,
     "quality_stats": quality_stats,
