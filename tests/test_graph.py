@@ -51,3 +51,38 @@ def test_connected_components_path_graph_log_rounds(ray_session):
            .to_pandas())
     assert len(out) == n
     assert (out["component"] == ids.min()).all()
+
+
+def test_connected_components_random_graphs_vs_union_find(ray_session):
+    """Contraction CC vs a union-find oracle on seeded random graphs of
+    varying density (including many isolated nodes and multi-component
+    shapes)."""
+    for seed, nn, m in [(3, 300, 80), (4, 400, 400), (5, 250, 1200)]:
+        rs = np.random.RandomState(seed)
+        ea = rs.randint(0, nn, m)
+        eb = rs.randint(0, nn, m)
+        out = (G.connected_components(
+            _ds(pd.DataFrame({"s1": ea, "s2": eb})),
+            _ds(pd.DataFrame({"node": np.arange(nn)})),
+            num_buckets=8)
+            .to_pandas().set_index("node")["component"])
+
+        parent = np.arange(nn)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(ea, eb):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        comp_min = {}
+        for x in range(nn):
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expect = np.array([comp_min[find(x)] for x in range(nn)])
+        assert np.array_equal(out.sort_index().to_numpy(), expect), \
+            f"seed={seed}"
