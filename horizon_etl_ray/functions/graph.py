@@ -16,6 +16,12 @@ exchanges, so the edge list never needs to fit one machine:
       E ← { (m[a], m[b]) : (a,b) ∈ E, m[a] ≠ m[b] }   (contract + dedup)
     until E is empty                    (EXACT termination — no heuristics)
 
+This is the classic contraction/"hash-to-min" family of distributed CC
+algorithms from the public MapReduce literature (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014; Rastogi et
+al., "Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+ICDE 2013), re-expressed as Ray Data bucketed exchanges.
+
 Every connected bucket-local subgraph collapses to one representative per
 round, so the surviving node count (and the edge list) shrinks
 geometrically: convergence is O(log diameter) rounds on ANY topology —
