@@ -178,3 +178,42 @@ def export_graph_bundle(edges_ds, nodes_ds, out_dir: str,
     atomic_write_bytes(os.path.join(out_dir, "manifest.json"),
                        json.dumps(manifest, indent=1, sort_keys=True).encode())
     return manifest
+
+
+def bundle_zip(export_dir: str, zip_path: str,
+               allow_empty: bool = False) -> dict:
+    """K5 parity (/root/reference/src/scripts/zip_exports.py): zip an export
+    directory for publication. DETERMINISTIC: members are added in sorted
+    relative-path order with a fixed timestamp and no filesystem metadata,
+    so the same export tree produces byte-identical archives on every node
+    and rerun (idempotent re-publication). Symlink aliases are skipped
+    (their targets are already members). The archive is written atomically
+    (temp + rename) behind the same never-clobber-good-with-empty guard as
+    ``export_json``."""
+    import zipfile
+
+    members = []
+    for root, dirs, files in os.walk(export_dir):
+        dirs[:] = sorted(d for d in dirs
+                         if not os.path.islink(os.path.join(root, d)))
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            if os.path.islink(p):
+                continue
+            members.append((os.path.relpath(p, export_dir), p))
+    members.sort()
+    if not members and not allow_empty:
+        raise ValueError(
+            f"refusing to write empty bundle over {zip_path!r} "
+            "(allow_empty=False)")
+    tmp = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for rel, p in members:
+            info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(p, "rb") as fh:
+                z.writestr(info, fh.read())
+    os.replace(tmp, zip_path)
+    return {"zip": zip_path, "members": len(members),
+            "bytes": os.path.getsize(zip_path)}

@@ -71,3 +71,38 @@ def test_edge_checksum_is_order_and_partition_invariant(ray_session, tmp_path):
     m3 = export_graph_bundle(bumped, nodes, str(tmp_path / "b3"))
     assert m3["full_graph"]["edge_checksum"] != \
         m1["full_graph"]["edge_checksum"]
+
+
+def test_bundle_zip_deterministic_and_guarded(ray_session, tmp_path):
+    """K5: zipping the same export tree twice gives byte-identical
+    archives (sorted members, fixed timestamps); empty dir refuses unless
+    allow_empty; symlink alias is skipped but its target is included."""
+    import hashlib
+
+    from horizon_etl_ray.pipelines.export import bundle_zip
+
+    edges, nodes = _inputs()
+    out = str(tmp_path / "bundle")
+    export_graph_bundle(edges, nodes, out)
+
+    z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    m1 = bundle_zip(out, z1)
+    m2 = bundle_zip(out, z2)
+    assert m1["members"] == m2["members"] > 0
+    d1 = hashlib.sha256(open(z1, "rb").read()).hexdigest()
+    d2 = hashlib.sha256(open(z2, "rb").read()).hexdigest()
+    assert d1 == d2
+
+    import zipfile
+
+    names = zipfile.ZipFile(z1).namelist()
+    assert "manifest.json" in names
+    assert not any(n.startswith("subgraphs") for n in names)  # alias skipped
+    assert any(n.startswith("classification=") for n in names)
+
+    import pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="empty bundle"):
+        bundle_zip(str(empty), str(tmp_path / "c.zip"))
