@@ -454,7 +454,7 @@ def doc_sections(sf_dir: str) -> pd.DataFrame:
     document becomes a CV-shaped JSON (deterministic render the DuckDB
     oracle reproduces with word arithmetic), then the actor-pool
     ``ParseDocSections`` stage flat-maps every JSON into typed rows for the
-    5 list sections plus the scalar ``info`` section. The oracle checks the
+    10 list sections plus the scalar ``info`` section. The oracle checks the
     PARSER's full output — section routing, per-section ordering, the
     info-scalar row, and the lang carry."""
     from ..stages.doc_parser import ParseDocSections, render_doc_json
@@ -524,14 +524,17 @@ ORACLE_SQL: dict[str, str] = {
                    generate_subscripts(string_split(text, ' '), 1) - 1 AS j
             FROM documents
         ), s(sid, section) AS (
-            SELECT * FROM (VALUES (0, 'projects'), (1, 'articles'),
-                                  (2, 'education'), (3, 'awards'),
-                                  (4, 'languages')) t(sid, section)
+            SELECT * FROM (VALUES (0, 'projects'), (1, 'research_projects'),
+                                  (2, 'extension_projects'), (3, 'articles'),
+                                  (4, 'conference_papers'), (5, 'education'),
+                                  (6, 'awards'), (7, 'languages'),
+                                  (8, 'professional_activities'),
+                                  (9, 'technical_productions')) t(sid, section)
         ), items AS (
-            SELECT w.doc_id, s.section, w.j // 7 AS idx, w.word AS title,
+            SELECT w.doc_id, s.section, w.j // 12 AS idx, w.word AS title,
                    w.lang
-            FROM w JOIN s ON w.j % 7 = s.sid
-            WHERE w.j // 7 < 5
+            FROM w JOIN s ON w.j % 12 = s.sid
+            WHERE w.j // 12 < 5
         ), info AS (
             SELECT doc_id, 'info' AS section, CAST(0 AS BIGINT) AS idx,
                    source AS title, lang

@@ -25,8 +25,16 @@ import pyarrow as pa
 
 # section name → key path inside the document's "sections" object; each
 # section's items are [{"title": ...}, ...] (the reference's per-section
-# list-of-dicts shape)
-DEFAULT_SECTIONS = ("projects", "articles", "education", "awards", "languages")
+# list-of-dicts shape). The 10 list sections mirror the reference parser's
+# section families (lattes_parser.py:41-601: projects ×3, articles,
+# conference papers, academic education, awards, languages, professional
+# activities, technical productions) — personal info is the scalar ``info``
+# row, as there.
+DEFAULT_SECTIONS = (
+    "projects", "research_projects", "extension_projects", "articles",
+    "conference_papers", "education", "awards", "languages",
+    "professional_activities", "technical_productions",
+)
 
 
 class ParseDocSections:

@@ -27,14 +27,14 @@ def test_sections_and_info_rows():
     # info row present with the scalar section payload
     assert ("info", 0, "lattes") in list(
         zip(out["section"], out["idx"], out["title"]))
-    # section 'projects' gets words 0, 7, 14 → a, h, o
+    # K = 12: section 'projects' (sid 0) gets words 0, 12 → a, m
     proj = [(i, ti) for s, i, ti in zip(out["section"], out["idx"],
                                         out["title"]) if s == "projects"]
-    assert proj == [(0, "a"), (1, "h"), (2, "o")]
-    # articles gets words 1, 8 → b, i
+    assert proj == [(0, "a"), (1, "m")]
+    # articles (sid 3) gets word 3 → d
     art = [ti for s, ti in zip(out["section"], out["title"])
            if s == "articles"]
-    assert art == ["b", "i"]
+    assert art == ["d"]
     assert set(out["lang"]) == {"pt"}
 
 
@@ -54,10 +54,10 @@ def test_malformed_and_partial_documents_skip_not_crash():
 
 
 def test_no_section_assumes_full_word_coverage():
-    # K = len(sections)+2 ⇒ two word slots per period are in NO section
+    # K = len(sections)+2 = 12 ⇒ two word slots per period are in NO section
     words = [f"w{i}" for i in range(14)]
     doc = render_doc_json(9, " ".join(words), "en", "s")
     parsed = json.loads(doc)
     used = {it["title"] for s in DEFAULT_SECTIONS
             for it in parsed["sections"][s]}
-    assert {"w5", "w6", "w12", "w13"}.isdisjoint(used)
+    assert {"w10", "w11"}.isdisjoint(used)
