@@ -231,6 +231,20 @@ def minhash_dedup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """n-gram Jaccard near-dup via prefix filtering (exact — no
+    probabilistic misses, unlike MinHash-LSH): the oracle is the same
+    brute-force all-pairs Jaccard scan, and the outputs must coincide
+    EXACTLY because prefix filtering has no false negatives (Bayardo et
+    al., WWW'07)."""
+    corpus = _planted_near_dups(sf_dir)
+    verified = dd.ngram_jaccard_pairs(corpus, threshold=0.5,
+                                      concurrency=(1, 4))
+    out = verified.to_pandas()
+    out["jaccard"] = np.round(out["jaccard"].to_numpy(dtype=np.float64), 4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def simhash_dedup_pairs(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup: 64-bit signatures, 16-bit chunk LSH, hamming ≤ 3."""
     corpus = _planted_near_dups(sf_dir)
@@ -684,6 +698,31 @@ ORACLE_SQL: dict[str, str] = {
         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
         ORDER BY id_a, id_b
     """,
+    # prefix filtering is exact (no false negatives — Bayardo et al. WWW'07),
+    # so the n-gram Jaccard operator's output IS the brute-force pair scan.
+    "ngram_jaccard_pairs": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 50000, text || ' nearduplicate' FROM documents
+            WHERE doc_id < 25
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) < 5
+                        THEN [array_to_string(ws, ' ')]
+                        ELSE [array_to_string(ws[i:i+4], ' ')
+                              for i in generate_series(1, len(ws) - 4)] END) AS s
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+                  FROM corpus)
+        ), j AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s)) * 1.0 /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+        ORDER BY id_a, id_b
+    """,
     "simhash_dedup_pairs": """
         WITH corpus AS (
             SELECT doc_id, text FROM documents
@@ -801,6 +840,7 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
     "minhash_dedup_pairs": minhash_dedup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_fingerprints": doc_fingerprints,
     "ivf_ann_exhaustive": ivf_ann_exhaustive,
