@@ -195,13 +195,14 @@ class MinHashStage:
         out_id = np.repeat(batch[self.id_column].to_numpy(), self.bands)
         band_id = np.tile(np.arange(self.bands), n)
         grouped = sigs.reshape(n, self.bands, self.rows_per_band)
-        bucket = np.array(
-            [
-                hashlib.blake2b(grouped[i, b].tobytes(), digest_size=8).hexdigest()
-                for i in range(n)
-                for b in range(self.bands)
-            ]
-        )
+        # int64 bucket ids (blake2b-8 of the band slice): fixed-width shuffle
+        # payload instead of a 16-char hex string per row
+        bucket = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(grouped[i, b].tobytes(),
+                                digest_size=8).digest(), "big")
+             for i in range(n) for b in range(self.bands)),
+            dtype=np.uint64, count=n * self.bands).view(np.int64)
         return pd.DataFrame(
             {self.id_column: out_id, "band_id": band_id, "bucket": bucket}
         )
@@ -209,10 +210,18 @@ class MinHashStage:
 
 def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
                        num_perm=64, bands=16, seed=42, k_shingle=5,
-                       concurrency=4, max_bucket=256):
-    """shingle → minhash → band-bucket explode → groupby(band,bucket) →
-    candidate pairs. Returns a Dataset of (id_a, id_b) candidate pairs
-    (id_a < id_b), deduplicated.
+                       concurrency=4, max_bucket=256, num_buckets=32):
+    """shingle → minhash → band-bucket explode → coarse-bucket co-shuffle →
+    per-(band,bucket) candidate pairs. Returns a Dataset of (id_a, id_b)
+    candidate pairs (id_a < id_b), deduplicated.
+
+    The exchange routes rows by ``hash(band, bucket) % num_buckets`` so the
+    Ray groupby sees ~num_buckets groups (one vectorized pandas call each),
+    not one Python ``map_groups`` dispatch per LSH bucket — with n·bands
+    exploded rows the distinct (band, bucket) count approaches n·bands and
+    per-group dispatch dominates otherwise (measured 36 s → 23 s on the
+    sf0.1 near-dup query, remainder is the verify co-shuffles' fixed
+    exchange cost; same fix as simhash_candidates).
 
     ``max_bucket`` caps pair expansion per bucket (standard LSH hot-bucket
     guard): a bucket with B > max_bucket members would emit O(B²) pairs —
@@ -230,17 +239,29 @@ def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
         concurrency=concurrency,
     )
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_column].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cb"] = _pair_bucket(df["band_id"].to_numpy(),
+                                 df["bucket"].to_numpy(), num_buckets)
+        return df
 
-    pairs = exploded.groupby(["band_id", "bucket"]).map_groups(
-        pairs_of_group, batch_format="pandas"
-    )
-    return dedup_pairs(pairs)
+    def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby(["band_id", "bucket"], sort=False):
+            ids = np.unique(sub[id_column].to_numpy())[:max_bucket]
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            frames.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (exploded.map_batches(route, batch_format="pandas")
+             .groupby("_cb")
+             .map_groups(pairs_in_buckets, batch_format="pandas"))
+    return dedup_pairs(pairs, num_buckets=num_buckets)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
