@@ -23,7 +23,7 @@ approximate/generator-based entries with no SQL twin (``ivf_ann_topk``,
 ``cdc_lineage_metrics``) and oracle-checked-but-redundant variants whose
 §2 row is already evidenced by an earlier entry (``top_suppliers`` by
 ``q3_top_orders`` for O1, ``top_event_users`` by ``graph_degree_stats``
-for O2, ``ann_cosine_topk`` by ``ivf_ann_exhaustive`` which runs
+for O2, ``part_minmax`` by ``parent_rollup`` for the min/max aggregate, ``ann_cosine_topk`` by ``ivf_ann_exhaustive`` which runs
 nprobe=nlist ≡ brute force, ``token_counts_bpeish`` by ``token_counts``,
 ``multimodal_meta`` by ``multimodal_frames`` — all still verified by
 tests/check_parity).
@@ -39,6 +39,7 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # Entries pushed past the driver's 50-row gate cap (see module docstring).
 _TAIL = (
     "sample_documents_hash",
+    "part_minmax",
     "top_event_users",
     "multimodal_meta",
     "top_suppliers",

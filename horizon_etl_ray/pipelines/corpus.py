@@ -324,6 +324,80 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def clean_corpus(sf_dir: str, quality_min: float = 0.5,
+                 jaccard_threshold: float = 0.5,
+                 broadcast_threshold: int = 1_000_000) -> pd.DataFrame:
+    """The composed training-data prep flagship — the four corpus operators
+    chained as ONE pipeline (what a 100-TB pretraining-data run actually
+    executes): language-ID (actor pool) → quality filter (vectorized) →
+    exact dedup (min-id per content hash) → near-dup removal (exact n-gram
+    Jaccard prefix filtering; every pair's higher id is dropped — a
+    deterministic, auditable policy) → per-doc stats of the surviving
+    corpus. Every stage reuses an operator with its own oracle row, and the
+    SQL twin composes their oracle CTEs, so the END-TO-END composition is
+    value-hash-checked, not just the parts.
+
+    Scale notes: the deduped survivor set feeds two consumers (the pair
+    generator and the final anti-filter), so it is pinned with
+    ``materialize()`` — at 100 TB you would write survivors to a
+    partitioned lake path and read it twice (same semantics, resumable).
+    The loser-id removal is hybrid: broadcast below
+    ``broadcast_threshold`` ids, hash-shuffle ``left_anti`` join above
+    (the anti_join_customers policy)."""
+    import ray
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        f = tx.quality_features(batch["text"])
+        batch = batch.copy()
+        batch["quality"] = np.round(tx.quality_score(f), 6)
+        batch["n_tokens"] = f["n_tokens"].to_numpy()
+        keep = (batch["lang_pred"] == "en") & (batch["quality"] >= quality_min)
+        return batch[keep]
+
+    kept = (docs.map_batches(tx.LangIdStage, batch_format="pandas",
+                             concurrency=(1, 4))
+            .map_batches(score_filter, batch_format="pandas"))
+    deduped = dd.exact_dedup(
+        kept, broadcast_threshold=broadcast_threshold).materialize()
+
+    pairs = dd.ngram_jaccard_pairs(deduped, threshold=jaccard_threshold,
+                                   concurrency=(1, 4))
+    losers = pairs.select_columns(["id_b"]).materialize()
+    if losers.count() <= broadcast_threshold:
+        loser_ids = np.unique(np.concatenate(
+            [b["id_b"].to_numpy() for b in
+             losers.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        ref = ray.put(loser_ids)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return t
+            pos = np.searchsorted(ids, d).clip(0, len(ids) - 1)
+            return t.filter(pa.array(~(ids[pos] == d)))
+
+        survived = deduped.map_batches(anti, batch_format="pyarrow")
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        survived = deduped.join(
+            losers, join_type="left_anti",
+            num_partitions=max(2, min(8, 2 * cpus)),
+            on=("doc_id",), right_on=("id_b",))
+
+    out = (survived.select_columns(
+        ["doc_id", "lang_pred", "quality", "n_tokens"]).to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "lang_pred": pd.Series([], dtype=str),
+                            "quality": pd.Series([], dtype=np.float64),
+                            "n_tokens": pd.Series([], dtype=np.int64)})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN (scale path of ann_cosine_topk; approximate)."""
     queries, qids = _query_vectors(sf_dir)
@@ -698,6 +772,93 @@ ORACLE_SQL: dict[str, str] = {
         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
         ORDER BY id_a, id_b
     """,
+    # the composed corpus-prep flagship: each CTE is the oracle of one
+    # already-verified operator (lang_id_confusion's predictor keyed by doc,
+    # quality_scores, exact-dedup min-id, the brute-force Jaccard twin) —
+    # the composition itself is what this row checks end-to-end.
+    "clean_corpus": """
+        WITH w AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM documents
+        ), s AS (
+            SELECT doc_id, greatest(len(ws), 1) AS nw,
+                   len(list_filter(ws, x -> x IN
+                       ('der','die','und','das','von','zu','den','mit','ist',
+                        'im','für','auf','des','ein'))) * 1.0 AS c_de,
+                   len(list_filter(ws, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','are','this'))) * 1.0 AS c_en,
+                   len(list_filter(ws, x -> x IN
+                       ('el','la','de','que','y','en','los','del','se','las',
+                        'por','un','con','una','es','para'))) * 1.0 AS c_es,
+                   len(list_filter(ws, x -> x IN
+                       ('le','la','de','et','les','des','en','un','une','du',
+                        'que','pour','dans','ce','il'))) * 1.0 AS c_fr,
+                   len(list_filter(ws, x -> x IN
+                       ('o','a','de','que','e','do','da','em','um','para',
+                        'com','não','uma','os','no','se'))) * 1.0 AS c_pt
+            FROM w
+        ), langp AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN greatest(c_de, c_en, c_es, c_fr, c_pt) = 0 THEN 'und'
+                     WHEN c_de / nw >= c_en / nw AND c_de / nw >= c_es / nw
+                      AND c_de / nw >= c_fr / nw AND c_de / nw >= c_pt / nw
+                       THEN 'de'
+                     WHEN c_en / nw >= c_es / nw AND c_en / nw >= c_fr / nw
+                      AND c_en / nw >= c_pt / nw THEN 'en'
+                     WHEN c_es / nw >= c_fr / nw AND c_es / nw >= c_pt / nw
+                       THEN 'es'
+                     WHEN c_fr / nw >= c_pt / nw THEN 'fr'
+                     ELSE 'pt'
+                   END AS lang_pred
+            FROM s
+        ), f AS (
+            SELECT doc_id,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM documents
+        ), q AS (
+            SELECT doc_id, n_tokens,
+                   round(0.4 * least(n_tokens / 50.0, 1.0)
+                       + 0.3 * least((n_alpha * 1.0 / greatest(n_chars, 1))
+                                     * 1.25, 1.0)
+                       + 0.3 * least((len(list_filter(ws, x -> x IN
+                           ('the','and','of','to','a','in','is','that','it',
+                            'for','on','with','as','are','this')))
+                           * 1.0 / greatest(len(ws), 1)) * 4.0, 1.0),
+                       6) AS quality
+            FROM f
+        ), s1 AS (
+            SELECT d.doc_id, d.text, l.lang_pred, q.quality, q.n_tokens
+            FROM documents d
+            JOIN langp l USING (doc_id) JOIN q USING (doc_id)
+            WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+        ), s2 AS (
+            SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text
+        ), s2d AS (
+            SELECT s1.* FROM s1 JOIN s2 USING (doc_id)
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) < 5
+                        THEN [array_to_string(ws, ' ')]
+                        ELSE [array_to_string(ws[i:i+4], ' ')
+                              for i in generate_series(1, len(ws) - 4)] END) AS sg
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+                  FROM s2d)
+        ), losers AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sg, b.sg)) * 1.0 /
+                  (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+                  >= 0.5
+        )
+        SELECT doc_id, lang_pred, quality, n_tokens FROM s2d
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY doc_id
+    """,
     # prefix filtering is exact (no false negatives — Bayardo et al. WWW'07),
     # so the n-gram Jaccard operator's output IS the brute-force pair scan.
     "ngram_jaccard_pairs": """
@@ -839,6 +1000,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
+    "clean_corpus": clean_corpus,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
