@@ -19,8 +19,10 @@ therefore returns an explicitly ordered dict — the four full-engine
 lineitem replay rows FIRST (the flagship evidence), then every other
 SQL-oracle-checked row, and LAST the rows that don't need a driver slot:
 approximate/generator-based entries with no SQL twin (``ivf_ann_topk``,
-``cdc_replay_synthetic``, ``cdc_replay_evolved``, ``fuzzy_dup_parts``,
-``cdc_lineage_metrics``) and oracle-checked-but-redundant variants whose
+``cdc_replay_synthetic``, ``cdc_replay_evolved``, ``cdc_lineage_metrics``),
+``fuzzy_dup_parts`` (SQL twin added round 3 — Levenshtein-ratio scorer;
+verified by the local gate, parked past the cap), and
+oracle-checked-but-redundant variants whose
 §2 row is already evidenced by an earlier entry (``top_suppliers`` by
 ``q3_top_orders`` for O1, ``top_event_users`` by ``graph_degree_stats``
 for O2, ``part_minmax`` by ``parent_rollup`` for the min/max aggregate, ``ann_cosine_topk`` by ``ivf_ann_exhaustive`` which runs

@@ -57,14 +57,23 @@ class FuzzyBlocker:
 
 def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
                       threshold: int = 90, strict: bool = False,
-                      concurrency=(1, 4), max_block: int = 512):
+                      concurrency=(1, 4), max_block: int = 512,
+                      scorer: str = "token_sort_ratio"):
     """Candidate duplicate pairs: block on (first,last) canonical tokens,
-    score token_sort_ratio within blocks only. ``strict=True`` ⇒ ratio must
-    be exactly 100 (the reference's strict mode). ``max_block`` caps the
-    O(B²) scan per block (the hot-bucket guard of minhash_lsh_groups): an
-    adversarial block beyond it is truncated to the max_block smallest ids —
-    a block that large carries no dedup signal anyway."""
+    score within blocks only. ``strict=True`` ⇒ ratio must be exactly 100
+    (the reference's strict mode). ``max_block`` caps the O(B²) scan per
+    block (the hot-bucket guard of minhash_lsh_groups): an adversarial
+    block beyond it is truncated to the max_block smallest ids — a block
+    that large carries no dedup signal anyway.
+
+    ``scorer``: ``"token_sort_ratio"`` (difflib Ratcliff-Obershelp — the
+    reference's thefuzz semantics) or ``"lev_token_sort_ratio"``
+    (Levenshtein ratio of the token-sorted forms — same 0..100 contract,
+    chosen when the dedup policy must be SQL-auditable: DuckDB reproduces
+    it exactly via ``levenshtein()``; see entity_resolution.py)."""
     import ray.data as rd  # noqa: F401
+
+    from .entity_resolution import lev_token_sort_ratio
 
     blocked = ds.map_batches(
         FuzzyBlocker, fn_constructor_kwargs=dict(name_column=name_column),
@@ -72,6 +81,8 @@ def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
     )
 
     minimum = 100 if strict else threshold
+    score = {"token_sort_ratio": token_sort_ratio,
+             "lev_token_sort_ratio": lev_token_sort_ratio}[scorer]
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values(id_column).drop_duplicates(subset=[id_column])
@@ -81,7 +92,7 @@ def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
         rows = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                r = token_sort_ratio(names[i], names[j])
+                r = score(names[i], names[j])
                 if r >= minimum:
                     rows.append((ids[i], ids[j], r))
         if not rows:

@@ -484,8 +484,12 @@ def cdc_replay_evolved(sf_dir: str) -> pd.DataFrame:
 
 def fuzzy_dup_parts(sf_dir: str) -> pd.DataFrame:
     """Blocked fuzzy near-dup names (T1/J3/D3 parity): part names + planted
-    one-word-edited variants; token_sort_ratio ≥ 90 within (first,last)-token
-    blocks only."""
+    one-word-edited variants; ratio ≥ 90 within (first,last)-token blocks
+    only. Uses the SQL-auditable ``lev_token_sort_ratio`` scorer so the
+    whole blocked-fuzzy operator is oracle-checked (DuckDB ``levenshtein``
+    over the same token-sorted normalized names + the same block join); the
+    reference's difflib ``token_sort_ratio`` scorer stays the default for
+    `fuzzy_match_pairs` and is pytest-verified in test_fuzzy_export."""
     from ..functions.fuzzy import fuzzy_match_pairs
 
     ds = _rp(sf_dir, "part", columns=["p_partkey", "p_name"])
@@ -500,7 +504,8 @@ def fuzzy_dup_parts(sf_dir: str) -> pd.DataFrame:
 
     corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
     out = fuzzy_match_pairs(corpus, name_column="p_name", id_column="p_partkey",
-                            threshold=90).to_pandas()
+                            threshold=90,
+                            scorer="lev_token_sort_ratio").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -770,6 +775,33 @@ ORACLE_SQL: dict[str, str] = {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         )
         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    # blocked fuzzy dedup with the SQL-auditable Levenshtein-ratio scorer:
+    # same (first,last)-token blocking, same token-sorted normalized form,
+    # same floor(x+0.5) rounding as lev_token_sort_ratio.
+    "fuzzy_dup_parts": """
+        WITH corpus AS (
+            SELECT p_partkey, p_name FROM part
+            UNION ALL
+            SELECT p_partkey + 50000, p_name || ' x' FROM part
+            WHERE p_partkey < 21
+        ), n AS (
+            SELECT p_partkey AS id,
+                   array_to_string(list_sort(
+                       string_split(lower(p_name), ' ')), ' ') AS ts,
+                   string_split(lower(p_name), ' ') AS toks
+            FROM corpus
+        ), b AS (
+            SELECT id, ts, toks[1] || '|' || toks[len(toks)] AS block FROM n
+        ), scored AS (
+            SELECT a.id AS id_a, c.id AS id_b,
+                   CAST(floor(100 * (1 - levenshtein(a.ts, c.ts) * 1.0 /
+                        greatest(length(a.ts), length(c.ts), 1)) + 0.5)
+                        AS BIGINT) AS ratio
+            FROM b a JOIN b c ON a.block = c.block AND a.id < c.id
+        )
+        SELECT id_a, id_b, ratio FROM scored WHERE ratio >= 90
         ORDER BY id_a, id_b
     """,
     # the composed corpus-prep flagship: each CTE is the oracle of one
