@@ -41,6 +41,7 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # Entries pushed past the driver's 50-row gate cap (see module docstring).
 _TAIL = (
     "sample_documents_hash",
+    "multimodal_byte_features",
     "part_minmax",
     "top_event_users",
     "multimodal_meta",

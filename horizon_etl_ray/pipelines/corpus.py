@@ -137,6 +137,34 @@ def multimodal_meta(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def multimodal_byte_features(sf_dir: str) -> pd.DataFrame:
+    """Feature extraction over binary payloads (the feature-extract member
+    of the multimodal family — REAL, no codec needed): byte histogram stats
+    + Shannon entropy per payload via the ``ByteFeatureStage`` actor pool.
+    Oracle: DuckDB recomputes the character-level entropy — exact because
+    the test corpus is pure ASCII (codepoint == byte; asserted here, same
+    precondition as doc_fingerprints)."""
+    from ..stages.multimodal import ByteFeatureStage, attach_payload
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def payloadize(t: pa.Table) -> pa.Table:
+        # ASCII precondition for the SQL twin: total bytes == total chars
+        # (byte count ≥ char count, equal iff every char is single-byte)
+        assert pc.sum(pc.binary_length(t["text"].cast(pa.binary()))).as_py() \
+            == pc.sum(pc.utf8_length(t["text"])).as_py(), \
+            "non-ASCII text: SQL character-entropy twin no longer exact"
+        return attach_payload(t).select(["doc_id", "payload"])
+
+    out = (
+        ds.map_batches(payloadize, batch_format="pyarrow")
+        .map_batches(ByteFeatureStage, batch_format="pyarrow",
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     """Frame/chunk sampling over opaque payloads (the 1→N explode layout of
     stages/multimodal.py:FrameSampleStage, run as a real actor-pool stage):
@@ -669,6 +697,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
         FROM corpus GROUP BY text ORDER BY doc_id
     """,
+    # character-level entropy == byte-level entropy on the pure-ASCII test
+    # corpus (precondition asserted in the query, as for doc_fingerprints)
+    "multimodal_byte_features": """
+        WITH c AS (
+            SELECT doc_id,
+                   unnest([text[i]
+                           for i in generate_series(1, length(text))]) AS ch
+            FROM documents WHERE length(text) > 0
+        ), h AS (
+            SELECT doc_id, ch, count(*) * 1.0 AS n
+            FROM c GROUP BY doc_id, ch
+        ), t AS (
+            SELECT doc_id, sum(n) AS total FROM h GROUP BY doc_id
+        )
+        SELECT h.doc_id,
+               CAST(any_value(t.total) AS BIGINT) AS size_bytes,
+               count(*) AS n_distinct_bytes,
+               round(-sum((h.n / t.total) * log2(h.n / t.total)), 6)
+                   AS entropy
+        FROM h JOIN t ON h.doc_id = t.doc_id
+        GROUP BY h.doc_id ORDER BY h.doc_id
+    """,
     "multimodal_meta": """
         SELECT doc_id, octet_length(encode(text)) AS size_bytes
         FROM documents ORDER BY doc_id
@@ -1027,6 +1077,7 @@ QUERIES = {
     "quality_stats": quality_stats,
     "exact_dedup_documents": exact_dedup_documents,
     "multimodal_meta": multimodal_meta,
+    "multimodal_byte_features": multimodal_byte_features,
     "multimodal_frames": multimodal_frames,
     "ann_cosine_topk": ann_cosine_topk,
     "quality_scores": quality_scores,

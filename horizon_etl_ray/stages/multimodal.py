@@ -159,3 +159,42 @@ class FrameSampleStage:
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+class ByteFeatureStage:
+    """Actor-pool feature-extract stage over opaque binary payloads — the
+    feature-extraction member of the decode/resize/frame-sample family that
+    needs NO codec, so it is fully REAL in this environment (not a stub):
+    per payload, byte-histogram statistics (size, distinct byte count) and
+    the Shannon entropy of the byte distribution — the standard cheap
+    corpus-quality signals for binary media (compressed/encrypted payloads
+    ≈ 8 bits/byte, text ≈ 4-5). A model-based extractor plugs in with the
+    same signature (load in ``__init__``, batch in ``__call__``).
+
+    Kernel: ``np.frombuffer`` + ``np.bincount`` per payload — zero-copy
+    views, no Python byte loops."""
+
+    def __init__(self, payload_column: str = "payload",
+                 id_column: str = "doc_id"):
+        self.payload_column = payload_column
+        self.id_column = id_column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, sizes, distincts, entropies = [], [], [], []
+        for rid, v in zip(t[self.id_column], t[self.payload_column]):
+            data = v.as_py() or b""
+            if not data:
+                continue
+            a = np.frombuffer(data, dtype=np.uint8)
+            counts = np.bincount(a, minlength=256)
+            p = counts[counts > 0] / len(a)
+            ids.append(rid.as_py())
+            sizes.append(len(data))
+            distincts.append(int(len(p)))
+            entropies.append(round(float(-(p * np.log2(p)).sum()), 6))
+        return pa.table({
+            self.id_column: pa.array(ids, type=t[self.id_column].type),
+            "size_bytes": pa.array(sizes, pa.int64()),
+            "n_distinct_bytes": pa.array(distincts, pa.int64()),
+            "entropy": pa.array(entropies, pa.float64()),
+        })

@@ -87,3 +87,30 @@ def test_resize_in_ray_pipeline():
     out = ds.to_pandas()
     assert len(out) == 3
     assert (out["size_bytes"] <= 64).all()
+
+
+def test_byte_features_known_entropy():
+    import math
+
+    import pyarrow as pa
+
+    from horizon_etl_ray.stages.multimodal import ByteFeatureStage, attach_payload
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["aaaa",          # one symbol → entropy 0
+                          "abab",          # two equiprobable → entropy 1
+                          "abcd",          # four equiprobable → entropy 2
+                          ""]),            # empty → dropped
+    })
+    out = ByteFeatureStage()(attach_payload(t)).to_pydict()
+    assert out["doc_id"] == [1, 2, 3]
+    assert out["size_bytes"] == [4, 4, 4]
+    assert out["n_distinct_bytes"] == [1, 2, 4]
+    assert out["entropy"] == [0.0, 1.0, 2.0]
+    # non-uniform: 'aab' → -(2/3 log2 2/3 + 1/3 log2 1/3)
+    t2 = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                   "text": pa.array(["aab"])})
+    e = ByteFeatureStage()(attach_payload(t2))["entropy"].to_pylist()[0]
+    want = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(e - round(want, 6)) < 1e-9
