@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "token_counts",
     "quality_stats",
     "exact_dedup_documents",
+    "clean_corpus",
     "ann_cosine_topk",
     "multimodal_meta",
     "entity_resolution_cascade",
