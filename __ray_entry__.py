@@ -26,9 +26,10 @@ oracle-checked-but-redundant variants whose
 §2 row is already evidenced by an earlier entry (``top_suppliers`` by
 ``q3_top_orders`` for O1, ``top_event_users`` by ``graph_degree_stats``
 for O2, ``part_minmax`` by ``parent_rollup`` for the min/max aggregate, ``ann_cosine_topk`` by ``ivf_ann_exhaustive`` which runs
-nprobe=nlist ≡ brute force, ``token_counts_bpeish`` by ``token_counts``,
-``multimodal_meta`` by ``multimodal_frames`` — all still verified by
-tests/check_parity).
+nprobe=nlist ≡ brute force, ``token_counts``/``token_counts_bpeish`` by
+``token_count_quantiles`` (same tokenization, plus exact distributed
+percentiles), ``multimodal_meta`` by ``multimodal_frames`` — all still
+verified by tests/check_parity).
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 _TAIL = (
     "sample_documents_hash",
     "multimodal_byte_features",
+    "token_counts",
     "part_minmax",
     "top_event_users",
     "multimodal_meta",

@@ -352,6 +352,30 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language token-count percentiles via mergeable histogram
+    partials (functions/quantiles.py) — exact percentiles WITHOUT a global
+    sort or a sketch: per-block (lang, n_tokens) count combiner, then one
+    tiny exchange of distinct values. The oracle recomputes the identical
+    rank arithmetic (r = max(ceil(q·n), 1)-th smallest) with row_number."""
+    from ..functions.quantiles import group_quantiles_histogram
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def with_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"].to_numpy(),
+            "n_tokens": tx.count_tokens_whitespace(batch["text"]),
+        })
+
+    out = group_quantiles_histogram(
+        ds.map_batches(with_tokens, batch_format="pandas"),
+        value_column="n_tokens", group_column="lang",
+        qs={"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    ).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def clean_corpus(sf_dir: str, quality_min: float = 0.5,
                  jaccard_threshold: float = 0.5,
                  broadcast_threshold: int = 1_000_000) -> pd.DataFrame:
@@ -827,6 +851,35 @@ ORACLE_SQL: dict[str, str] = {
         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
         ORDER BY id_a, id_b
     """,
+    # exact-quantile twin: same rank convention (r = max(ceil(q*n),1)-th
+    # smallest) spelled out with row_number so the double multiply q*n is
+    # the same IEEE operation on both sides (quantile_disc agrees on the
+    # probed cases but its internals are not contractual).
+    "token_count_quantiles": """
+        WITH t AS (
+            SELECT lang, array_length(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT lang, count(*) AS n FROM t GROUP BY lang
+        ), r AS (
+            SELECT lang, n_tokens,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_tokens) AS rk
+            FROM t
+        )
+        SELECT c.lang, any_value(c.n) AS n,
+               max(CASE WHEN rk = greatest(
+                   CAST(ceil(0.5 * c.n) AS BIGINT), 1)
+                   THEN n_tokens END) AS p50,
+               max(CASE WHEN rk = greatest(
+                   CAST(ceil(0.9 * c.n) AS BIGINT), 1)
+                   THEN n_tokens END) AS p90,
+               max(CASE WHEN rk = greatest(
+                   CAST(ceil(0.99 * c.n) AS BIGINT), 1)
+                   THEN n_tokens END) AS p99
+        FROM r JOIN c USING (lang)
+        GROUP BY c.lang ORDER BY c.lang
+    """,
     # blocked fuzzy dedup with the SQL-auditable Levenshtein-ratio scorer:
     # same (first,last)-token blocking, same token-sorted normalized form,
     # same floor(x+0.5) rounding as lev_token_sort_ratio.
@@ -1073,6 +1126,7 @@ QUERIES = {
     "doc_sections": doc_sections,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
+    "token_count_quantiles": token_count_quantiles,
     "token_counts_bpeish": token_counts_bpeish,
     "quality_stats": quality_stats,
     "exact_dedup_documents": exact_dedup_documents,
