@@ -89,3 +89,31 @@ def test_empty_and_null_docs_yield_nothing():
     stage = ShinglePrefixStage(threshold=0.5)
     out = stage(pd.DataFrame({"doc_id": [1, 2], "text": ["", None]}))
     assert len(out) == 0
+
+
+def test_minhash_lsh_agrees_with_exact_operator():
+    """The LSH banding-exactness claim (corpus.py): on the planted corpus
+    the MinHash-LSH candidate set loses no true pair. Proven here by
+    comparing against the EXACT prefix-filtering operator end-to-end at
+    sf0.001 — identical verified pair sets, not just identical counts."""
+    from horizon_etl_ray.functions.dedup import minhash_lsh_groups
+    from horizon_etl_ray.functions.dedup import verify_pairs_jaccard
+    from horizon_etl_ray.pipelines.corpus import _planted_near_dups
+
+    corpus = _planted_near_dups("/root/testdata/sf0.001")
+    exact = _collect(ngram_jaccard_pairs(corpus, threshold=0.5,
+                                         concurrency=(1, 2)))
+    lsh_cands = minhash_lsh_groups(corpus, num_perm=64, bands=16,
+                                   concurrency=(1, 2))
+    lsh = _collect(verify_pairs_jaccard(lsh_cands, corpus, threshold=0.5))
+    assert len(exact) > 0
+    assert lsh == exact
+
+
+def _collect(ds):
+    got = ds.to_pandas()
+    if len(got) == 0:
+        return []
+    return sorted((int(a), int(b), round(float(j), 6))
+                  for a, b, j in zip(got["id_a"], got["id_b"],
+                                     got["jaccard"]))
