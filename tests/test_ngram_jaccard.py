@@ -117,3 +117,30 @@ def _collect(ds):
     return sorted((int(a), int(b), round(float(j), 6))
                   for a, b, j in zip(got["id_a"], got["id_b"],
                                      got["jaccard"]))
+
+
+def test_hot_shingle_capped_but_real_dups_found():
+    """A stop-gram shared by EVERY doc must not blow up the candidate set
+    (max_bucket truncation), and true near-dups must still surface via
+    their other, rarer shingles."""
+    stop = "common prefix words here always"  # one shingle in every doc
+    rows = [(i, f"{stop} unique{i} filler{i} extra{i} more{i}")
+            for i in range(60)]
+    rows.append((100, rows[7][1] + " tail"))  # true near-dup of doc 7
+    got = _run_capped(rows, threshold=0.5, max_bucket=8)
+    assert (7, 100) in {(a, b) for a, b, _ in got}
+    # candidate expansion stayed bounded: the stop-gram bucket contributed
+    # at most C(8,2) pairs, so the verified output is far below C(61,2)
+    assert len(got) < 100
+
+
+def _run_capped(rows, threshold, max_bucket):
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}))
+    got = ngram_jaccard_pairs(ds, threshold=threshold, max_bucket=max_bucket,
+                              concurrency=(1, 2)).to_pandas()
+    if len(got) == 0:
+        return []
+    return sorted((int(a), int(b), round(float(j), 6))
+                  for a, b, j in zip(got["id_a"], got["id_b"],
+                                     got["jaccard"]))

@@ -49,3 +49,21 @@ def test_ties_and_constant_groups():
     # n=4: ranks for (0, .25, .5, .9, 1) → (1, 1, 2, 4, 4)
     assert (y["p0"], y["p25"], y["p50"], y["p90"], y["p100"]) == \
         (1, 1, 1, 9, 9)
+
+
+def test_partials_merge_across_arbitrary_block_splits():
+    # the histogram partial is mergeable: the result must be invariant to
+    # how rows are split into blocks (each block contributes one partial)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], size=500),
+                       "v": rng.integers(0, 30, size=500)})
+    want = None
+    for nblocks in (1, 3, 7, 16):
+        out = group_quantiles_histogram(
+            rd.from_pandas(df).repartition(nblocks),
+            value_column="v", group_column="g", qs=QS,
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        if want is None:
+            want = out
+        else:
+            pd.testing.assert_frame_equal(out, want)
