@@ -28,19 +28,35 @@ import pandas as pd
 
 
 def group_quantiles_histogram(ds, value_column: str, group_column: str,
-                              qs: dict[str, float]):
+                              qs: dict[str, float], num_buckets: int = 32):
     """Exact per-group quantiles of an integer column via mergeable
     histogram partials. Returns a Dataset with one row per group:
     ``(group_column, n, <one column per qs key>)``.
 
     qs: output-column-name → quantile fraction, e.g.
-    ``{"p50": 0.5, "p90": 0.9, "p99": 0.99}``."""
+    ``{"p50": 0.5, "p90": 0.9, "p99": 0.99}``.
+
+    Two-level reduce, both mergeable: per-block partials are first summed
+    in a coarse-bucket exchange keyed on ``value % num_buckets`` so the
+    second exchange carries GLOBALLY distinct (group, value) rows — without
+    this, the per-group finish task would receive one partial row per
+    (block, value) pair, i.e. O(block count) rows in a single task at
+    10^6-block scale. With it, finish sees O(distinct values) regardless
+    of corpus size."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby([group_column, value_column], sort=False)
              .size().reset_index(name="_cnt"))
         g["_cnt"] = g["_cnt"].astype(np.int64)
+        g["_qb"] = (g[value_column].to_numpy(dtype=np.int64)
+                    % np.int64(num_buckets))
         return g
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([group_column, value_column], sort=False)["_cnt"]
+               .sum().reset_index())
+        out["_cnt"] = out["_cnt"].astype(np.int64)
+        return out
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(value_column)["_cnt"].sum().sort_index()
@@ -54,6 +70,8 @@ def group_quantiles_histogram(ds, value_column: str, group_column: str,
             row[name] = values[int(np.searchsorted(cum, rank))]
         return pd.DataFrame([row])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(group_column).map_groups(
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("_qb").map_groups(merge_counts,
+                                         batch_format="pandas"))
+    return merged.groupby(group_column).map_groups(
         finish, batch_format="pandas")
