@@ -301,17 +301,30 @@ def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
 def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
     """Language-ID heuristic (stopword profiles, actor-pool stage) against
-    the labeled lang column → confusion counts."""
+    the labeled lang column → confusion counts. The count is a DISTRIBUTED
+    two-level reduce (per-batch partial crosstab, then a tiny
+    |langs|²-group exchange) — per-doc rows never reach the driver (at
+    10^10 docs the old ``to_pandas().groupby`` would have shipped them
+    all)."""
+    from ray.data.aggregate import Sum
+
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     pred = ds.map_batches(
         tx.LangIdStage, batch_format="pandas", concurrency=(1, 4)
     )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.groupby(["lang", "lang_pred"], as_index=False)
+               .size().rename(columns={"size": "_n"}))
+        out["_n"] = out["_n"].astype(np.int64)
+        return out
+
     out = (
         pred.select_columns(["lang", "lang_pred"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("_n", alias_name="n"))
         .to_pandas()
-        .groupby(["lang", "lang_pred"], as_index=False)
-        .size()
-        .rename(columns={"size": "n"})
     )
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
