@@ -354,6 +354,72 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
         merge, batch_format="pandas")
 
 
+def anti_filter(ds, bad_ids_ds, id_column: str = "doc_id",
+                bad_id_column: str = "id_b", num_buckets: int = 32):
+    """Distributed anti-semi-join: drop rows of ``ds`` whose ``id_column``
+    value appears in ``bad_ids_ds[bad_id_column]`` (int64 keys).
+
+    This replaces ``Dataset.join(join_type="left_anti")`` when the bad-id
+    side is SPARSE: Ray's hash-shuffle join materializes each right
+    partition with an ArrowBlockBuilder, and a partition that received zero
+    rows builds a schema-less empty table, so the per-partition pyarrow join
+    dies with ``No match ... FieldRef.Name(<key>)`` whenever
+    ``len(bad_ids) < num_partitions``-ish (observed on ray 2.49.2: 21 loser
+    ids over 8 partitions). The union-tag bucket co-shuffle below has no
+    empty-partition failure mode, does ONE exchange, ships only (id, tag)
+    for the bad side, and needs no join aggregator actor pool.
+    """
+    schema = ds.schema().base_schema
+    _FILLS = {"int": (np.int64, 0), "float": (np.float64, 0.0),
+              "bool": (np.bool_, False), "str": (object, "")}
+    spec: dict[str, tuple[object, object]] = {}
+    for f in schema:
+        if pa.types.is_integer(f.type):
+            spec[f.name] = _FILLS["int"]
+        elif pa.types.is_floating(f.type):
+            spec[f.name] = _FILLS["float"]
+        elif pa.types.is_boolean(f.type):
+            spec[f.name] = _FILLS["bool"]
+        else:
+            spec[f.name] = _FILLS["str"]
+    cols = list(schema.names)
+
+    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_side"] = np.int8(0)
+        df["_ab"] = _pair_bucket(df[id_column].to_numpy(dtype=np.int64),
+                                 np.zeros(len(df), dtype=np.int64),
+                                 num_buckets)
+        return df
+
+    def tag_bad(df: pd.DataFrame) -> pd.DataFrame:
+        # schema-less zero-row blocks can arrive without the key column
+        ids = (df[bad_id_column].to_numpy(dtype=np.int64)
+               if bad_id_column in df.columns
+               else np.array([], dtype=np.int64))
+        n = len(ids)
+        out = pd.DataFrame(index=range(n))
+        for c in cols:  # typed placeholders so the union schema unifies
+            dtype, fill = spec[c]
+            out[c] = np.full(n, fill, dtype=dtype)
+        out[id_column] = ids
+        out["_side"] = np.int8(1)
+        out["_ab"] = _pair_bucket(ids, np.zeros(n, dtype=np.int64),
+                                  num_buckets)
+        return out
+
+    keep = ds.map_batches(tag_keep, batch_format="pandas")
+    bad = bad_ids_ds.map_batches(tag_bad, batch_format="pandas")
+
+    def drop_bad(g: pd.DataFrame) -> pd.DataFrame:
+        bad_ids = g.loc[g["_side"] == 1, id_column].unique()
+        kept = g[(g["_side"] == 0) & (~g[id_column].isin(bad_ids))]
+        return kept.drop(columns=["_side", "_ab"])
+
+    return keep.union(bad).groupby("_ab").map_groups(
+        drop_bad, batch_format="pandas")
+
+
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
                          id_column="doc_id", k_shingle=5, num_buckets=32):
     """Verify candidate pairs with true n-gram Jaccard.

@@ -447,11 +447,12 @@ def clean_corpus(sf_dir: str, quality_min: float = 0.5,
 
         survived = deduped.map_batches(anti, batch_format="pyarrow")
     else:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        survived = deduped.join(
-            losers, join_type="left_anti",
-            num_partitions=max(2, min(8, 2 * cpus)),
-            on=("doc_id",), right_on=("id_b",))
+        # union-tag bucketed anti-join: the loser set is sparse relative to
+        # the corpus, and Ray's hash-shuffle left_anti join dies on
+        # schema-less EMPTY right partitions when the right side doesn't
+        # cover every partition (see functions/dedup.py:anti_filter)
+        survived = dd.anti_filter(deduped, losers, id_column="doc_id",
+                                  bad_id_column="id_b")
 
     out = (survived.select_columns(
         ["doc_id", "lang_pred", "quality", "n_tokens"]).to_pandas())

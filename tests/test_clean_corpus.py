@@ -39,3 +39,14 @@ def test_clean_corpus_stricter_gate_applies():
     strict = clean_corpus(SF, quality_min=0.7)
     assert (strict["quality"] >= 0.7).all()
     assert len(strict) <= len(clean_corpus(SF, quality_min=0.0))
+
+
+def test_distributed_join_path_matches_broadcast_path():
+    # broadcast_threshold=0 forces BOTH scale fallbacks at once: the
+    # exact-dedup Dataset.join semi-join and the loser-removal left_anti
+    # join; the survivor set must be identical to the broadcast path
+    import pandas as pd
+
+    a = clean_corpus(SF)
+    b = clean_corpus(SF, broadcast_threshold=0)
+    pd.testing.assert_frame_equal(a, b)
