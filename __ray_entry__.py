@@ -40,7 +40,14 @@ from typing import Any
 from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 
 # Entries pushed past the driver's 50-row gate cap (see module docstring).
+# Round-3 session-3 demotions (each §2 row still evidenced inside the cap):
+# lang_stats (A3 by nested_customer_mart), quality_stats (by quality_scores,
+# same feature kernel), events_sliding_window (§2.10 by events_window +
+# sessionize_events) — all remain oracle-checked by tests/check_parity.
 _TAIL = (
+    "lang_stats",
+    "quality_stats",
+    "events_sliding_window",
     "sample_documents_hash",
     "multimodal_byte_features",
     "token_counts",

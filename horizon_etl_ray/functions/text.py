@@ -84,6 +84,48 @@ def quality_score(feat: pd.DataFrame) -> np.ndarray:
     return (0.4 * length_ok + 0.3 * alpha + 0.3 * stop).astype(np.float64)
 
 
+def repetition_features(doc_ids: np.ndarray, texts: pd.Series) -> pd.DataFrame:
+    """Gopher-family repetition signals per document (public method: the
+    repetition filters of Rae et al. 2021 §A1.1 — duplicate-token and
+    most-common-n-gram fractions), fully vectorized: tokens are exploded to
+    one long frame ONCE per batch and both the distinct-token count and the
+    modal-bigram count come from C-speed pandas groupbys — no per-row loop.
+
+    Returns integer columns (n_tokens, n_distinct, top_bigram_n) so the
+    DuckDB twin matches exactly; callers derive the ratios."""
+    s = texts.fillna("")
+    toks = s.str.split(" ")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    flat = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], dtype=object)
+    d = np.repeat(ids, lens)
+    long = pd.DataFrame({"d": d, "t": flat})
+    distinct = long.groupby("d", sort=False)["t"].nunique()
+    # bigrams: adjacent token pairs within the same document
+    same = d[:-1] == d[1:] if len(d) else np.array([], dtype=bool)
+    bg = pd.DataFrame(
+        {
+            "d": d[:-1][same],
+            "bg": pd.Series(flat[:-1][same]).str.cat(
+                pd.Series(flat[1:][same]), sep=" "
+            ).to_numpy(),
+        }
+    )
+    top = (
+        bg.groupby(["d", "bg"], sort=False).size().groupby("d").max()
+        if len(bg)
+        else pd.Series(dtype=np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_tokens": lens,
+            "n_distinct": distinct.reindex(ids).fillna(0).to_numpy(dtype=np.int64),
+            "top_bigram_n": top.reindex(ids).fillna(0).to_numpy(dtype=np.int64),
+        }
+    )
+
+
 class LangIdModel:
     """Stopword-profile language ID — stateful (profiles built once), so use
     as an actor-pool stage: ``map_batches(LangIdStage, concurrency=N)``."""

@@ -652,16 +652,8 @@ def sample_documents_hash(sf_dir: str, pct: int = 10) -> pd.DataFrame:
     reproduces the exact same sample: ``('0x' || substr(md5(CAST(doc_id AS
     VARCHAR)),1,16))::UBIGINT % 100`` — same convention as the simhash
     word hash (functions/dedup.py)."""
-    import hashlib
-
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy()
-        mask = np.fromiter(
-            (int.from_bytes(
-                hashlib.md5(str(int(i)).encode()).digest()[:8], "big")
-             % 100 < pct for i in ids),
-            dtype=bool, count=len(ids))
-        return batch[mask]
+        return batch[_md5_bucket(batch["doc_id"].to_numpy(), 100) < pct]
 
     out = (_rp(sf_dir, "documents", columns=["doc_id", "lang"])
            .map_batches(keep, batch_format="pandas")
@@ -669,7 +661,252 @@ def sample_documents_hash(sf_dir: str, pct: int = 10) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _md5_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Content-addressed bucket of an integer id: first 8 md5 bytes of its
+    decimal string, mod ``mod`` — the convention DuckDB reproduces with
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 16))::UBIGINT % mod``
+    (same scheme as the simhash word hash in functions/dedup.py)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8], "big")
+         % mod for i in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def decontaminate_documents(sf_dir: str, n: int = 8,
+                            bench_mod: int = 20) -> pd.DataFrame:
+    """Benchmark decontamination — the overlap audit every LLM training
+    pipeline runs before training (public method: n-gram collision against
+    the eval suite, as in the GPT-3 appendix / C4 / Dolma pipelines): a
+    corpus document is contaminated iff it shares ≥1 word ``n``-gram with
+    the benchmark set, and the query reports each contaminated doc with its
+    count of distinct shared n-grams. The benchmark here is the
+    content-addressed md5 slice (md5(doc_id) % 20 == 0) of ``documents`` so
+    the DuckDB twin rebuilds it exactly, and guaranteed-contaminated rows
+    are planted by unioning the benchmark docs back into the corpus side
+    under shifted ids (same planting discipline as the near-dup queries).
+
+    Scale shape: the benchmark side is FIXED SIZE (an eval suite, not a
+    corpus), so its distinct n-grams are reduced per batch and broadcast
+    once via ``ray.put``; the 100-TB corpus side then streams through a
+    stateless membership filter — NO shuffle anywhere on the big side.
+    Production would compact n-grams to u64 rolling hashes before broadcast
+    (8× smaller); strings are kept here so the oracle matches byte-for-byte.
+    """
+    import ray
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(), bench_mod) == 0
+        return batch
+
+    tagged = docs.map_batches(tag, batch_format="pandas")
+
+    def bench_ngrams(batch: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for t in batch.loc[batch["bench"], "text"].fillna(""):
+            w = t.split(" ")
+            out.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+        return pd.DataFrame({"ng": sorted(out)})
+
+    # per-batch distinct → driver union: bounded by the eval-suite size,
+    # independent of corpus scale (THE broadcast-small-side precondition)
+    bench_set = frozenset(
+        tagged.map_batches(bench_ngrams, batch_format="pandas")
+        .to_pandas()["ng"])
+    ref = ray.put(bench_set)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = batch.loc[batch["bench"]].copy()
+        rows["doc_id"] = rows["doc_id"] + 100_000
+        rows["bench"] = False
+        return rows
+
+    corpus_side = tagged.union(tagged.map_batches(plant, batch_format="pandas"))
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        rows = batch.loc[~batch["bench"]]
+        ids: list[int] = []
+        counts: list[int] = []
+        for i, t in zip(rows["doc_id"], rows["text"].fillna("")):
+            w = t.split(" ")
+            ngs = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+            k = len(ngs & bs)
+            if k:
+                ids.append(int(i))
+                counts.append(k)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "n_hits": pd.Series(counts, dtype=np.int64)})
+
+    out = corpus_side.map_batches(hits, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_sequences(sf_dir: str, window: int = 256,
+                   bucket_size: int = 64) -> pd.DataFrame:
+    """Sequence packing for LLM training — concat-and-chunk: the corpus is
+    one token stream in ``doc_id`` order, cut into fixed ``window``-token
+    training sequences; each output row is one window with how many docs and
+    tokens landed in it (docs may straddle window boundaries, as in standard
+    packed-pretraining data loaders).
+
+    The global token offset of every document comes from a TWO-LEVEL PREFIX
+    SUM: per-bucket partial sums (one small exchange), a driver-side
+    exclusive scan over the tiny bucket table (n_docs / bucket_size rows —
+    10^4 rows at 10^10 docs), broadcast offsets, then per-bucket local
+    cumsums inside ``groupby(bucket).map_groups``. No stage ever holds more
+    than one bucket of rows and nothing global is materialized."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "bucket": ids // bucket_size,
+            "n": tx.count_tokens_whitespace(batch["text"]),
+        })
+
+    toks = docs.map_batches(counts, batch_format="pandas")
+    per_bucket = (
+        toks.groupby("bucket")
+        .aggregate(Sum("n", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    excl = per_bucket["bucket_tokens"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(per_bucket["bucket"].astype(int), excl.astype(int)))
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        nn = g["n"].to_numpy(dtype=np.int64)
+        start = offsets[int(g["bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(nn[:-1])))
+        end = start + nn
+        w0, w1 = start // window, (end - 1) // window
+        reps = (w1 - w0 + 1).astype(np.int64)
+        # vectorized explode of each doc to its covered window ids
+        intra = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        wid = np.repeat(w0, reps) + intra
+        d = np.repeat(g["doc_id"].to_numpy(dtype=np.int64), reps)
+        s, e = np.repeat(start, reps), np.repeat(end, reps)
+        ov = np.minimum((wid + 1) * window, e) - np.maximum(wid * window, s)
+        part = pd.DataFrame({"window_id": wid, "doc_id": d, "ov": ov})
+        return (
+            part.groupby("window_id")
+            .agg(n_docs=("doc_id", "size"), n_tokens=("ov", "sum"),
+                 first_doc=("doc_id", "min"), last_doc=("doc_id", "max"))
+            .reset_index()
+        )
+
+    partial = toks.groupby("bucket").map_groups(pack_group,
+                                                batch_format="pandas")
+    out = (
+        partial.groupby("window_id")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"),
+                   Min("first_doc", alias_name="first_doc"),
+                   Max("last_doc", alias_name="last_doc"))
+        .to_pandas()
+    )
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-family repetition quality signals (Rae et al. 2021 §A1.1):
+    per document the whitespace token count, distinct-token count and the
+    occurrence count of its most repeated word bigram — the integer inputs
+    of the duplicate-token / most-common-n-gram fraction filters. Stateless
+    vectorized ``map_batches`` (one exploded frame + two C-speed groupbys
+    per batch, functions/text.py:repetition_features); no shuffle."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        return tx.repetition_features(batch["doc_id"].to_numpy(),
+                                      batch["text"])
+
+    out = docs.map_batches(feats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "decontaminate_documents": """
+        WITH b AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT % 20 = 0
+        ), corp AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT % 20 <> 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, w FROM b
+        ), bng AS (
+            SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS ng
+            FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+                  FROM b)
+        ), cng AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS ng
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 7)) AS i
+                  FROM corp)
+        )
+        SELECT doc_id, count(*) AS n_hits
+        FROM cng JOIN bng USING (ng)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, array_length(string_split(text, ' ')) AS n
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS s
+            FROM t
+        ), p AS (
+            SELECT doc_id, n, s,
+                   unnest(generate_series(s // 256, (s + n - 1) // 256))
+                       AS window_id
+            FROM c
+        )
+        SELECT window_id, count(*) AS n_docs,
+               CAST(sum(least((window_id + 1) * 256, s + n)
+                        - greatest(window_id * 256, s)) AS BIGINT)
+                   AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM p GROUP BY window_id ORDER BY window_id
+    """,
+    "repetition_stats": """
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(w) AS t FROM ws
+        ), dst AS (
+            SELECT doc_id, count(DISTINCT t) AS n_distinct
+            FROM tok GROUP BY doc_id
+        ), bi AS (
+            SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM ws)
+        ), bc AS (
+            SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+        ), top AS (
+            SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY doc_id
+        )
+        SELECT ws.doc_id, len(w) AS n_tokens, dst.n_distinct,
+               COALESCE(top.top_bigram_n, 0) AS top_bigram_n
+        FROM ws JOIN dst USING (doc_id) LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
+    """,
     "sample_documents_hash": """
         SELECT doc_id, lang FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
@@ -1138,6 +1375,9 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "doc_sections": doc_sections,
+    "decontaminate_documents": decontaminate_documents,
+    "pack_sequences": pack_sequences,
+    "repetition_stats": repetition_stats,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,

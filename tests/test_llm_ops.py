@@ -1,0 +1,119 @@
+"""Round-3 LLM-training-data operators: benchmark decontamination,
+sequence packing (two-level prefix sum), Gopher repetition signals.
+
+Each op is driver-oracle-gated (ORACLE_SQL twin, checked in
+test_new_operators-style below); here we additionally pin the algebraic
+invariants the SQL twin can't see — packing is bucket-split-invariant
+(the two-level prefix sum gives the same windows for ANY bucket size),
+planted contamination is always caught, and the repetition kernel matches
+a naive per-row reference on literal rows."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from horizon_etl_ray.functions import text as tx
+from horizon_etl_ray.pipelines import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+@pytest.mark.parametrize(
+    "name", ["decontaminate_documents", "pack_sequences", "repetition_stats"]
+)
+def test_matches_duckdb_oracle(ray_session, con, name):
+    ray_df = corpus.QUERIES[name](SF)
+    oracle_df = con.execute(corpus.ORACLE_SQL[name]).df()
+    a, b = _canon(ray_df), _canon(oracle_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=True
+    )
+
+
+def test_pack_sequences_bucket_split_invariance(ray_session):
+    """The two-level prefix sum must be invariant to how docs are bucketed —
+    same windows for bucket_size 7 (many partial groups) and 64."""
+    a = corpus.pack_sequences(SF, bucket_size=7)
+    b = corpus.pack_sequences(SF, bucket_size=64)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_pack_sequences_conservation(ray_session):
+    """Every token lands in exactly one window; windows are the contiguous
+    range 0..total//W; every full window carries exactly W tokens."""
+    import pyarrow.parquet as pq
+
+    out = corpus.pack_sequences(SF, window=256)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    total = sum(len(t.split(" ")) for t in texts["text"].to_pylist())
+    assert out["n_tokens"].sum() == total
+    assert list(out["window_id"]) == list(range(len(out)))
+    assert (out["n_tokens"].iloc[:-1] == 256).all()
+    assert out["n_tokens"].iloc[-1] == total - 256 * (len(out) - 1)
+
+
+def test_decontaminate_catches_planted_copies(ray_session):
+    """Every benchmark doc with ≥8 tokens reappears planted at doc_id+100000
+    and MUST be flagged with n_hits == its own distinct-8-gram count."""
+    import pyarrow.parquet as pq
+
+    out = corpus.decontaminate_documents(SF)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    bench_mask = corpus._md5_bucket(docs["doc_id"].to_numpy(), 20) == 0
+    bench = docs[bench_mask]
+    assert len(bench) > 0
+    flagged = dict(zip(out["doc_id"], out["n_hits"]))
+    for _, row in bench.iterrows():
+        w = row["text"].split(" ")
+        ngs = {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
+        if ngs:
+            # the planted copy's distinct 8-grams are ALL in the benchmark
+            # set (they came from it), so n_hits is exactly len(ngs)
+            assert flagged.get(int(row["doc_id"]) + 100_000) == len(ngs)
+    # no benchmark doc ids themselves in the output (they're excluded)
+    bench_ids = set(bench["doc_id"].astype(int))
+    assert not (set(out["doc_id"].astype(int)) & bench_ids)
+
+
+def test_repetition_features_literal_rows():
+    """Kernel vs naive reference on hand-written rows, incl. the edge cases:
+    single token (no bigrams), all-repeated tokens, empty string."""
+    texts = pd.Series(
+        ["a b a b a", "x", "", "one two two two three", "z z z z"]
+    )
+    ids = np.arange(5)
+    out = tx.repetition_features(ids, texts)
+    # naive reference
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        bigrams = [" ".join(w[j:j + 2]) for j in range(len(w) - 1)]
+        top = max((bigrams.count(b) for b in set(bigrams)), default=0)
+        row = out[out["doc_id"] == i].iloc[0]
+        assert row["n_tokens"] == len(w)
+        assert row["n_distinct"] == len(set(w))
+        assert row["top_bigram_n"] == top
