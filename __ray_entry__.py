@@ -44,7 +44,12 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # lang_stats (A3 by nested_customer_mart), quality_stats (by quality_scores,
 # same feature kernel), events_sliding_window (§2.10 by events_window +
 # sessionize_events) — all remain oracle-checked by tests/check_parity.
+# Further session-3 demotions for the mixture/shuffle ops: broadcast_region_join
+# (broadcast-dim join mechanism gated via hash_join_revenue) and supplier_cograph
+# (A5 pair expansion gated via graph_degree_stats + both connected-components rows).
 _TAIL = (
+    "broadcast_region_join",
+    "supplier_cograph",
     "lang_stats",
     "quality_stats",
     "events_sliding_window",

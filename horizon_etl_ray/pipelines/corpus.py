@@ -835,7 +835,71 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def mixture_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Data mixing — per-source sampling rates, the mixture-weighting step of
+    LLM corpus assembly (public method: source-weighted sampling as in the
+    Pile / Dolma mixture recipes). Each source ``src<i>`` gets a target rate
+    of ``100 - 4*i`` percent and a document survives iff its
+    content-addressed md5 bucket falls under its source's rate — so the
+    mixture is REPRODUCIBLE (same doc set every run/engine) and composable
+    with the plain hash sample (same bucket convention). Stateless pruned
+    read + vectorized filter; no shuffle, no driver state."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        rate = 100 - batch["source"].str.slice(3).astype(np.int64) * 4
+        mask = _md5_bucket(batch["doc_id"].to_numpy(), 100) < rate.to_numpy()
+        return batch[mask]
+
+    out = docs.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def shuffled_head_documents(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Deterministic global shuffle for training export: order the corpus by
+    the md5 of its doc_id (content-addressed ⇒ reproducible across engines
+    and restarts, unlike ``random_shuffle``) and take the head. Runs as a
+    distributed range-partition ``Dataset.sort`` on the hash key + streamed
+    ``limit`` — at 100 TB this is exactly how the training-order shuffle
+    ships (sort by hash, write in key ranges); rank is assigned to the tiny
+    k-row result on the driver."""
+    import hashlib
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["shuffle_key"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()
+            for i in batch["doc_id"]
+        ]
+        return batch
+
+    head = (
+        docs.map_batches(key, batch_format="pandas")
+        .sort(["shuffle_key", "doc_id"])
+        .limit(k)
+        .to_pandas()
+    )
+    head = head.sort_values(["shuffle_key", "doc_id"]).reset_index(drop=True)
+    head["rank"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head[["rank", "doc_id", "shuffle_key"]]
+
+
 ORACLE_SQL: dict[str, str] = {
+    "mixture_sample_documents": """
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % 100 < 100 - CAST(substr(source, 4) AS BIGINT) * 4
+        ORDER BY doc_id
+    """,
+    "shuffled_head_documents": """
+        SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS rank,
+               doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+        ORDER BY rank LIMIT 50
+    """,
     "decontaminate_documents": """
         WITH b AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1378,6 +1442,8 @@ QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,
+    "mixture_sample_documents": mixture_sample_documents,
+    "shuffled_head_documents": shuffled_head_documents,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,

@@ -38,7 +38,9 @@ def con():
 
 
 @pytest.mark.parametrize(
-    "name", ["decontaminate_documents", "pack_sequences", "repetition_stats"]
+    "name",
+    ["decontaminate_documents", "pack_sequences", "repetition_stats",
+     "mixture_sample_documents", "shuffled_head_documents"],
 )
 def test_matches_duckdb_oracle(ray_session, con, name):
     ray_df = corpus.QUERIES[name](SF)
@@ -98,6 +100,27 @@ def test_decontaminate_catches_planted_copies(ray_session):
     # no benchmark doc ids themselves in the output (they're excluded)
     bench_ids = set(bench["doc_id"].astype(int))
     assert not (set(out["doc_id"].astype(int)) & bench_ids)
+
+
+def test_mixture_rates_monotone_and_reproducible(ray_session):
+    """Lower-rate sources keep fewer docs; the sample is a deterministic
+    subset (content-addressed buckets), so two runs agree exactly and the
+    kept set per source is a prefix of the hash-sample convention."""
+    a = corpus.mixture_sample_documents(SF)
+    b = corpus.mixture_sample_documents(SF)
+    pd.testing.assert_frame_equal(a, b)
+    kept = a.groupby("source").size()
+    # src0 (rate 100%) keeps everything; src19 (rate 24%) keeps well less
+    assert kept.get("src0", 0) == 25
+    assert kept.get("src19", 0) < 25
+
+
+def test_shuffled_head_is_prefix_of_full_order(ray_session):
+    """The k=50 head must equal the first 50 of the k=120 head — the shuffle
+    order is a single global order, not a per-run artifact."""
+    h50 = corpus.shuffled_head_documents(SF, k=50)
+    h120 = corpus.shuffled_head_documents(SF, k=120)
+    pd.testing.assert_frame_equal(h50, h120.iloc[:50].reset_index(drop=True))
 
 
 def test_repetition_features_literal_rows():
