@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "quality_stats",
     "exact_dedup_documents",
     "clean_corpus",
+    "decontaminate_documents",
+    "pack_sequences",
     "ann_cosine_topk",
     "multimodal_meta",
     "entity_resolution_cascade",

@@ -68,14 +68,20 @@ def _lineitem_events(sf_dir: str, with_quantity: bool = False):
     ds = _rp(sf_dir, "lineitem",
              columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                       "l_returnflag", "l_quantity", "l_extendedprice"])
-    import pyarrow.parquet as pq
+    # epoch boundary needs max(seq): distributed per-block partial max over
+    # a 2-column pruned read (one row per block reaches the driver) — the
+    # fact table itself never leaves the cluster
+    def _block_max(t: pa.Table) -> pa.Table:
+        m = pc.max(pc.add(pc.multiply(t["l_orderkey"], pa.scalar(8, pa.int64())),
+                          t["l_linenumber"].cast(pa.int64())))
+        return pa.table({"m": pa.array([m.as_py()], pa.int64())})
 
-    # epoch boundary needs max(seq): one tiny column read on the driver
-    ok = pq.read_table(f"{sf_dir}/lineitem.parquet",
-                       columns=["l_orderkey", "l_linenumber"])
-    max_seq = int(pc.max(
-        pc.add(pc.multiply(ok["l_orderkey"], pa.scalar(8, pa.int64())),
-               ok["l_linenumber"].cast(pa.int64()))).as_py())
+    max_seq = max(
+        int(r["m"]) for r in
+        _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+        .map_batches(_block_max, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
 
     def to_events(t: pa.Table) -> pa.Table:
         seq = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(8, pa.int64())),
