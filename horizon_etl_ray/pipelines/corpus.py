@@ -20,10 +20,15 @@ from ..functions import similarity as sim
 from ..functions import text as tx
 
 
-def _rp(sf_dir: str, table: str, columns=None, **kw):
-    import ray.data as rd
+def _rp(sf_dir: str, table: str, columns=None, min_blocks: int = 4, **kw):
+    """Pruned read with a DATA-SIZED block count (sources/reader.py:
+    removes Ray's 200-block read floor, which at toy scale turns every
+    downstream exchange into ~200 task launches of overhead; the sizing
+    converges to Ray's own bytes-per-block plan at real scale)."""
+    from ..sources.reader import read_parquet_sized
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns,
+                              min_blocks=min_blocks, **kw)
 
 
 # --------------------------------------------------------------------------

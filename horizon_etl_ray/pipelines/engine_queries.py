@@ -41,10 +41,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _rp(sf_dir: str, table: str, columns=None, **kw):
-    import ray.data as rd
+def _rp(sf_dir: str, table: str, columns=None, min_blocks: int = 8, **kw):
+    """Pruned read with a DATA-SIZED block count (sources/reader.py:
+    removes Ray's 200-block read floor; also keeps the epoch-partitioned
+    event write from fanning into 200 tiny files per epoch)."""
+    from ..sources.reader import read_parquet_sized
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns,
+                              min_blocks=min_blocks, **kw)
 
 
 _EPOCHS = 4
