@@ -47,9 +47,12 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # Further session-3 demotions for the mixture/shuffle ops: broadcast_region_join
 # (broadcast-dim join mechanism gated via hash_join_revenue) and supplier_cograph
 # (A5 pair expansion gated via graph_degree_stats + both connected-components rows).
+# lww_latest_event demoted for bigram_lm_scores: J1/LWW is gated via
+# cdc_lww_lineitem plus all four full-engine replay rows.
 _TAIL = (
     "broadcast_region_join",
     "supplier_cograph",
+    "lww_latest_event",
     "lang_stats",
     "quality_stats",
     "events_sliding_window",

@@ -891,7 +891,126 @@ def shuffled_head_documents(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return head[["rank", "doc_id", "shuffle_key"]]
 
 
+def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
+    """Model-based quality scoring — the train → broadcast → batched-infer
+    shape of LM-likelihood corpus filtering (public method: KenLM-style
+    perplexity filters as in CCNet/C4): fit a character-bigram language
+    model on the content-addressed benchmark slice (md5(doc_id) % 20 == 0),
+    then score every other document by its mean add-one-smoothed bigram log
+    likelihood.
+
+    Scale shape: TRAIN is a distributed count — per-batch partial
+    ``np.bincount`` over byte-pair codes (≤65,536 cells regardless of corpus
+    size) reduced by one tiny groupby; the fitted table (bounded: 64Ki
+    floats) is broadcast ONCE via ``ray.put``; INFERENCE is a stateless
+    vectorized ``map_batches`` (numpy gather + mean per doc). Exactly the
+    batched-model-inference pattern, with the model small enough that the
+    oracle can refit it in SQL.
+
+    Byte=char precondition: the engine models BYTE bigrams, the SQL twin
+    CHARACTER bigrams — identical on the pure-ASCII test corpus (the same
+    precondition multimodal_byte_features and doc_fingerprints assert);
+    production text would drop the SQL twin, not the byte model."""
+    import ray
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(), bench_mod) == 0
+        return batch
+
+    tagged = docs.map_batches(tag, batch_format="pandas")
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        pair_codes = []
+        chars: set[int] = set()
+        for t in batch.loc[batch["bench"], "text"].fillna(""):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            chars.update(np.unique(b).tolist())
+            if len(b) >= 2:
+                pair_codes.append(b[:-1].astype(np.int64) * 256 + b[1:])
+        if not pair_codes:
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "ch": pd.Series([], dtype=np.int64)})
+        counts = np.bincount(np.concatenate(pair_codes), minlength=0)
+        nz = np.flatnonzero(counts)
+        ch = np.fromiter(chars, dtype=np.int64, count=len(chars))
+        return pd.DataFrame({
+            "pair": np.concatenate([nz, np.full(len(ch), -1)]),
+            "n": np.concatenate([counts[nz], np.zeros(len(ch), np.int64)]),
+            "ch": np.concatenate([np.full(len(nz), -1), ch]),
+        })
+
+    model_rows = (tagged.map_batches(partial_counts, batch_format="pandas")
+                  .to_pandas())
+    pairs = (model_rows[model_rows["pair"] >= 0]
+             .groupby("pair")["n"].sum())
+    vocab = int(model_rows.loc[model_rows["ch"] >= 0, "ch"].nunique())
+    cnt = np.zeros(65536, dtype=np.int64)
+    cnt[pairs.index.to_numpy()] = pairs.to_numpy()
+    c1_tot = cnt.reshape(256, 256).sum(axis=1)  # total per first byte
+    logp = np.log((cnt.reshape(256, 256) + 1.0)
+                  / (c1_tot[:, None] + float(vocab))).reshape(-1)
+    ref = ray.put(logp)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lp = ray.get(ref)
+        rows = batch.loc[~batch["bench"]]
+        ids, scores = [], []
+        for i, t in zip(rows["doc_id"], rows["text"].fillna("")):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                continue
+            codes = b[:-1].astype(np.int64) * 256 + b[1:]
+            ids.append(int(i))
+            scores.append(float(np.round(lp[codes].mean(), 6)))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "lm_score": pd.Series(scores, dtype=np.float64)})
+
+    out = tagged.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "bigram_lm_scores": """
+        WITH tagged AS (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT % 20 = 0 AS bench
+            FROM documents
+        ), bpairs AS (
+            SELECT substr(text, i, 1) AS c1, substr(text, i + 1, 1) AS c2
+            FROM (SELECT text,
+                         unnest(generate_series(1, length(text) - 1)) AS i
+                  FROM tagged WHERE bench)
+        ), model AS (
+            SELECT c1, c2, count(*) AS n FROM bpairs GROUP BY c1, c2
+        ), c1tot AS (
+            SELECT c1, sum(n) AS tot FROM model GROUP BY c1
+        ), vocab AS (
+            SELECT count(DISTINCT ch) AS v FROM (
+                SELECT substr(text, i, 1) AS ch
+                FROM (SELECT text,
+                             unnest(generate_series(1, length(text))) AS i
+                      FROM tagged WHERE bench))
+        ), cpairs AS (
+            SELECT doc_id, substr(text, i, 1) AS c1,
+                   substr(text, i + 1, 1) AS c2
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text) - 1)) AS i
+                  FROM tagged WHERE NOT bench AND length(text) >= 2)
+        )
+        SELECT doc_id,
+               round(avg(ln((COALESCE(m.n, 0) + 1.0)
+                            / (COALESCE(t.tot, 0) + (SELECT v FROM vocab)))),
+                     6) AS lm_score
+        FROM cpairs p
+        LEFT JOIN model m ON p.c1 = m.c1 AND p.c2 = m.c2
+        LEFT JOIN c1tot t ON p.c1 = t.c1
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "mixture_sample_documents": """
         SELECT doc_id, source FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
@@ -1449,6 +1568,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "mixture_sample_documents": mixture_sample_documents,
     "shuffled_head_documents": shuffled_head_documents,
+    "bigram_lm_scores": bigram_lm_scores,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,

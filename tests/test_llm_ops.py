@@ -40,7 +40,8 @@ def con():
 @pytest.mark.parametrize(
     "name",
     ["decontaminate_documents", "pack_sequences", "repetition_stats",
-     "mixture_sample_documents", "shuffled_head_documents"],
+     "mixture_sample_documents", "shuffled_head_documents",
+     "bigram_lm_scores"],
 )
 def test_matches_duckdb_oracle(ray_session, con, name):
     ray_df = corpus.QUERIES[name](SF)
@@ -121,6 +122,21 @@ def test_shuffled_head_is_prefix_of_full_order(ray_session):
     h50 = corpus.shuffled_head_documents(SF, k=50)
     h120 = corpus.shuffled_head_documents(SF, k=120)
     pd.testing.assert_frame_equal(h50, h120.iloc[:50].reset_index(drop=True))
+
+
+def test_bigram_lm_scores_sane(ray_session):
+    """Log-likelihoods are negative, every non-benchmark doc is scored, no
+    benchmark doc leaks into the output, and the fit is deterministic."""
+    import pyarrow.parquet as pq
+
+    out = corpus.bigram_lm_scores(SF)
+    assert (out["lm_score"] < 0).all()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    bench = corpus._md5_bucket(docs["doc_id"].to_numpy(), 20) == 0
+    assert len(out) == int((~bench).sum())
+    assert not (set(out["doc_id"]) & set(docs.loc[bench, "doc_id"]))
+    pd.testing.assert_frame_equal(out, corpus.bigram_lm_scores(SF))
 
 
 def test_repetition_features_literal_rows():
