@@ -846,10 +846,35 @@ def classify_customers(sf_dir: str) -> pd.DataFrame:
            .aggregate(Count(alias_name="n_orders"),
                       Max("o_totalprice", alias_name="max_price"),
                       Sum("urgent", alias_name="n_urgent")))
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    joined = cust.join(agg, join_type="left_outer",
-                       num_partitions=max(2, min(8, 2 * cpus)),
-                       on=("c_custkey",), right_on=("o_custkey",))
+    # hybrid build side (same policy as q3_top_orders/anti_join): the
+    # per-customer aggregate is the SMALL side — broadcast it below the
+    # threshold (saves the join's aggregator-actor spin-up, ~3 s of fixed
+    # cost at toy scale), fall back to the hash-shuffle Dataset.join above
+    agg = agg.materialize()
+    if agg.count() <= 1_000_000:
+        at = pd.concat(
+            [b for b in agg.iter_batches(batch_format="pandas")]
+            or [pd.DataFrame({"o_custkey": pd.Series([], dtype=np.int64),
+                              "n_orders": pd.Series([], dtype=np.int64),
+                              "max_price": pd.Series([], dtype=np.float64),
+                              "n_urgent": pd.Series([], dtype=np.int64)})],
+            ignore_index=True).set_index("o_custkey")
+        aref = ray.put(at)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(aref)
+            j = lut.reindex(df["c_custkey"].to_numpy())
+            df = df.copy()
+            for c in ("n_orders", "max_price", "n_urgent"):
+                df[c] = j[c].to_numpy()
+            return df
+
+        joined = cust.map_batches(attach, batch_format="pandas")
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        joined = cust.join(agg, join_type="left_outer",
+                           num_partitions=max(2, min(8, 2 * cpus)),
+                           on=("c_custkey",), right_on=("o_custkey",))
 
     def ladder(df: pd.DataFrame) -> pd.DataFrame:
         n_orders = df["n_orders"].fillna(0).to_numpy(dtype=np.int64)
