@@ -49,7 +49,10 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # (A5 pair expansion gated via graph_degree_stats + both connected-components rows).
 # lww_latest_event demoted for bigram_lm_scores: J1/LWW is gated via
 # cdc_lww_lineitem plus all four full-engine replay rows.
+# hash_join_revenue demoted for prepare_training_set: J6 gated via
+# dist_join_priority_revenue, T7 via nested_customer_mart.
 _TAIL = (
+    "hash_join_revenue",
     "broadcast_region_join",
     "supplier_cograph",
     "lww_latest_event",

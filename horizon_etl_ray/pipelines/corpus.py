@@ -679,6 +679,23 @@ def _md5_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
         dtype=np.int64, count=len(ids))
 
 
+def _bench_ngram_set(tagged, n: int = 8) -> frozenset:
+    """Distinct word ``n``-grams of the benchmark slice: per-batch distinct
+    → driver union, bounded by the eval-suite size and independent of
+    corpus scale (THE broadcast-small-side precondition)."""
+
+    def bench_ngrams(batch: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for t in batch.loc[batch["bench"], "text"].fillna(""):
+            w = t.split(" ")
+            out.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+        return pd.DataFrame({"ng": sorted(out)})
+
+    return frozenset(
+        tagged.map_batches(bench_ngrams, batch_format="pandas")
+        .to_pandas()["ng"])
+
+
 def decontaminate_documents(sf_dir: str, n: int = 8,
                             bench_mod: int = 20) -> pd.DataFrame:
     """Benchmark decontamination — the overlap audit every LLM training
@@ -710,19 +727,7 @@ def decontaminate_documents(sf_dir: str, n: int = 8,
 
     tagged = docs.map_batches(tag, batch_format="pandas")
 
-    def bench_ngrams(batch: pd.DataFrame) -> pd.DataFrame:
-        out: set[str] = set()
-        for t in batch.loc[batch["bench"], "text"].fillna(""):
-            w = t.split(" ")
-            out.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
-        return pd.DataFrame({"ng": sorted(out)})
-
-    # per-batch distinct → driver union: bounded by the eval-suite size,
-    # independent of corpus scale (THE broadcast-small-side precondition)
-    bench_set = frozenset(
-        tagged.map_batches(bench_ngrams, batch_format="pandas")
-        .to_pandas()["ng"])
-    ref = ray.put(bench_set)
+    ref = ray.put(_bench_ngram_set(tagged, n))
 
     def plant(batch: pd.DataFrame) -> pd.DataFrame:
         rows = batch.loc[batch["bench"]].copy()
@@ -765,19 +770,31 @@ def pack_sequences(sf_dir: str, window: int = 256,
     10^4 rows at 10^10 docs), broadcast offsets, then per-bucket local
     cumsums inside ``groupby(bucket).map_groups``. No stage ever holds more
     than one bucket of rows and nothing global is materialized."""
-    from ray.data.aggregate import Max, Min, Sum
-
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame({
-            "doc_id": ids,
-            "bucket": ids // bucket_size,
+            "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
             "n": tx.count_tokens_whitespace(batch["text"]),
         })
 
-    toks = docs.map_batches(counts, batch_format="pandas")
+    return pack_token_stream(docs.map_batches(counts, batch_format="pandas"),
+                             window=window, bucket_size=bucket_size)
+
+
+def pack_token_stream(toks, window: int = 256,
+                      bucket_size: int = 64) -> pd.DataFrame:
+    """Core of ``pack_sequences`` over any Dataset of (doc_id, n) token
+    counts — reusable by composed pipelines. Two-level prefix sum as
+    documented there."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = batch["doc_id"].to_numpy(dtype=np.int64) // bucket_size
+        return batch
+
+    toks = toks.map_batches(bucketize, batch_format="pandas")
     per_bucket = (
         toks.groupby("bucket")
         .aggregate(Sum("n", alias_name="bucket_tokens"))
@@ -891,6 +908,45 @@ def shuffled_head_documents(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return head[["rank", "doc_id", "shuffle_key"]]
 
 
+def _fit_bigram_lm(tagged) -> np.ndarray:
+    """Fit the add-one-smoothed byte-bigram LM on the benchmark slice of a
+    ``tagged`` Dataset (bench flag column): distributed per-batch
+    ``np.bincount`` partials (≤65,536 cells regardless of corpus size)
+    reduced on the driver. Returns the 65,536-entry log-prob table."""
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        pair_codes = []
+        chars: set[int] = set()
+        for t in batch.loc[batch["bench"], "text"].fillna(""):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            chars.update(np.unique(b).tolist())
+            if len(b) >= 2:
+                pair_codes.append(b[:-1].astype(np.int64) * 256 + b[1:])
+        if not pair_codes:
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "ch": pd.Series([], dtype=np.int64)})
+        counts = np.bincount(np.concatenate(pair_codes), minlength=0)
+        nz = np.flatnonzero(counts)
+        ch = np.fromiter(chars, dtype=np.int64, count=len(chars))
+        return pd.DataFrame({
+            "pair": np.concatenate([nz, np.full(len(ch), -1)]),
+            "n": np.concatenate([counts[nz], np.zeros(len(ch), np.int64)]),
+            "ch": np.concatenate([np.full(len(nz), -1), ch]),
+        })
+
+    model_rows = (tagged.map_batches(partial_counts, batch_format="pandas")
+                  .to_pandas())
+    pairs = (model_rows[model_rows["pair"] >= 0]
+             .groupby("pair")["n"].sum())
+    vocab = int(model_rows.loc[model_rows["ch"] >= 0, "ch"].nunique())
+    cnt = np.zeros(65536, dtype=np.int64)
+    cnt[pairs.index.to_numpy()] = pairs.to_numpy()
+    c1_tot = cnt.reshape(256, 256).sum(axis=1)  # total per first byte
+    return np.log((cnt.reshape(256, 256) + 1.0)
+                  / (c1_tot[:, None] + float(vocab))).reshape(-1)
+
+
 def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
     """Model-based quality scoring — the train → broadcast → batched-infer
     shape of LM-likelihood corpus filtering (public method: KenLM-style
@@ -922,38 +978,7 @@ def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
 
     tagged = docs.map_batches(tag, batch_format="pandas")
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        pair_codes = []
-        chars: set[int] = set()
-        for t in batch.loc[batch["bench"], "text"].fillna(""):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            chars.update(np.unique(b).tolist())
-            if len(b) >= 2:
-                pair_codes.append(b[:-1].astype(np.int64) * 256 + b[1:])
-        if not pair_codes:
-            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64),
-                                 "n": pd.Series([], dtype=np.int64),
-                                 "ch": pd.Series([], dtype=np.int64)})
-        counts = np.bincount(np.concatenate(pair_codes), minlength=0)
-        nz = np.flatnonzero(counts)
-        ch = np.fromiter(chars, dtype=np.int64, count=len(chars))
-        return pd.DataFrame({
-            "pair": np.concatenate([nz, np.full(len(ch), -1)]),
-            "n": np.concatenate([counts[nz], np.zeros(len(ch), np.int64)]),
-            "ch": np.concatenate([np.full(len(nz), -1), ch]),
-        })
-
-    model_rows = (tagged.map_batches(partial_counts, batch_format="pandas")
-                  .to_pandas())
-    pairs = (model_rows[model_rows["pair"] >= 0]
-             .groupby("pair")["n"].sum())
-    vocab = int(model_rows.loc[model_rows["ch"] >= 0, "ch"].nunique())
-    cnt = np.zeros(65536, dtype=np.int64)
-    cnt[pairs.index.to_numpy()] = pairs.to_numpy()
-    c1_tot = cnt.reshape(256, 256).sum(axis=1)  # total per first byte
-    logp = np.log((cnt.reshape(256, 256) + 1.0)
-                  / (c1_tot[:, None] + float(vocab))).reshape(-1)
-    ref = ray.put(logp)
+    ref = ray.put(_fit_bigram_lm(tagged))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         lp = ray.get(ref)
@@ -973,7 +998,144 @@ def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
+                         ngram_n: int = 8, window: int = 256) -> pd.DataFrame:
+    """The composed LLM data-prep flagship — the NEW operator family chained
+    as one pipeline (what a pretraining-data run executes after cleaning):
+    fit the bigram LM on the benchmark slice and score every corpus doc
+    (``bigram_lm_scores``) → drop docs sharing an 8-gram with the benchmark
+    (``decontaminate_documents``, natural contamination only — no planting
+    here) → apply per-source mixture rates (``mixture_sample_documents``) →
+    pack the survivors into fixed ``window``-token training sequences
+    (``pack_sequences``). Every stage reuses an operator with its own
+    oracle row and the SQL twin composes their CTEs, so the END-TO-END
+    composition is value-hash-checked.
+
+    Scale shape: ONE fused stateless filter stage computes all three keep
+    signals per batch (model + benchmark n-grams broadcast once via
+    ``ray.put``); the only exchanges are the two tiny aggregates of the
+    pack's two-level prefix sum. Nothing global is materialized."""
+    import ray
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(), 20) == 0
+        return batch
+
+    tagged = docs.map_batches(tag, batch_format="pandas")
+    ref = ray.put((_fit_bigram_lm(tagged),
+                   _bench_ngram_set(tagged, ngram_n)))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        lp, bng = ray.get(ref)
+        rows = batch.loc[~batch["bench"]]
+        rate = 100 - rows["source"].str.slice(3).astype(np.int64) * 4
+        mix_ok = _md5_bucket(rows["doc_id"].to_numpy(), 100) < rate.to_numpy()
+        ids, toks = [], []
+        for ok, i, t in zip(mix_ok, rows["doc_id"], rows["text"].fillna("")):
+            if not ok:
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                continue
+            codes = b[:-1].astype(np.int64) * 256 + b[1:]
+            if np.round(lp[codes].mean(), 6) < lm_min:
+                continue
+            w = t.split(" ")
+            if any(" ".join(w[j:j + ngram_n]) in bng
+                   for j in range(len(w) - ngram_n + 1)):
+                continue
+            ids.append(int(i))
+            toks.append(len(w))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "n": pd.Series(toks, dtype=np.int64)})
+
+    return pack_token_stream(tagged.map_batches(keep, batch_format="pandas"),
+                             window=window)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "prepare_training_set": """
+        WITH tagged AS (
+            SELECT doc_id, text, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT % 20 = 0 AS bench
+            FROM documents
+        ), bpairs AS (
+            SELECT substr(text, i, 1) AS c1, substr(text, i + 1, 1) AS c2
+            FROM (SELECT text,
+                         unnest(generate_series(1, length(text) - 1)) AS i
+                  FROM tagged WHERE bench)
+        ), model AS (
+            SELECT c1, c2, count(*) AS n FROM bpairs GROUP BY c1, c2
+        ), c1tot AS (
+            SELECT c1, sum(n) AS tot FROM model GROUP BY c1
+        ), vocab AS (
+            SELECT count(DISTINCT ch) AS v FROM (
+                SELECT substr(text, i, 1) AS ch
+                FROM (SELECT text,
+                             unnest(generate_series(1, length(text))) AS i
+                      FROM tagged WHERE bench))
+        ), cpairs AS (
+            SELECT doc_id, substr(text, i, 1) AS c1,
+                   substr(text, i + 1, 1) AS c2
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text) - 1)) AS i
+                  FROM tagged WHERE NOT bench AND length(text) >= 2)
+        ), scores AS (
+            SELECT doc_id,
+                   round(avg(ln((COALESCE(m.n, 0) + 1.0)
+                       / (COALESCE(t.tot, 0) + (SELECT v FROM vocab)))),
+                       6) AS lm_score
+            FROM cpairs p
+            LEFT JOIN model m ON p.c1 = m.c1 AND p.c2 = m.c2
+            LEFT JOIN c1tot t ON p.c1 = t.c1
+            GROUP BY doc_id
+        ), bng AS (
+            SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS ng
+            FROM (SELECT string_split(text, ' ') AS w,
+                         unnest(generate_series(
+                             1, len(string_split(text, ' ')) - 7)) AS i
+                  FROM tagged WHERE bench)
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT d.doc_id, array_to_string(w[i:i+7], ' ') AS ng
+                FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                             unnest(generate_series(
+                                 1, len(string_split(text, ' ')) - 7)) AS i
+                      FROM tagged WHERE NOT bench) d)
+            WHERE ng IN (SELECT ng FROM bng)
+        ), kept AS (
+            SELECT g.doc_id,
+                   array_length(string_split(g.text, ' ')) AS n
+            FROM tagged g JOIN scores s USING (doc_id)
+            WHERE NOT g.bench
+              AND ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT % 100
+                  < 100 - CAST(substr(g.source, 4) AS BIGINT) * 4
+              AND s.lm_score >= -1.8
+              AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), c AS (
+            SELECT doc_id, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS s
+            FROM kept
+        ), p AS (
+            SELECT doc_id, n, s,
+                   unnest(generate_series(s // 256, (s + n - 1) // 256))
+                       AS window_id
+            FROM c
+        )
+        SELECT window_id, count(*) AS n_docs,
+               CAST(sum(least((window_id + 1) * 256, s + n)
+                        - greatest(window_id * 256, s)) AS BIGINT)
+                   AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM p GROUP BY window_id ORDER BY window_id
+    """,
     "bigram_lm_scores": """
         WITH tagged AS (
             SELECT doc_id, text,
@@ -1569,6 +1731,7 @@ QUERIES = {
     "mixture_sample_documents": mixture_sample_documents,
     "shuffled_head_documents": shuffled_head_documents,
     "bigram_lm_scores": bigram_lm_scores,
+    "prepare_training_set": prepare_training_set,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,

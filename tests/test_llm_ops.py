@@ -41,7 +41,7 @@ def con():
     "name",
     ["decontaminate_documents", "pack_sequences", "repetition_stats",
      "mixture_sample_documents", "shuffled_head_documents",
-     "bigram_lm_scores"],
+     "bigram_lm_scores", "prepare_training_set"],
 )
 def test_matches_duckdb_oracle(ray_session, con, name):
     ray_df = corpus.QUERIES[name](SF)
