@@ -164,7 +164,7 @@ BENCH_QUERIES = [
     "exact_dedup_documents",
     "clean_corpus",
     "decontaminate_documents",
-    "pack_sequences",
+    "prepare_training_set",
     "ann_cosine_topk",
     "multimodal_meta",
     "entity_resolution_cascade",

@@ -99,3 +99,54 @@ def test_widen_policy_associative_and_idempotent(events, n_chunks):
     for _, row in df.iterrows():
         qs = ev[ev["k"] == row["k"]]["q"]
         assert row["q_min"] == qs.min() and row["q_max"] == qs.max()
+
+
+# ---------------------------------------------------------------------------
+# pack_token_stream: the two-level prefix-sum packer equals a single-threaded
+# concat-and-chunk reference for ANY doc-id/token-count multiset and ANY
+# bucket size (this needs Ray — few examples, end-to-end through the op).
+# ---------------------------------------------------------------------------
+
+pack_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 400),      # sparse, unordered doc ids
+        st.integers(1, 600),      # token counts, incl. >> window
+    ),
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+)
+
+
+def _naive_pack(rows, window):
+    out = {}
+    pos = 0
+    for doc_id, n in sorted(rows):
+        for w in range(pos // window, (pos + n - 1) // window + 1):
+            e = out.setdefault(w, [0, 0, doc_id, doc_id])
+            e[0] += 1
+            e[1] += min((w + 1) * window, pos + n) - max(w * window, pos)
+            e[2] = min(e[2], doc_id)
+            e[3] = max(e[3], doc_id)
+        pos += n
+    return {w: tuple(v) for w, v in out.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=pack_strategy, bucket_size=st.sampled_from([1, 3, 64]),
+       window=st.sampled_from([7, 256]))
+def test_pack_token_stream_matches_naive(ray_session, rows, bucket_size,
+                                         window):
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.corpus import pack_token_stream
+
+    toks = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "n": np.array([r[1] for r in rows], dtype=np.int64),
+    }))
+    got = pack_token_stream(toks, window=window, bucket_size=bucket_size)
+    want = _naive_pack(rows, window)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[int(r["window_id"])] == (
+            int(r["n_docs"]), int(r["n_tokens"]),
+            int(r["first_doc"]), int(r["last_doc"]))
