@@ -943,8 +943,10 @@ def _fit_bigram_lm(tagged) -> np.ndarray:
     cnt = np.zeros(65536, dtype=np.int64)
     cnt[pairs.index.to_numpy()] = pairs.to_numpy()
     c1_tot = cnt.reshape(256, 256).sum(axis=1)  # total per first byte
+    # vocab ≥ 1 so an empty benchmark slice degrades to the uniform model
+    # instead of dividing by zero
     return np.log((cnt.reshape(256, 256) + 1.0)
-                  / (c1_tot[:, None] + float(vocab))).reshape(-1)
+                  / (c1_tot[:, None] + float(max(vocab, 1)))).reshape(-1)
 
 
 def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
