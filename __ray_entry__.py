@@ -51,7 +51,12 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # cdc_lww_lineitem plus all four full-engine replay rows.
 # hash_join_revenue demoted for prepare_training_set: J6 gated via
 # dist_join_priority_revenue, T7 via nested_customer_mart.
+# minhash_dedup_pairs demoted for tfidf_top_terms: D3 near-dup stays gated
+# via ngram_jaccard (emits the IDENTICAL pair set on this corpus — the
+# cross-validation recorded in BASELINE.md), simhash and embedding rows;
+# minhash banding recall additionally proven by a dedicated test.
 _TAIL = (
+    "minhash_dedup_pairs",
     "hash_join_revenue",
     "broadcast_region_join",
     "supplier_cograph",

@@ -1000,6 +1000,64 @@ def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Corpus-statistics operator: top-``k`` TF-IDF terms per document.
+    Document frequency is a distributed aggregate over DISTINCT (doc,term)
+    pairs — each document lives in exactly one row, so per-batch distinct
+    pairs are globally distinct and the exchange carries one row per pair,
+    pre-shrunk. The IDF table (vocabulary-sized, bounded) is broadcast once
+    via ``ray.put``; scoring + ranking is then a stateless per-batch pandas
+    groupby with a deterministic tiebreak (score desc, term asc).
+    At 100 TB the DF exchange is the only wide step and it ships (term,1)
+    partials; the per-doc ranking never shuffles."""
+    import ray
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        long = pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), lens),
+            "term": np.concatenate(toks.to_numpy()),
+        }).drop_duplicates()
+        return long[["term"]]
+
+    df_tbl = (docs.map_batches(distinct_pairs, batch_format="pandas")
+              .groupby("term").count().to_pandas())
+    idf = dict(zip(df_tbl["term"],
+                   np.log(float(n_docs) / df_tbl["count()"].to_numpy())))
+    ref = ray.put(idf)
+
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_map = ray.get(ref)
+        toks = batch["text"].fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        long = pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), lens),
+            "term": np.concatenate(toks.to_numpy()),
+        })
+        tf = (long.groupby(["doc_id", "term"], sort=False)
+              .size().rename("tf").reset_index())
+        tf["score"] = np.round(
+            tf["tf"].to_numpy(np.float64)
+            * tf["term"].map(idf_map).to_numpy(np.float64), 6)
+        tf = tf.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True])
+        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        out = tf[tf["rank"] <= k]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "rank": out["rank"].to_numpy(np.int64),
+            "term": out["term"].to_numpy(),
+            "score": out["score"].to_numpy(np.float64),
+        })
+
+    out = docs.map_batches(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
                          ngram_n: int = 8, window: int = 256) -> pd.DataFrame:
     """The composed LLM data-prep flagship — the NEW operator family chained
@@ -1059,6 +1117,31 @@ def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
 
 
 ORACLE_SQL: dict[str, str] = {
+    "tfidf_top_terms": """
+        WITH long AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM long GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM long GROUP BY term
+        ), n AS (
+            SELECT count(*) * 1.0 AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6)
+                       AS score
+            FROM tf JOIN df USING (term)
+        ), ranked AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
     "prepare_training_set": """
         WITH tagged AS (
             SELECT doc_id, text, source,
@@ -1734,6 +1817,7 @@ QUERIES = {
     "shuffled_head_documents": shuffled_head_documents,
     "bigram_lm_scores": bigram_lm_scores,
     "prepare_training_set": prepare_training_set,
+    "tfidf_top_terms": tfidf_top_terms,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,
