@@ -679,6 +679,20 @@ def _md5_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
         dtype=np.int64, count=len(ids))
 
 
+def _tag_bench(docs, bench_mod: int = 20):
+    """Add the ``bench`` flag column (content-addressed md5 slice) — the
+    single source of the benchmark-slice convention shared by
+    decontaminate / LM scoring / the composed flagship."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(),
+                                     bench_mod) == 0
+        return batch
+
+    return docs.map_batches(tag, batch_format="pandas")
+
+
 def _bench_ngram_set(tagged, n: int = 8) -> frozenset:
     """Distinct word ``n``-grams of the benchmark slice: per-batch distinct
     → driver union, bounded by the eval-suite size and independent of
@@ -718,24 +732,19 @@ def decontaminate_documents(sf_dir: str, n: int = 8,
     """
     import ray
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(), bench_mod) == 0
-        return batch
-
-    tagged = docs.map_batches(tag, batch_format="pandas")
-
+    tagged = _tag_bench(_rp(sf_dir, "documents", columns=["doc_id", "text"]),
+                        bench_mod)
     ref = ray.put(_bench_ngram_set(tagged, n))
 
-    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+    def with_planted(batch: pd.DataFrame) -> pd.DataFrame:
+        # append planted copies inside the same pass — a union-with-self
+        # would re-execute the read+tag plan once per branch
         rows = batch.loc[batch["bench"]].copy()
         rows["doc_id"] = rows["doc_id"] + 100_000
         rows["bench"] = False
-        return rows
+        return pd.concat([batch, rows], ignore_index=True)
 
-    corpus_side = tagged.union(tagged.map_batches(plant, batch_format="pandas"))
+    corpus_side = tagged.map_batches(with_planted, batch_format="pandas")
 
     def hits(batch: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(ref)
@@ -794,7 +803,12 @@ def pack_token_stream(toks, window: int = 256,
         batch["bucket"] = batch["doc_id"].to_numpy(dtype=np.int64) // bucket_size
         return batch
 
-    toks = toks.map_batches(bucketize, batch_format="pandas")
+    # the token table feeds two consumers (per-bucket sums, then the packing
+    # groupby); pin it so the upstream pipeline — in the flagship, LM
+    # inference + n-gram scans over every doc — runs once, not twice. It is
+    # three int64 columns, ~24 B/doc (doc-level, never token-level), so it
+    # spills through the object store long before it pressures heap.
+    toks = toks.map_batches(bucketize, batch_format="pandas").materialize()
     per_bucket = (
         toks.groupby("bucket")
         .aggregate(Sum("n", alias_name="bucket_tokens"))
@@ -922,21 +936,30 @@ def _fit_bigram_lm(tagged) -> np.ndarray:
             chars.update(np.unique(b).tolist())
             if len(b) >= 2:
                 pair_codes.append(b[:-1].astype(np.int64) * 256 + b[1:])
-        if not pair_codes:
-            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64),
-                                 "n": pd.Series([], dtype=np.int64),
-                                 "ch": pd.Series([], dtype=np.int64)})
-        counts = np.bincount(np.concatenate(pair_codes), minlength=0)
-        nz = np.flatnonzero(counts)
+        # chars must be emitted even when this block contributed no bigrams
+        # (all its bench docs shorter than 2 bytes) — dropping them would
+        # make the vocab, and thus the smoothing denominator, depend on
+        # block boundaries and diverge from the SQL oracle
         ch = np.fromiter(chars, dtype=np.int64, count=len(chars))
+        if pair_codes:
+            counts = np.bincount(np.concatenate(pair_codes), minlength=0)
+            nz = np.flatnonzero(counts)
+        else:
+            counts = np.zeros(0, dtype=np.int64)
+            nz = np.zeros(0, dtype=np.int64)
         return pd.DataFrame({
             "pair": np.concatenate([nz, np.full(len(ch), -1)]),
-            "n": np.concatenate([counts[nz], np.zeros(len(ch), np.int64)]),
+            "n": np.concatenate([counts[nz] if len(nz) else nz,
+                                 np.zeros(len(ch), np.int64)]),
             "ch": np.concatenate([np.full(len(nz), -1), ch]),
         })
 
     model_rows = (tagged.map_batches(partial_counts, batch_format="pandas")
                   .to_pandas())
+    return _reduce_lm(model_rows)
+
+
+def _reduce_lm(model_rows: pd.DataFrame) -> np.ndarray:
     pairs = (model_rows[model_rows["pair"] >= 0]
              .groupby("pair")["n"].sum())
     vocab = int(model_rows.loc[model_rows["ch"] >= 0, "ch"].nunique())
@@ -947,6 +970,47 @@ def _fit_bigram_lm(tagged) -> np.ndarray:
     # instead of dividing by zero
     return np.log((cnt.reshape(256, 256) + 1.0)
                   / (c1_tot[:, None] + float(max(vocab, 1)))).reshape(-1)
+
+
+def _fit_lm_and_ngrams(tagged, n: int = 8) -> tuple:
+    """One fused pass over the benchmark slice producing BOTH broadcast
+    artifacts of the composed flagship — the bigram-count partials and the
+    distinct n-grams — so the corpus is scanned once, not twice, before the
+    keep stage."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        pair_codes = []
+        chars: set[int] = set()
+        ngs: set[str] = set()
+        for t in batch.loc[batch["bench"], "text"].fillna(""):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            chars.update(np.unique(b).tolist())
+            if len(b) >= 2:
+                pair_codes.append(b[:-1].astype(np.int64) * 256 + b[1:])
+            w = t.split(" ")
+            ngs.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+        ch = np.fromiter(chars, dtype=np.int64, count=len(chars))
+        if pair_codes:
+            counts = np.bincount(np.concatenate(pair_codes), minlength=0)
+            nz = np.flatnonzero(counts)
+        else:
+            nz = np.zeros(0, dtype=np.int64)
+        ng_list = sorted(ngs)
+        m = len(nz) + len(ch)
+        return pd.DataFrame({
+            "pair": np.concatenate([nz, np.full(len(ch), -1),
+                                    np.full(len(ng_list), -1)]),
+            "n": np.concatenate([counts[nz] if len(nz) else nz,
+                                 np.zeros(len(ch) + len(ng_list), np.int64)]),
+            "ch": np.concatenate([np.full(len(nz), -1), ch,
+                                  np.full(len(ng_list), -1)]),
+            "ng": [None] * m + ng_list,
+        })
+
+    rows = tagged.map_batches(partials, batch_format="pandas").to_pandas()
+    logp = _reduce_lm(rows)
+    bng = frozenset(rows.loc[rows["ng"].notna(), "ng"])
+    return logp, bng
 
 
 def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
@@ -971,15 +1035,8 @@ def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
     production text would drop the SQL twin, not the byte model."""
     import ray
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(), bench_mod) == 0
-        return batch
-
-    tagged = docs.map_batches(tag, batch_format="pandas")
-
+    tagged = _tag_bench(_rp(sf_dir, "documents", columns=["doc_id", "text"]),
+                        bench_mod)
     ref = ray.put(_fit_bigram_lm(tagged))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1077,16 +1134,9 @@ def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
     pack's two-level prefix sum. Nothing global is materialized."""
     import ray
 
-    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(), 20) == 0
-        return batch
-
-    tagged = docs.map_batches(tag, batch_format="pandas")
-    ref = ray.put((_fit_bigram_lm(tagged),
-                   _bench_ngram_set(tagged, ngram_n)))
+    tagged = _tag_bench(
+        _rp(sf_dir, "documents", columns=["doc_id", "text", "source"]))
+    ref = ray.put(_fit_lm_and_ngrams(tagged, ngram_n))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         lp, bng = ray.get(ref)

@@ -11,6 +11,14 @@ data-sized read (12.8×), byte-identical output.
 blocks — at real scale this converges to Ray's own bytes-per-block sizing
 (the 200-block floor is moot once the input exceeds ~6 GiB), so the knob
 only removes toy-scale overhead, it never caps large reads.
+
+Alternative considered: lowering
+``DataContext.get_current().read_op_min_num_blocks`` once at init. Rejected
+because the library does not own the Ray session (the driver calls
+``ray.init`` and may rely on defaults elsewhere); a per-read override keeps
+the change scoped to reads this engine plans. CDC replay reads pass their
+own explicit ``override_num_blocks`` (pipelines/cdc.py) and are unaffected
+either way.
 """
 
 from __future__ import annotations

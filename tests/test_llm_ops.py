@@ -139,6 +139,38 @@ def test_bigram_lm_scores_sane(ray_session):
     pd.testing.assert_frame_equal(out, corpus.bigram_lm_scores(SF))
 
 
+def test_fit_bigram_lm_vocab_is_block_invariant(ray_session):
+    """Regression: a block whose bench docs are all shorter than 2 bytes
+    must still contribute its characters to the vocabulary — otherwise the
+    smoothing denominator (and every score) depends on read-block
+    boundaries and diverges from the SQL oracle."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a", "bc"],
+                       "bench": [True, True]})
+    ref = None
+    for nb in (1, 2):  # nb=2 isolates the 1-byte doc in its own block
+        logp = corpus._fit_bigram_lm(rd.from_pandas(df).repartition(nb))
+        if ref is None:
+            ref = logp
+        np.testing.assert_array_equal(logp, ref)
+    # vocab {a,b,c} = 3; count('bc')=1, total for first byte 'b' is 1
+    assert np.isclose(ref[ord("b") * 256 + ord("c")],
+                      np.log((1 + 1) / (1 + 3.0)))
+
+
+def test_fused_fit_matches_separate_helpers(ray_session):
+    """The flagship's one-pass _fit_lm_and_ngrams must produce exactly the
+    model and n-gram set of the two standalone helpers."""
+    import ray.data as rd
+
+    docs = corpus._tag_bench(
+        corpus._rp(SF, "documents", columns=["doc_id", "text"]))
+    logp, bng = corpus._fit_lm_and_ngrams(docs, 8)
+    np.testing.assert_array_equal(logp, corpus._fit_bigram_lm(docs))
+    assert bng == corpus._bench_ngram_set(docs, 8)
+
+
 def test_repetition_features_literal_rows():
     """Kernel vs naive reference on hand-written rows, incl. the edge cases:
     single token (no bigrams), all-repeated tokens, empty string."""
