@@ -55,7 +55,10 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # via ngram_jaccard (emits the IDENTICAL pair set on this corpus — the
 # cross-validation recorded in BASELINE.md), simhash and embedding rows;
 # minhash banding recall additionally proven by a dedicated test.
+# chunk_documents ships straight to the tail: oracle-checked locally, but
+# the 1→N explode shape is already gated via multimodal_frames/doc_sections.
 _TAIL = (
+    "chunk_documents",
     "minhash_dedup_pairs",
     "hash_join_revenue",
     "broadcast_region_join",

@@ -1115,6 +1115,33 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def chunk_documents(sf_dir: str, window: int = 200,
+                    stride: int = 150) -> pd.DataFrame:
+    """RAG-style document chunking with overlap: each document becomes
+    ceil-strided character windows (``window`` chars every ``stride``,
+    final chunk truncated), the 1→N explode every retrieval pipeline runs
+    before embedding. Stateless vectorized ``map_batches`` — the chunk
+    table (ints only; the chunk TEXT would be sliced in the embed stage,
+    zero-copy from the same block) never shuffles."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_chars"].to_numpy(dtype=np.int64)
+        k = np.where(n <= window, 1,
+                     1 + (n - window + stride - 1) // stride)
+        ids = np.repeat(batch["doc_id"].to_numpy(np.int64), k)
+        total = int(k.sum())
+        idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(k)[:-1])), k)
+        start = idx * stride
+        length = np.minimum(window, np.repeat(n, k) - start)
+        return pd.DataFrame({"doc_id": ids, "chunk_idx": idx,
+                             "start": start, "chunk_len": length})
+
+    out = docs.map_batches(chunks, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
                          ngram_n: int = 8, window: int = 256) -> pd.DataFrame:
     """The composed LLM data-prep flagship — the NEW operator family chained
@@ -1167,6 +1194,20 @@ def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
 
 
 ORACLE_SQL: dict[str, str] = {
+    "chunk_documents": """
+        WITH k AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars <= 200 THEN 1
+                        ELSE 1 + (n_chars - 200 + 149) // 150 END AS k
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(generate_series(0, k - 1)) AS chunk_idx,
+               unnest(generate_series(0, k - 1)) * 150 AS start,
+               least(200, n_chars - unnest(generate_series(0, k - 1)) * 150)
+                   AS chunk_len
+        FROM k ORDER BY doc_id, chunk_idx
+    """,
     "tfidf_top_terms": """
         WITH long AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1868,6 +1909,7 @@ QUERIES = {
     "bigram_lm_scores": bigram_lm_scores,
     "prepare_training_set": prepare_training_set,
     "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents": chunk_documents,
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,

@@ -41,7 +41,8 @@ def con():
     "name",
     ["decontaminate_documents", "pack_sequences", "repetition_stats",
      "mixture_sample_documents", "shuffled_head_documents",
-     "bigram_lm_scores", "prepare_training_set", "tfidf_top_terms"],
+     "bigram_lm_scores", "prepare_training_set", "tfidf_top_terms",
+     "chunk_documents"],
 )
 def test_matches_duckdb_oracle(ray_session, con, name):
     ray_df = corpus.QUERIES[name](SF)
