@@ -91,6 +91,13 @@ class CdcConfig:
     # epochs); apply_epoch enforces this. Readers of a policy+delta lake must
     # pass cfg (read_lake/compact re-reduce with the policy).
     merge_policy: object | None = None
+    # Compression of the staged-exchange shuffle files. lz4 (default) is the
+    # CPU-cheap choice when storage bandwidth is plentiful; zstd roughly
+    # halves the bytes the exchange writes+reads — the right trade when the
+    # shuffle tier is bandwidth-bound (object storage, shared filesystems,
+    # or this sandbox's throttled tmpfs). Digest-invariant either way (the
+    # merge reads whatever parquet says).
+    stage_compression: str = "lz4"
 
 
 # --------------------------------------------------------------------------
@@ -398,7 +405,7 @@ def _staged_partial_stage(cfg: CdcConfig, offsets: np.ndarray, stage_dir: str):
             os.makedirs(d, exist_ok=True)
             pq.write_table(sorted_out.slice(s, e - s).drop_columns(["part_id"]),
                            os.path.join(d, f"w-{nonce}.parquet"),
-                           compression="lz4")
+                           compression=cfg.stage_compression)
             pids.append(pid)
             counts.append(int(e - s))
         return pa.table({"part_id": pa.array(pids, pa.int32()),
