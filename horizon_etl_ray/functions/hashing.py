@@ -128,19 +128,53 @@ def key_hash_pair(table: pa.Table, key_columns: list[str]) -> tuple[np.ndarray, 
     (birthday collisions become plausible at 10^10 keys); with 128 bits the
     per-block false-merge probability is ~b²/2^129 — negligible. The final
     per-partition reduce compares REAL key values, so the combiner only needs
-    collision-freedom within a block."""
+    collision-freedom within a block.
+
+    Numeric columns: ``pd.util.hash_array`` silently IGNORES ``hash_key`` for
+    non-object dtypes (verified empirically), which would make h1 == h2 and
+    quietly halve the collision margin to 64 bits. The second hash for
+    numerics therefore runs over a bijectively transformed copy
+    (xor-constant on the uint64 view) — a distinct function of the original
+    key, so the pair stays independent for int/uint/bool keys. h1 is
+    UNCHANGED by this (partition assignment and existing digests are h1-only).
+    """
     h1: np.ndarray | None = None
     h2: np.ndarray | None = None
     mult = np.uint64(0x9E3779B97F4A7C15)
+    xor_b = np.uint64(0xD6E8FEB86659FD93)
     for col in key_columns:
         arr = table[col]
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             values = arr.to_numpy(zero_copy_only=False).astype(object)
+            a = pd.util.hash_array(values, hash_key=_HASH_KEY_A).astype(
+                np.uint64, copy=False)
+            b = pd.util.hash_array(values, hash_key=_HASH_KEY_B).astype(
+                np.uint64, copy=False)
         else:
             values = np.ascontiguousarray(arr.to_numpy(zero_copy_only=False))
-        a = pd.util.hash_array(values, hash_key=_HASH_KEY_A).astype(np.uint64, copy=False)
-        b = pd.util.hash_array(values, hash_key=_HASH_KEY_B).astype(np.uint64, copy=False)
+            a = pd.util.hash_array(values).astype(np.uint64, copy=False)
+            if values.dtype.kind in "iub":
+                tv = values.astype(np.uint64, copy=False) ^ xor_b
+                b = pd.util.hash_array(tv).astype(np.uint64, copy=False)
+            elif values.dtype.itemsize == 8:  # float64/datetime64: bit view
+                tv = np.ascontiguousarray(values).view(np.uint64) ^ xor_b
+                b = pd.util.hash_array(tv).astype(np.uint64, copy=False)
+            else:  # odd widths: object path respects hash_key
+                b = pd.util.hash_array(values.astype(object),
+                                       hash_key=_HASH_KEY_B).astype(
+                    np.uint64, copy=False)
         h1 = a.copy() if h1 is None else (h1 * mult) ^ a
         h2 = b.copy() if h2 is None else (h2 * mult) ^ b
     assert h1 is not None and h2 is not None
     return h1, h2
+
+
+def partition_ids(table: pa.Table, key_columns: list[str],
+                  num_partitions: int) -> np.ndarray:
+    """THE partition assignment of the CDC engine: ``h1 % P`` with the same
+    keyed hash the fast combiner groups on, so every code path (LWW fast
+    path, merge-policy branch, streaming shards) places a key in the same
+    partition. The manifest keys on part_id — two paths disagreeing here
+    would split a key's history across partitions and break the seq fence."""
+    h1, _ = key_hash_pair(table, key_columns)
+    return (h1 % np.uint64(num_partitions)).astype(np.int32)

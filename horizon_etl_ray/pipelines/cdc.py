@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import assign_partition
+from ..functions.hashing import partition_ids
 from ..stages.schema_evolution import SchemaScript, conform_table
 from ..stages.validate import ValidateEvents
 from ..state.lww import lww_partial_fast, lww_resolve_table
@@ -98,6 +98,21 @@ class CdcConfig:
     # or this sandbox's throttled tmpfs). Digest-invariant either way (the
     # merge reads whatever parquet says).
     stage_compression: str = "lz4"
+
+
+def state_to_events(t: pa.Table, op_column: str) -> pa.Table:
+    """Committed state rows → re-playable events: the ``deleted`` flag
+    becomes a delete/update op under the CONFIGURED op column. Single source
+    for a pattern that previously lived in five hand-rolled copies (two of
+    which had drifted to a hardcoded \"op\")."""
+    op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
+    return t.drop_columns(["deleted"]).append_column(op_column, op)
+
+
+def flag_deleted(winners: pa.Table, op_column: str) -> pa.Table:
+    """Resolved winners → state rows: drop the op column, derive ``deleted``."""
+    deleted = pc.fill_null(pc.equal(winners[op_column], "delete"), False)
+    return winners.drop_columns([op_column]).append_column("deleted", deleted)
 
 
 # --------------------------------------------------------------------------
@@ -157,9 +172,7 @@ class MergeWritePartition:
         if self.cfg.schema_script is not None:
             t = conform_table(t, self.cfg.schema_script, self.schema_version)
         # state rows as events: tombstones re-assert deletes
-        op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
-        t = t.drop_columns(["deleted"]).append_column("op", op)
-        return t
+        return state_to_events(t, self.cfg.op_column)
 
     def _index_columns(self) -> list[str]:
         cols = list(self.cfg.key_columns) + [self.cfg.seq_column,
@@ -199,13 +212,9 @@ class MergeWritePartition:
         if self.cfg.schema_script is not None:
             t = conform_table(t, self.cfg.schema_script, self.schema_version)
         # rebuilt payload may itself contain deltas → resolve to winners
-        op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
-        ev = t.drop_columns(["deleted"]).append_column("op", op)
-        winners = self._resolve(ev)
-        deleted = pc.fill_null(
-            pc.equal(winners[self.cfg.op_column], "delete"), False)
-        return winners.select(self._index_columns()).append_column(
-            "deleted", deleted)
+        winners = self._resolve(state_to_events(t, self.cfg.op_column))
+        return flag_deleted(winners, self.cfg.op_column).select(
+            self._index_columns() + ["deleted"])
 
     def _stats_row(self, pid: int, lake_like: pa.Table) -> pa.Table:
         """Manifest row from a table carrying (keys, seq, content_sha256,
@@ -288,13 +297,9 @@ class MergeWritePartition:
         if prior_idx is not None:
             both = pa.concat_tables([prior_idx, new_idx],
                                     promote_options="permissive")
-            op = pc.if_else(both["deleted"], pa.scalar("delete"),
-                            pa.scalar("update"))
-            ev = both.drop_columns(["deleted"]).append_column(cfg.op_column, op)
-            merged = self._resolve(ev)
-            mdel = pc.fill_null(pc.equal(merged[cfg.op_column], "delete"), False)
-            merged_idx = merged.drop_columns([cfg.op_column]).append_column(
-                "deleted", mdel).select(new_idx.column_names)
+            merged = self._resolve(state_to_events(both, cfg.op_column))
+            merged_idx = flag_deleted(merged, cfg.op_column).select(
+                new_idx.column_names)
         else:
             merged_idx = new_idx
         atomic_write_table(store.index_file(pid, self.epoch), merged_idx)
@@ -341,16 +346,30 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
             sha = pa.nulls(len(winners), pa.string())
         return winners.append_column("content_sha256", sha)
 
+    def empty_out(batch: pa.Table) -> pa.Table:
+        """Zero-row block in the REDUCED schema (part_id + content_sha256
+        appended, epoch dropped). Returning the raw batch instead would put
+        schema-inconsistent blocks into the groupby('part_id') exchange
+        whenever a block is empty or fully quarantined/fenced."""
+        t = batch.slice(0, 0)
+        for c in ("epoch", "part_id"):
+            if c in t.column_names:
+                t = t.drop_columns([c])
+        return add_sha(t.append_column("part_id", pa.array([], pa.int32())))
+
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return batch
+            return empty_out(batch)
         if "epoch" in batch.column_names:
             batch = batch.drop_columns(["epoch"])  # partition col of the tail layout
         if cfg.merge_policy is not None:
             # policy combiner: fence raw rows first (the policy may keep
             # history aggregates, so the fence must see raw events), then
-            # reduce; part_id rides the reduce (constant within a key)
-            part = assign_partition(batch, keys, cfg.num_partitions)
+            # reduce; part_id rides the reduce (constant within a key).
+            # MUST use the same keyed hash as lww_partial_fast — the manifest
+            # keys on part_id, so the policy and LWW paths have to agree on
+            # where a key lives (hashing.partition_ids is that single source)
+            part = partition_ids(batch, keys, cfg.num_partitions)
             if "part_id" in batch.column_names:
                 batch = batch.drop_columns(["part_id"])
             batch = batch.append_column("part_id", pa.array(part, type=pa.int32()))
@@ -359,7 +378,7 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
             if len(batch) == 0:
-                return batch
+                return empty_out(batch)
             return add_sha(cfg.merge_policy.reduce(batch))
         out, part = lww_partial_fast(batch, keys, seq_col, cfg.num_partitions)
         if "part_id" in out.column_names:
@@ -689,20 +708,14 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
                                  promote_options="permissive")
             if script is not None:
                 t = conform_table(t, script, version)
-            op = pc.if_else(t["deleted"], pa.scalar("delete"),
-                            pa.scalar("update"))
-            ev = t.drop_columns(["deleted"]).append_column(
-                cfg_eff.op_column, op)
+            ev = state_to_events(t, cfg_eff.op_column)
             if cfg_eff.merge_policy is not None:
                 winners = cfg_eff.merge_policy.reduce(ev)
             else:
                 winners = lww_resolve_table(
                     ev, list(cfg_eff.key_columns), cfg_eff.seq_column,
                     cfg_eff.op_column, keep_tombstones=True)
-            deleted = pc.fill_null(
-                pc.equal(winners[cfg_eff.op_column], "delete"), False)
-            return winners.drop_columns([cfg_eff.op_column]).append_column(
-                "deleted", deleted)
+            return flag_deleted(winners, cfg_eff.op_column)
 
         refs = [merge_read.remote(store.partition_data_files(ps))
                 for _, ps in sorted(m.partitions.items())]
@@ -723,7 +736,8 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
 
 
 def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,
-                       max_rows: int = 20_000_000) -> str:
+                       max_rows: int = 20_000_000,
+                       cfg: CdcConfig | None = None) -> str:
     """FIXTURES.md §4 global digest: sha256 of newline-joined per-row content
     sha256s of live rows, sorted by key — partition-count invariant.
 
@@ -739,7 +753,12 @@ def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,
             "lake_global_digest materializes row digests on the driver; "
             "use manifest_digest() at this scale"
         )
-    ds = read_lake(lake_dir).select_columns(list(key_columns) + ["content_sha256"])
+    # forward cfg so delta lakes with custom key/seq/op columns (or a merge
+    # policy) resolve with THEIR config, not CdcConfig() defaults
+    if cfg is not None and tuple(key_columns) == DEFAULT_KEYS:
+        key_columns = cfg.key_columns
+    ds = read_lake(lake_dir, cfg=cfg).select_columns(
+        list(key_columns) + ["content_sha256"])
     t = ds.to_arrow_refs()
     import pyarrow as _pa
     import ray
@@ -781,26 +800,26 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
         t = pa.concat_tables([pq.read_table(s) for s in srcs],
                              promote_options="permissive")
         if len(srcs) > 1:  # delta partition: reconcile base + deltas
-            op = pc.if_else(t["deleted"], pa.scalar("delete"),
-                            pa.scalar("update"))
-            ev = t.drop_columns(["deleted"]).append_column(op_col, op)
+            ev = state_to_events(t, op_col)
             if policy is not None:
                 winners = policy.reduce(ev)
             else:
                 winners = lww_resolve_table(ev, keys, seq_col, op_col,
                                             keep_tombstones=True)
-            deleted = pc.fill_null(pc.equal(winners[op_col], "delete"), False)
-            t = winners.drop_columns([op_col]).append_column("deleted", deleted)
+            t = flag_deleted(winners, op_col)
         d = 0
         if drop_tombstones and ps_dict["tombstones"]:
             live = pc.invert(pc.fill_null(t["deleted"], False))
             d = len(t) - (pc.sum(live.cast(pa.int64())).as_py() or 0)
             t = t.filter(live)
         atomic_write_table(dst, t)
+        # row_count is documented as LIVE rows (tombstones excluded) — when
+        # tombstones are kept, len(t) would overcount
+        tombs = 0 if drop_tombstones else int(ps_dict["tombstones"])
         return dict(
             part_id=pid, epoch=new_epoch, offset=ps_dict["offset"],
-            row_count=len(t),
-            tombstones=0 if drop_tombstones else ps_dict["tombstones"],
+            row_count=len(t) - tombs,
+            tombstones=tombs,
             content_digest=ps_dict["content_digest"],
             schema_version=ps_dict["schema_version"], dropped=int(d),
             base_epoch=new_epoch, delta_epochs=[],
@@ -808,18 +827,32 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
 
     from dataclasses import asdict
 
+    # O(dirty partitions), not O(lake): a partition with a single base file
+    # and no tombstones to drop is byte-identical after compaction — carry
+    # its PartitionState forward instead of re-reading and re-writing the
+    # full wide payload
+    def _clean(ps) -> bool:
+        return (not ps.delta_epochs
+                and (ps.tombstones == 0 or not drop_tombstones))
+
+    carried = [ps for _, ps in sorted(m.partitions.items()) if _clean(ps)]
+    dirty = [(pid, ps) for pid, ps in sorted(m.partitions.items())
+             if not _clean(ps)]
     refs = [
         compact_one.remote(
             pid, store.partition_data_files(ps),
             store.partition_file(pid, new_epoch), asdict(ps),
         )
-        for pid, ps in sorted(m.partitions.items())
+        for pid, ps in dirty
     ]
     results = ray.get(refs)
     dropped = sum(r.pop("dropped") for r in results)
-    rows = [PartitionState(**r) for r in results]
+    rows = carried + [PartitionState(**r) for r in results]
     store.commit_epoch(new_epoch, rows,
-                       metrics={"mode": "compaction", "tombstones_dropped": int(dropped)})
+                       metrics={"mode": "compaction",
+                                "tombstones_dropped": int(dropped),
+                                "partitions_compacted": len(dirty),
+                                "partitions_carried": len(carried)})
     removed = store.gc() if gc_old_epochs else 0
     return {"epoch": new_epoch, "tombstones_dropped": int(dropped),
             "files_gc": removed}

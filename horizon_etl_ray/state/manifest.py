@@ -50,6 +50,7 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        _fsync_dir(d)  # persist the rename itself
     finally:
         if os.path.exists(tmp):
             try:
@@ -62,15 +63,38 @@ def atomic_write_json(path: str, obj: Any) -> None:
     atomic_write_bytes(path, json.dumps(obj, sort_keys=True, indent=1).encode())
 
 
+def _fsync_dir(d: str) -> None:
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass  # some filesystems refuse dir fsync; rename is still atomic
+    finally:
+        os.close(fd)
+
+
 def atomic_write_table(path: str, table, compression: str = "zstd") -> None:
-    """Atomically write a pyarrow table as one parquet file."""
+    """Atomically write a pyarrow table as one parquet file.
+
+    fsyncs the data AND the directory entry before/after the rename — the
+    manifest commit (current.json) must never point at a data file whose
+    blocks a crash could still lose (the module-docstring protocol)."""
     import pyarrow.parquet as pq
 
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}.{time.time_ns()}"
     pq.write_table(table, tmp, compression=compression)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
+    _fsync_dir(d)
 
 
 @dataclass
@@ -219,14 +243,17 @@ class ManifestStore:
                     out.append(json.load(f))
         return out
 
-    def gc(self, keep_epochs: int = 1) -> int:
+    def gc(self, keep_epochs: int = 1, tmp_grace_sec: float = 3600.0) -> int:
         """Delete partition data files the committed manifest no longer
         references (superseded copy-on-write bases, reconciled deltas, stale
-        indexes). ``keep_epochs`` additionally retains that many epochs of
-        superseded base files for time-travel/debugging. Returns #files
-        removed."""
+        indexes), plus crash-orphaned ``*.tmp.*`` files older than
+        ``tmp_grace_sec`` (a writer that died between write and rename leaves
+        one; the grace period protects a concurrent writer's in-flight temp).
+        ``keep_epochs`` additionally retains that many epochs of superseded
+        base files for time-travel/debugging. Returns #files removed."""
         m = self.load()
         removed = 0
+        cutoff = time.time() - tmp_grace_sec
         for pid, ps in m.partitions.items():
             pdir = os.path.join(self.lake_dir, f"part_id={pid}")
             if not os.path.isdir(pdir):
@@ -234,6 +261,15 @@ class ManifestStore:
             keep = {os.path.basename(p) for p in self.partition_data_files(ps)}
             keep.add(os.path.basename(self.index_file(pid, ps.epoch)))
             for name in os.listdir(pdir):
+                full = os.path.join(pdir, name)
+                if ".tmp." in name:
+                    try:
+                        if os.path.getmtime(full) < cutoff:
+                            os.unlink(full)
+                            removed += 1
+                    except OSError:
+                        pass
+                    continue
                 if name in keep or not name.endswith(".parquet"):
                     continue
                 if name.startswith("epoch="):
@@ -242,6 +278,6 @@ class ManifestStore:
                         continue
                 elif not name.startswith(("delta-epoch=", "index-epoch=")):
                     continue
-                os.unlink(os.path.join(pdir, name))
+                os.unlink(full)
                 removed += 1
         return removed

@@ -1,0 +1,189 @@
+"""Regressions for the round-3 core-engine review findings: custom
+op_column through every state↔event conversion, one partition function for
+all paths, independent 128-bit hashes for numeric keys, compact row_count
+semantics + clean-partition skip, gc of crash-orphaned temp files, and
+schema-consistent empty combiner blocks."""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from horizon_etl_ray.functions.hashing import key_hash_pair, partition_ids
+from horizon_etl_ray.pipelines.cdc import (
+    CdcConfig,
+    compact,
+    lake_global_digest,
+    replay,
+)
+from horizon_etl_ray.sources.generator import EventGenConfig, generate_events_table, write_events
+from horizon_etl_ray.state.lww import content_digest, lww_partial_fast, oracle_reduce
+from horizon_etl_ray.state.manifest import ManifestStore, PartitionState, atomic_write_table
+
+
+GEN = EventGenConfig(n_keys=150, n_events=2000, seed=31, epoch_size=500,
+                     p_delete=0.2, content_mean_bytes=64)
+
+
+def _want():
+    return content_digest(list(oracle_reduce(
+        generate_events_table(GEN).to_pylist()).values()))
+
+
+def test_custom_op_column_cow_and_delta(ray_session, tmp_path):
+    """A renamed op column must survive every state→event re-conversion
+    (prior-state reads, delta index merges, merge-on-read) — regression for
+    two sites that hardcoded \"op\"."""
+    import pyarrow.parquet as pq
+
+    events_dir = str(tmp_path / "events")
+    write_events(GEN, events_dir)
+    # rewrite the tail with the op column renamed
+    renamed_dir = str(tmp_path / "events_renamed")
+    for root, _, files in os.walk(events_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, f))
+            t = t.rename_columns(
+                ["operation" if c == "op" else c for c in t.column_names])
+            rel = os.path.relpath(os.path.join(root, f), events_dir)
+            dst = os.path.join(renamed_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq.write_table(t, dst)
+    for write_mode in ("cow", "delta"):
+        cfg = CdcConfig(num_partitions=8, op_column="operation",
+                        write_mode=write_mode)
+        lake = str(tmp_path / f"lake_{write_mode}")
+        replay(renamed_dir, lake, cfg, mode="incremental")
+        assert lake_global_digest(lake, cfg=cfg) == _want()
+
+
+def test_partition_assignment_single_source(ray_session):
+    """The policy branch and the LWW fast path must place every key in the
+    same partition (the manifest keys on part_id)."""
+    t = generate_events_table(GEN)
+    keys = ["repo", "path"]
+    pids = partition_ids(t, keys, 16)
+    _, fast = lww_partial_fast(t, keys, "seq", 16)
+    # fast path returns one pid per WINNER row; re-derive via hash equality:
+    # partition_ids of the winners table must equal the fast path's pids
+    winners, fast_pids = lww_partial_fast(t, keys, "seq", 16)
+    np.testing.assert_array_equal(partition_ids(winners, keys, 16), fast_pids)
+    # and int keys agree too
+    ti = pa.table({"a": pa.array([1, 2, 3, 2**40], pa.int64()),
+                   "seq": pa.array([1, 2, 3, 4], pa.int64())})
+    w, p = lww_partial_fast(ti, ["a"], "seq", 8)
+    np.testing.assert_array_equal(partition_ids(w, ["a"], 8), p)
+
+
+def test_numeric_keys_get_two_independent_hashes():
+    """pd.util.hash_array ignores hash_key for numeric dtypes; the pair must
+    still be independent (h1 != h2) or the combiner's 128-bit collision
+    margin silently halves."""
+    t = pa.table({"k": pa.array(list(range(1000)), pa.int64())})
+    h1, h2 = key_hash_pair(t, ["k"])
+    assert (h1 != h2).any()
+    assert (h1 != h2).mean() > 0.99
+    # strings were always fine; make sure they still differ
+    ts = pa.table({"k": pa.array([f"x{i}" for i in range(100)])})
+    s1, s2 = key_hash_pair(ts, ["k"])
+    assert (s1 != s2).all()
+
+
+def test_compact_row_count_excludes_kept_tombstones(ray_session, tmp_path):
+    events_dir = str(tmp_path / "ev")
+    write_events(GEN, events_dir)
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=8, write_mode="delta")
+    replay(events_dir, lake, cfg, mode="incremental")
+    res = compact(lake, cfg, drop_tombstones=False)
+    m = ManifestStore(lake).load()
+    want = {r["repo"] + "|" + r["path"]: r for r in
+            oracle_reduce(generate_events_table(GEN).to_pylist()).values()}
+    live_expected = sum(1 for r in want.values() if r["op"] != "delete")
+    assert sum(ps.row_count for ps in m.partitions.values()) == live_expected
+    assert sum(ps.tombstones for ps in m.partitions.values()) > 0
+    # digest unchanged by compaction
+    assert lake_global_digest(lake, cfg=cfg) == _want()
+
+
+def test_compact_skips_clean_partitions(ray_session, tmp_path):
+    """Copy-on-write partitions with no deltas and no tombstones to drop are
+    carried forward without a rewrite."""
+    events_dir = str(tmp_path / "ev")
+    write_events(GEN, events_dir)
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=8)
+    replay(events_dir, lake, cfg, mode="bulk")
+    # first compaction drops tombstones (dirty partitions get rewritten)
+    compact(lake, cfg, drop_tombstones=True)
+    files_before = {
+        pid: os.path.getmtime(ManifestStore(lake).partition_file(
+            pid, ps.resolved_base_epoch()))
+        for pid, ps in ManifestStore(lake).load().partitions.items()
+    }
+    time.sleep(0.05)
+    # second compaction: every partition is now clean → zero rewrites
+    compact(lake, cfg, drop_tombstones=True)
+    m = ManifestStore(lake).load()
+    rec = ManifestStore(lake).epoch_records()[-1]
+    assert rec["metrics"]["partitions_compacted"] == 0
+    for pid, ps in m.partitions.items():
+        f = ManifestStore(lake).partition_file(pid, ps.resolved_base_epoch())
+        assert os.path.getmtime(f) == files_before[pid]
+    assert lake_global_digest(lake, cfg=cfg) == _want()
+
+
+def test_gc_removes_stale_tmp_orphans(tmp_path):
+    lake = str(tmp_path / "lake")
+    store = ManifestStore(lake)
+    t = pa.table({"repo": ["r"], "path": ["p"], "seq": pa.array([1], pa.int64()),
+                  "content_sha256": ["x"], "deleted": [False]})
+    atomic_write_table(store.partition_file(0, 0), t)
+    store.commit_epoch(0, [PartitionState(
+        part_id=0, epoch=0, offset=1, row_count=1, tombstones=0,
+        content_digest="d")])
+    orphan = store.partition_file(0, 1) + ".tmp.999.123"
+    with open(orphan, "wb") as f:
+        f.write(b"partial")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    fresh = store.partition_file(0, 2) + ".tmp.999.456"
+    with open(fresh, "wb") as f:
+        f.write(b"inflight")
+    removed = store.gc()
+    assert not os.path.exists(orphan)      # stale orphan reclaimed
+    assert os.path.exists(fresh)           # in-flight temp protected by grace
+    assert removed >= 1
+
+
+def test_fully_quarantined_block_groupby_mode(ray_session, tmp_path):
+    """An epoch where one input file is 100% invalid must still apply via the
+    Dataset groupby exchange (regression: raw-schema empty blocks used to
+    enter the shuffle)."""
+    import pyarrow.parquet as pq
+
+    events_dir = str(tmp_path / "ev")
+    write_events(GEN, events_dir)
+    # append an all-invalid file to the first epoch dir
+    ep_dirs = sorted(d for d in os.listdir(events_dir) if d.startswith("epoch"))
+    bad = pa.table({
+        "seq": pa.array([-5, -6], pa.int64()),
+        "op": pa.array(["bogus", "bogus"]),
+        "repo": pa.array([None, None], pa.string()),
+        "path": pa.array(["a", "b"]),
+        "commit": pa.array(["c", "c"]),
+        "lang": pa.array(["x", "x"]),
+        "content": pa.array(["y", "y"]),
+    })
+    pq.write_table(bad, os.path.join(events_dir, ep_dirs[0], "zz-bad.parquet"))
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=8, shuffle_mode="groupby")
+    replay(events_dir, lake, cfg, mode="bulk")
+    assert lake_global_digest(lake, cfg=cfg) == _want()
