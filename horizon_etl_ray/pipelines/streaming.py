@@ -34,10 +34,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import sha_digest_of_column
+from ..stages.schema_evolution import conform_table
+from ..stages.validate import ValidateEvents
 from ..state.lww import lww_resolve_table
 from ..state.manifest import ManifestStore, PartitionState, atomic_write_table
-from .cdc import CdcConfig, _partial_stage
-from ..stages.validate import ValidateEvents
+from .cdc import CdcConfig, _partial_stage, flag_deleted, state_to_events
 
 
 class UpserterShard:
@@ -50,7 +51,10 @@ class UpserterShard:
         self.seq_column = cfg_dict["seq_column"]
         self.op_column = cfg_dict["op_column"]
         self.write_mode = cfg_dict.get("write_mode", "cow")
+        self.script = cfg_dict.get("schema_script")
+        self.version = 0
         self.lo, self.hi = lo, hi
+        self._staged: tuple[int, set[int]] | None = None
         self.state: dict[int, pa.Table] = {}
         # dirty-partition tracking: snapshot() writes ONLY partitions touched
         # since the last snapshot (a per-epoch cadence must not rewrite the
@@ -61,13 +65,17 @@ class UpserterShard:
         self.pending: dict[int, pa.Table] = {}
         self.on_disk: set[int] = set()  # pids with a committed base file
 
-    def restore(self, committed: dict[int, list]) -> int:
+    def restore(self, committed: dict[int, list], version: int = 0) -> int:
         """Rebuild in-memory state from the committed lake view.
         ``committed`` maps pid → its data files (base + any delta-mode
         deltas); deltas are LWW-reconciled on restore, so the actor path
-        resumes correctly from a lake written in either write mode."""
+        resumes correctly from a lake written in either write mode. Prior
+        files are conformed to the manifest's schema ``version`` when a
+        schema script is configured (the batch path's _read_prior
+        discipline)."""
         import pyarrow.parquet as pq
 
+        self.version = version
         n = 0
         for pid in range(self.lo, self.hi):
             files = committed.get(pid)
@@ -75,8 +83,9 @@ class UpserterShard:
                 continue
             t = pa.concat_tables([pq.read_table(f) for f in files],
                                  promote_options="permissive")
-            op = pc.if_else(t["deleted"], pa.scalar("delete"), pa.scalar("update"))
-            ev = t.drop_columns(["deleted"]).append_column(self.op_column, op)
+            if self.script is not None:
+                t = conform_table(t, self.script, version)
+            ev = state_to_events(t, self.op_column)
             if len(files) > 1:  # delta partition: reconcile to winners
                 ev = lww_resolve_table(ev, self.key_columns, self.seq_column,
                                        self.op_column, keep_tombstones=True)
@@ -84,6 +93,20 @@ class UpserterShard:
             self.on_disk.add(pid)
             n += len(ev)
         return n
+
+    def conform_to(self, version: int) -> int:
+        """Rewrite held state (and pending deltas) to a new schema version —
+        called by the coordinator when the script advances mid-stream, so
+        actor state never unions old and new spellings."""
+        if self.script is None or version == self.version:
+            self.version = version
+            return 0
+        for pid, t in list(self.state.items()):
+            self.state[pid] = conform_table(t, self.script, version)
+        for pid, t in list(self.pending.items()):
+            self.pending[pid] = conform_table(t, self.script, version)
+        self.version = version
+        return len(self.state)
 
     def apply(self, winners: pa.Table) -> int:
         """Fold one epoch's winners (already partially reduced, with part_id)
@@ -119,8 +142,7 @@ class UpserterShard:
 
     def _as_lake(self, t: pa.Table) -> pa.Table:
         t = t.sort_by([(k, "ascending") for k in self.key_columns])
-        deleted = pc.fill_null(pc.equal(t[self.op_column], "delete"), False)
-        return t.drop_columns([self.op_column]).append_column("deleted", deleted)
+        return flag_deleted(t, self.op_column)
 
     def snapshot(self, epoch: int, schema_version: int = 0) -> list[dict]:
         """Write DIRTY owned partitions to the lake (atomic, epoch-named) and
@@ -156,16 +178,31 @@ class UpserterShard:
                                  f"epoch={epoch}.parquet"),
                     lake,
                 )
-            self.on_disk.add(pid)
             rows.append(
                 dict(part_id=pid, epoch=epoch, offset=int(offset),
                      row_count=int(live), tombstones=int(len(lake) - live),
                      content_digest=digest, schema_version=schema_version,
                      wrote_delta=wrote_delta)
             )
-        self.dirty.clear()
-        self.pending.clear()
+        # two-phase: bookkeeping (on_disk/dirty/pending) moves ONLY after the
+        # coordinator's manifest commit succeeds (confirm). A failed commit +
+        # retry therefore re-runs snapshot against unchanged state: the same
+        # file kind is rewritten idempotently, and a delta can never stack on
+        # a base the manifest never saw.
+        self._staged = (epoch, set(self.dirty))
         return rows
+
+    def confirm(self, epoch: int) -> bool:
+        """Commit acknowledged: apply the bookkeeping staged by snapshot."""
+        if self._staged is None or self._staged[0] != epoch:
+            return False
+        pids = self._staged[1]
+        self.on_disk.update(pids)
+        self.dirty -= pids
+        for pid in pids:
+            self.pending.pop(pid, None)
+        self._staged = None
+        return True
 
 
 class StreamingUpserter:
@@ -192,6 +229,7 @@ class StreamingUpserter:
             "seq_column": self.cfg.seq_column,
             "op_column": self.cfg.op_column,
             "write_mode": self.cfg.write_mode,
+            "schema_script": self.cfg.schema_script,
         }
         Shard = ray.remote(UpserterShard)
         self.shards = [
@@ -199,12 +237,12 @@ class StreamingUpserter:
             for lo, hi in zip(bounds[:-1], bounds[1:])
         ]
         self.bounds = bounds
+        m = self.store.load()
         committed = {pid: self.store.partition_data_files(ps)
-                     for pid, ps in self.store.load().partitions.items()}
-        ray.get([s.restore.remote(committed) for s in self.shards])
-
-    def _owner(self, pid: np.ndarray) -> np.ndarray:
-        return np.searchsorted(self.bounds, pid, side="right") - 1
+                     for pid, ps in m.partitions.items()}
+        self._version = m.schema_version
+        ray.get([s.restore.remote(committed, m.schema_version)
+                 for s in self.shards])
 
     def apply_epoch(self, events_ds, epoch: int) -> dict:
         """One tail micro-batch through validate → partial LWW → route to
@@ -219,15 +257,34 @@ class StreamingUpserter:
         for pid, ps in manifest.partitions.items():
             offsets[pid] = ps.offset
 
-        ds = events_ds.map_batches(
-            ValidateEvents(
-                key_columns=list(cfg.key_columns), seq_column=cfg.seq_column,
-                op_column=cfg.op_column, content_column=cfg.content_column,
-                quarantine_dir=os.path.join(self.lake_dir, "_quarantine"),
-                compute_sha=False,  # _partial_stage hashes winners only
-            ),
-            batch_format="pyarrow",
-        ).map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow")
+        schema_version = (
+            cfg.schema_script.schema_version(epoch) if cfg.schema_script else 0
+        )
+        if cfg.schema_script is not None and schema_version != self._version:
+            # script advanced: conform actor-held state FIRST so old and new
+            # spellings never union inside an actor
+            ray.get([s.conform_to.remote(schema_version) for s in self.shards])
+            self._version = schema_version
+
+        ds = events_ds
+        if cfg.validate:
+            ds = ds.map_batches(
+                ValidateEvents(
+                    key_columns=list(cfg.key_columns),
+                    seq_column=cfg.seq_column,
+                    op_column=cfg.op_column,
+                    content_column=cfg.content_column,
+                    quarantine_dir=(os.path.join(self.lake_dir, "_quarantine")
+                                    if cfg.quarantine else None),
+                    compute_sha=False,  # _partial_stage hashes winners only
+                ),
+                batch_format="pyarrow",
+            )
+        if cfg.schema_script is not None:
+            script, ver = cfg.schema_script, schema_version
+            ds = ds.map_batches(
+                lambda t: conform_table(t, script, ver), batch_format="pyarrow")
+        ds = ds.map_batches(_partial_stage(cfg, offsets), batch_format="pyarrow")
 
         # route batches to owning shards from INSIDE tasks (data never lands
         # on the driver): the routing stage slices each block per owner and
@@ -247,7 +304,8 @@ class StreamingUpserter:
 
         applied = int(ds.map_batches(route, batch_format="pyarrow").sum("applied") or 0)
 
-        rows = [r for rs in ray.get([s.snapshot.remote(epoch) for s in self.shards])
+        rows = [r for rs in ray.get(
+            [s.snapshot.remote(epoch, schema_version) for s in self.shards])
                 for r in rs]
         partition_rows = []
         for r in rows:
@@ -263,7 +321,11 @@ class StreamingUpserter:
         self.store.commit_epoch(
             epoch, partition_rows,
             metrics={"applied_winners": int(applied), "mode": "streaming"},
+            schema_version=schema_version,
         )
+        # manifest is durable → let the actors promote their staged
+        # bookkeeping (see UpserterShard.snapshot/confirm two-phase note)
+        ray.get([s.confirm.remote(epoch) for s in self.shards])
         return {"epoch": epoch, "skipped": False, "applied_winners": int(applied),
                 "partitions_updated": len(partition_rows)}
 

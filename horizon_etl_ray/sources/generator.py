@@ -51,7 +51,10 @@ class EventGenConfig:
 
 
 def repo_of_key(cfg: EventGenConfig, key: int) -> str:
-    hot_keys = int(cfg.n_keys * cfg.hot_fraction)
+    # max(1, ...): must agree with plan_events' clamp — otherwise a tiny
+    # hot_fraction aims the skewed stream at key 0 while key 0 maps to a
+    # non-hot repo, silently detargeting the skew knob
+    hot_keys = max(1, int(cfg.n_keys * cfg.hot_fraction))
     if key < hot_keys:
         r = 0
     else:

@@ -145,6 +145,9 @@ class FrameSampleStage:
         for rid, v in zip(t[self.id_column], t[self.payload_column]):
             data = v.as_py() or b""
             if not data:
+                # contract: empty/null payloads produce NO frames (mirrors
+                # the SQL twin's length(text) > 0 predicate); callers who
+                # need every id use an outer join back to the id table
                 continue
             stride = max(1, len(data) // self.n_frames)
             for i in range(self.n_frames):
@@ -184,6 +187,10 @@ class ByteFeatureStage:
         for rid, v in zip(t[self.id_column], t[self.payload_column]):
             data = v.as_py() or b""
             if not data:
+                # contract: empty/null payloads emit no feature row (the
+                # oracle's length(text) > 0 predicate) — NOT an implicit
+                # drop; documented so it matches DecodeStage's keep-row
+                # behavior intentionally differing for featureless inputs
                 continue
             a = np.frombuffer(data, dtype=np.uint8)
             counts = np.bincount(a, minlength=256)

@@ -81,13 +81,20 @@ class SchemaScript:
         return fields
 
     def renames_at(self, version: int) -> dict[str, str]:
-        """old→new map accumulated through version (chained renames collapse)."""
+        """old→new map accumulated through version. EVERY historical spelling
+        maps to the final name — a chain a→b→c yields {a: c, b: c}, so a
+        batch produced under any intermediate version (carrying ``b``) still
+        conforms; collapsing to only {a: c} silently null-filled mid-chain
+        batches."""
         renames: dict[str, str] = {}
         for op in self.ops[:version]:
             if op["op"] == "rename_column":
-                # collapse a→b→c into a→c
-                src = next((k for k, v in renames.items() if v == op["from"]), op["from"])
-                renames[src] = op["to"]
+                # repoint every spelling that currently resolves to `from`,
+                # then record `from` itself as a historical spelling
+                for k, v in renames.items():
+                    if v == op["from"]:
+                        renames[k] = op["to"]
+                renames[op["from"]] = op["to"]
         return renames
 
 

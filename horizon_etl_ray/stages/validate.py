@@ -78,7 +78,8 @@ class ValidateEvents:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         mask = self._valid_mask(t)
-        bad_count = len(t) - pc.sum(mask.cast(pa.int64())).as_py()
+        # `or 0`: pc.sum over a zero-length mask returns null, not 0
+        bad_count = len(t) - (pc.sum(mask.cast(pa.int64())).as_py() or 0)
         if bad_count:
             bad = t.filter(pc.invert(mask))
             if self.quarantine_dir:

@@ -187,3 +187,124 @@ def test_fully_quarantined_block_groupby_mode(ray_session, tmp_path):
     cfg = CdcConfig(num_partitions=8, shuffle_mode="groupby")
     replay(events_dir, lake, cfg, mode="bulk")
     assert lake_global_digest(lake, cfg=cfg) == _want()
+
+
+# ---------------------------------------------------------------------------
+# round-2 review pass: validate / schema evolution / streaming findings
+# ---------------------------------------------------------------------------
+
+
+def test_validate_events_empty_batch():
+    """Regression: pc.sum over a zero-length mask returns null; an empty
+    block used to crash ValidateEvents with a TypeError."""
+    from horizon_etl_ray.stages.validate import ValidateEvents
+
+    v = ValidateEvents()
+    empty = pa.table({
+        "seq": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
+        "repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+    })
+    out = v(empty)
+    assert len(out) == 0
+    assert "content_sha256" in out.column_names
+
+
+def test_rename_chain_keeps_intermediate_spellings():
+    """Regression: a chain a→b→c must conform batches carrying ANY historical
+    spelling; the collapsed map used to null-fill mid-chain batches."""
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript, conform_table
+
+    script = SchemaScript.from_json(
+        [("a", pa.int64()), ("x", pa.string())],
+        [{"epoch": 1, "op": "rename_column", "from": "a", "to": "b"},
+         {"epoch": 2, "op": "rename_column", "from": "b", "to": "c"}],
+    )
+    assert script.renames_at(2) == {"a": "c", "b": "c"}
+    mid = pa.table({"b": pa.array([10, 20], pa.int64()),
+                    "x": pa.array(["u", "v"])})
+    out = conform_table(mid, script, 2)
+    assert out["c"].to_pylist() == [10, 20]
+    assert "b" not in out.column_names
+    old = pa.table({"a": pa.array([7], pa.int64()), "x": pa.array(["w"])})
+    assert conform_table(old, script, 2)["c"].to_pylist() == [7]
+
+
+def test_upserter_shard_two_phase_commit(tmp_path):
+    """Regression: snapshot bookkeeping must not advance before the manifest
+    commit — a failed commit + retry used to stack a delta file on an
+    uncommitted base (and KeyError in the coordinator)."""
+    from horizon_etl_ray.pipelines.streaming import UpserterShard
+
+    lake = str(tmp_path / "lake")
+    shard = UpserterShard(lake, {"key_columns": ("repo", "path"),
+                                 "seq_column": "seq", "op_column": "op",
+                                 "write_mode": "delta"}, 0, 4)
+    winners = pa.table({
+        "repo": ["r"], "path": ["p"], "seq": pa.array([1], pa.int64()),
+        "op": ["update"], "content": ["x"], "content_sha256": ["s1"],
+        "part_id": pa.array([0], pa.int32()),
+    })
+    rows1 = shard.snapshot(1, 0) if not shard.apply(winners) else shard.snapshot(1, 0)
+    assert rows1[0]["wrote_delta"] is False  # first touch → base file
+    # commit FAILED (confirm never called) → retry of the same epoch must
+    # write the base again, never a delta on an uncommitted base
+    rows_retry = shard.snapshot(1, 0)
+    assert rows_retry[0]["wrote_delta"] is False
+    assert shard.confirm(1)
+    # next epoch after a confirmed base → delta
+    w2 = winners.set_column(2, "seq", pa.array([2], pa.int64()))
+    shard.apply(w2)
+    rows2 = shard.snapshot(2, 0)
+    assert rows2[0]["wrote_delta"] is True
+    assert shard.confirm(2)
+
+
+def test_streaming_honors_schema_script(ray_session, tmp_path):
+    """Streaming replay with a mid-stream payload-column rename must produce
+    the same lake digest as the batch path under the same script (the
+    streaming path used to silently ignore cfg.schema_script)."""
+    import os
+
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.streaming import StreamingUpserter
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    script = SchemaScript.from_json(
+        [("repo", pa.string()), ("path", pa.string()),
+         ("commit", pa.string()), ("lang", pa.string()),
+         ("content", pa.string())],
+        [{"epoch": 2, "op": "rename_column", "from": "lang",
+          "to": "language"}],
+    )
+    ev = str(tmp_path / "ev")
+    write_events(GEN, ev)
+    cfg_s = CdcConfig(num_partitions=8, schema_script=script)
+    lake_s = str(tmp_path / "lake_s")
+    up = StreamingUpserter(lake_s, cfg_s, num_shards=2)
+    try:
+        eps = sorted(int(d.split("=")[1]) for d in os.listdir(ev)
+                     if d.startswith("epoch="))
+        for e in eps:
+            files = [os.path.join(ev, f"epoch={e}", f)
+                     for f in sorted(os.listdir(os.path.join(ev, f"epoch={e}")))]
+            up.apply_epoch(rd.read_parquet(files), e)
+    finally:
+        up.shutdown()
+    lake_b = str(tmp_path / "lake_b")
+    replay(ev, lake_b, CdcConfig(num_partitions=8, schema_script=script),
+           mode="incremental")
+    assert lake_global_digest(lake_s) == lake_global_digest(lake_b) == _want()
+    ms = ManifestStore(lake_s).load()
+    assert ms.schema_version == 1  # stamped, not hardcoded 0
+
+
+def test_hot_key_targets_hot_repo_for_tiny_fraction():
+    """repo_of_key and plan_events must agree on the hot-key clamp."""
+    from horizon_etl_ray.sources.generator import repo_of_key
+
+    cfg = EventGenConfig(n_keys=500, n_events=100, seed=1,
+                         hot_fraction=1e-9, hot_event_fraction=0.5)
+    assert repo_of_key(cfg, 0).endswith("/repo0")
