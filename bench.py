@@ -46,6 +46,67 @@ def _default_bench_tmp() -> str:
 
 BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP") or _default_bench_tmp()
 
+# ---------------------------------------------------------------------------
+# Host-health probes (VERDICT r3 #1: throttle-proof the bench artifact).
+# The sandbox VM intermittently enters a hypervisor memory-bandwidth throttle
+# (BASELINE.md "Late-session host note": tmpfs writes drop from multi-GB/s to
+# 0.3-0.7 GB/s while guest CPU sits idle); the ~10-GB-writeback replay slows
+# 4-40x in that state while the query suite barely moves. The bench now runs
+# the documented probe before and after the headline replay, embeds both in
+# the JSON, and retries the replay until a probe-healthy window or attempts
+# run out — so a throttled artifact is self-labeling instead of silently
+# misrepresenting the engine.
+_PROBE_HEALTHY_GB_S = float(os.environ.get("GRAFT_PROBE_HEALTHY_GBS", "3.0"))
+_PROBE_BYTES = 2 << 30  # 2 GB, matching the BASELINE.md probe
+
+
+def host_probe(path_hint: str | None = None) -> dict:
+    """Measure tmpfs write bandwidth (the throttle's signature) plus a
+    single-core matmul rate. Always probes /dev/shm when present — the
+    throttle is a hypervisor MEMORY-bandwidth event (BASELINE.md), so the
+    probe must hit RAM-backed storage even when the bench itself spills to
+    disk; a disk probe would conflate writeback with the throttle."""
+    import numpy as np
+
+    if path_hint is None and os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 2 * _PROBE_BYTES:
+            path_hint = "/dev/shm"
+    base = path_hint or BENCH_TMP
+    root = base if os.path.isdir(base) else os.path.dirname(base) or "/tmp"
+    os.makedirs(root, exist_ok=True)
+    chunk = os.urandom(64 << 20)
+    probe_file = os.path.join(root, f"_host_probe_{os.getpid()}")
+    t0 = time.time()
+    try:
+        with open(probe_file, "wb") as f:
+            for _ in range(_PROBE_BYTES // len(chunk)):
+                f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+        write_dt = time.time() - t0
+    finally:
+        try:
+            os.unlink(probe_file)
+        except OSError:
+            pass
+    gb_s = (_PROBE_BYTES / (1 << 30)) / write_dt
+
+    n = 1024
+    a = np.random.default_rng(0).random((n, n))
+    t0 = time.time()
+    for _ in range(4):
+        a = a @ a
+        a /= np.abs(a).max()  # keep finite
+    matmul_dt = time.time() - t0
+    gflops = 4 * 2 * n**3 / matmul_dt / 1e9
+
+    return {
+        "tmpfs_write_gb_s": round(gb_s, 2),
+        "matmul_gflops_1core": round(gflops, 2),
+        "healthy": gb_s >= _PROBE_HEALTHY_GB_S,
+    }
+
 # CDC bench sizing per scale factor (sf0.1 = FIXTURES.md sf-bench: 2·10^7
 # events over 10^6 keys — the sandbox-feasible slice of the 10^10 target)
 _EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 1_000_000, "sf0.1": 20_000_000}
@@ -199,7 +260,34 @@ def main() -> None:
     replay_only = "--replay-only" in sys.argv or os.environ.get(
         "GRAFT_REPLAY_ONLY")
 
-    cdc = bench_cdc_replay()
+    # Headline replay, retried until a probe-healthy window (see host_probe).
+    # An attempt counts as clean only when the probes on BOTH sides of it are
+    # healthy — a throttle starting mid-run would pass a before-only check.
+    max_attempts = int(os.environ.get("GRAFT_PROBE_RETRIES", "3"))
+    retry_sleep = float(os.environ.get("GRAFT_PROBE_RETRY_SLEEP", "30"))
+    attempts: list[dict] = []
+    probe_before = host_probe()
+    cdc = None
+    for attempt in range(1, max_attempts + 1):
+        r = bench_cdc_replay()
+        probe_after = host_probe()
+        clean = probe_before["healthy"] and probe_after["healthy"]
+        attempts.append({
+            "attempt": attempt,
+            "cdc_replay_sec": r["cdc_replay_sec"],
+            "probe_before": probe_before,
+            "probe_after": probe_after,
+            "clean": clean,
+        })
+        if cdc is None or r["cdc_replay_sec"] < cdc["cdc_replay_sec"]:
+            cdc = r
+        if clean:
+            cdc = r
+            break
+        if attempt < max_attempts:
+            time.sleep(retry_sleep)
+            probe_before = host_probe()
+    host_throttled = not attempts[-1]["clean"]
     timings["cdc_replay_bulk"] = cdc["cdc_replay_sec"]
     if replay_only:  # scaling children: only the headline replay is compared
         incr = {"cdc_incr_delta_sec": None, "incr_events_per_sec": None,
@@ -230,6 +318,9 @@ def main() -> None:
         "incr_digest_matches_bulk": incr["incr_digest_matches_bulk"],
         "suite_total_sec": total,
         "lake_digest16": cdc["lake_digest"],
+        "host_throttled": host_throttled,
+        "replay_attempts": attempts,
+        "probe_healthy_threshold_gb_s": _PROBE_HEALTHY_GB_S,
     }
     ray.shutdown()
     # free the bench artifacts (ADVICE: plain `python bench.py` used to leak
@@ -308,6 +399,10 @@ def scaling() -> None:
                 "events_per_sec_hi": r_hi["events_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "digest_match": r_lo["lake_digest16"] == r_hi["lake_digest16"],
+                "host_throttled_lo": r_lo.get("host_throttled"),
+                "host_throttled_hi": r_hi.get("host_throttled"),
+                "probes_lo": r_lo.get("replay_attempts"),
+                "probes_hi": r_hi.get("replay_attempts"),
             }
         )
     )
