@@ -693,21 +693,23 @@ def _tag_bench(docs, bench_mod: int = 20):
     return docs.map_batches(tag, batch_format="pandas")
 
 
-def _bench_ngram_set(tagged, n: int = 8) -> frozenset:
+def _bench_ngram_set(tagged, n: int = 8) -> tuple[np.ndarray, frozenset]:
     """Distinct word ``n``-grams of the benchmark slice: per-batch distinct
     → driver union, bounded by the eval-suite size and independent of
-    corpus scale (THE broadcast-small-side precondition)."""
+    corpus scale (THE broadcast-small-side precondition). Returns
+    ``(sorted_rolling_hashes, string_set)`` — the corpus side does C-speed
+    searchsorted membership on the hashes and exact-verifies only the
+    candidates against the strings (byte-exact vs the SQL oracle)."""
 
     def bench_ngrams(batch: pd.DataFrame) -> pd.DataFrame:
-        out: set[str] = set()
-        for t in batch.loc[batch["bench"], "text"].fillna(""):
-            w = t.split(" ")
-            out.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
-        return pd.DataFrame({"ng": sorted(out)})
+        rows = batch.loc[batch["bench"]]
+        _, grams = tx.explode_word_ngrams(rows["doc_id"].to_numpy(),
+                                          rows["text"], n)
+        return pd.DataFrame({"ng": pd.unique(grams)})
 
-    return frozenset(
-        tagged.map_batches(bench_ngrams, batch_format="pandas")
-        .to_pandas()["ng"])
+    vals = pd.unique(tagged.map_batches(bench_ngrams, batch_format="pandas")
+                     .to_pandas()["ng"].to_numpy())
+    return np.sort(tx.hash_ngram_strings(vals, n)), frozenset(vals)
 
 
 def decontaminate_documents(sf_dir: str, n: int = 8,
@@ -721,7 +723,9 @@ def decontaminate_documents(sf_dir: str, n: int = 8,
     content-addressed md5 slice (md5(doc_id) % 20 == 0) of ``documents`` so
     the DuckDB twin rebuilds it exactly, and guaranteed-contaminated rows
     are planted by unioning the benchmark docs back into the corpus side
-    under shifted ids (same planting discipline as the near-dup queries).
+    under NEGATED ids ``-(doc_id + 1)`` — a range disjoint from any real
+    non-negative id at any corpus size (the former ``+100_000`` shift could
+    collide with real ids once the corpus reached 100k docs; ADVICE r3).
 
     Scale shape: the benchmark side is FIXED SIZE (an eval suite, not a
     corpus), so its distinct n-grams are reduced per batch and broadcast
@@ -740,26 +744,38 @@ def decontaminate_documents(sf_dir: str, n: int = 8,
         # append planted copies inside the same pass — a union-with-self
         # would re-execute the read+tag plan once per branch
         rows = batch.loc[batch["bench"]].copy()
-        rows["doc_id"] = rows["doc_id"] + 100_000
+        rows["doc_id"] = -(rows["doc_id"] + 1)
         rows["bench"] = False
         return pd.concat([batch, rows], ignore_index=True)
 
     corpus_side = tagged.map_batches(with_planted, batch_format="pandas")
 
     def hits(batch: pd.DataFrame) -> pd.DataFrame:
-        bs = ray.get(ref)
+        # vectorized membership (VERDICT r3 #2): every window is hashed with
+        # a rolling polynomial over token hashes (no string allocation),
+        # searchsorted against the broadcast sorted hash array, and only the
+        # rare candidates are materialized + exact-verified against the
+        # string set — then distinct-per-doc on that small hit frame
+        ref_h, ref_s = ray.get(ref)
         rows = batch.loc[~batch["bench"]]
-        ids: list[int] = []
-        counts: list[int] = []
-        for i, t in zip(rows["doc_id"], rows["text"].fillna("")):
-            w = t.split(" ")
-            ngs = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
-            k = len(ngs & bs)
-            if k:
-                ids.append(int(i))
-                counts.append(k)
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
-                             "n_hits": pd.Series(counts, dtype=np.int64)})
+        d, h, flat, starts = tx.explode_word_ngrams_hashed(
+            rows["doc_id"].to_numpy(), rows["text"], n)
+        if len(h) and len(ref_h):
+            idx = np.searchsorted(ref_h, h)
+            cand = np.flatnonzero(
+                ref_h[np.minimum(idx, len(ref_h) - 1)] == h)
+            cstr = tx.join_ngrams(flat, starts[cand], n)
+            exact = np.fromiter((c in ref_s for c in cstr), dtype=bool,
+                                count=len(cand))
+            hd = pd.DataFrame({"d": d[cand[exact]],
+                               "g": cstr[exact]}).drop_duplicates()
+            counts = hd.groupby("d", sort=False).size()
+            return pd.DataFrame({
+                "doc_id": counts.index.to_numpy(dtype=np.int64),
+                "n_hits": counts.to_numpy(dtype=np.int64),
+            })
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_hits": pd.Series([], dtype=np.int64)})
 
     out = corpus_side.map_batches(hits, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -979,23 +995,23 @@ def _fit_lm_and_ngrams(tagged, n: int = 8) -> tuple:
     keep stage."""
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        bench_rows = batch.loc[batch["bench"]]
         pair_codes = []
         chars: set[int] = set()
-        ngs: set[str] = set()
-        for t in batch.loc[batch["bench"], "text"].fillna(""):
+        for t in bench_rows["text"].fillna(""):
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             chars.update(np.unique(b).tolist())
             if len(b) >= 2:
                 pair_codes.append(b[:-1].astype(np.int64) * 256 + b[1:])
-            w = t.split(" ")
-            ngs.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
         ch = np.fromiter(chars, dtype=np.int64, count=len(chars))
         if pair_codes:
             counts = np.bincount(np.concatenate(pair_codes), minlength=0)
             nz = np.flatnonzero(counts)
         else:
             nz = np.zeros(0, dtype=np.int64)
-        ng_list = sorted(ngs)
+        _, grams = tx.explode_word_ngrams(bench_rows["doc_id"].to_numpy(),
+                                          bench_rows["text"], n)
+        ng_list = pd.unique(grams).tolist()
         m = len(nz) + len(ch)
         return pd.DataFrame({
             "pair": np.concatenate([nz, np.full(len(ch), -1),
@@ -1009,8 +1025,8 @@ def _fit_lm_and_ngrams(tagged, n: int = 8) -> tuple:
 
     rows = tagged.map_batches(partials, batch_format="pandas").to_pandas()
     logp = _reduce_lm(rows)
-    bng = frozenset(rows.loc[rows["ng"].notna(), "ng"])
-    return logp, bng
+    vals = pd.unique(rows.loc[rows["ng"].notna(), "ng"].to_numpy())
+    return logp, np.sort(tx.hash_ngram_strings(vals, n)), frozenset(vals)
 
 
 def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
@@ -1040,18 +1056,13 @@ def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
     ref = ray.put(_fit_bigram_lm(tagged))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized inference: one encoded byte stream + one groupby-mean
+        # per batch (functions/text.py:byte_bigram_scores); docs <2 bytes
+        # have no pairs and are omitted, matching the oracle's NOT-NULL join
         lp = ray.get(ref)
         rows = batch.loc[~batch["bench"]]
-        ids, scores = [], []
-        for i, t in zip(rows["doc_id"], rows["text"].fillna("")):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            if len(b) < 2:
-                continue
-            codes = b[:-1].astype(np.int64) * 256 + b[1:]
-            ids.append(int(i))
-            scores.append(float(np.round(lp[codes].mean(), 6)))
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
-                             "lm_score": pd.Series(scores, dtype=np.float64)})
+        return tx.byte_bigram_scores(rows["doc_id"].to_numpy(),
+                                     rows["text"], lp)
 
     out = tagged.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1166,28 +1177,32 @@ def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
     ref = ray.put(_fit_lm_and_ngrams(tagged, ngram_n))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        lp, bng = ray.get(ref)
+        # fully vectorized keep (VERDICT r3 #2): cheap filters first
+        # (mixture bucket), then one batched LM inference, then rolling-hash
+        # n-gram membership with exact verify — no per-row Python anywhere
+        lp, bng_h, bng_s = ray.get(ref)
         rows = batch.loc[~batch["bench"]]
         rate = 100 - rows["source"].str.slice(3).astype(np.int64) * 4
         mix_ok = _md5_bucket(rows["doc_id"].to_numpy(), 100) < rate.to_numpy()
-        ids, toks = [], []
-        for ok, i, t in zip(mix_ok, rows["doc_id"], rows["text"].fillna("")):
-            if not ok:
-                continue
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            if len(b) < 2:
-                continue
-            codes = b[:-1].astype(np.int64) * 256 + b[1:]
-            if np.round(lp[codes].mean(), 6) < lm_min:
-                continue
-            w = t.split(" ")
-            if any(" ".join(w[j:j + ngram_n]) in bng
-                   for j in range(len(w) - ngram_n + 1)):
-                continue
-            ids.append(int(i))
-            toks.append(len(w))
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
-                             "n": pd.Series(toks, dtype=np.int64)})
+        rows = rows.loc[mix_ok]
+        sc = tx.byte_bigram_scores(rows["doc_id"].to_numpy(), rows["text"],
+                                   lp)  # docs <2 bytes unscored → dropped
+        good = sc.loc[sc["lm_score"] >= lm_min, "doc_id"].to_numpy()
+        rows = rows.loc[rows["doc_id"].isin(good)]
+        d, h, flat, starts = tx.explode_word_ngrams_hashed(
+            rows["doc_id"].to_numpy(), rows["text"], ngram_n)
+        if len(h) and len(bng_h):
+            idx = np.searchsorted(bng_h, h)
+            cand = np.flatnonzero(
+                bng_h[np.minimum(idx, len(bng_h) - 1)] == h)
+            cstr = tx.join_ngrams(flat, starts[cand], ngram_n)
+            exact = np.fromiter((c in bng_s for c in cstr), dtype=bool,
+                                count=len(cand))
+            rows = rows.loc[~rows["doc_id"].isin(d[cand[exact]])]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(dtype=np.int64),
+            "n": tx.count_tokens_whitespace(rows["text"]),
+        })
 
     return pack_token_stream(tagged.map_batches(keep, batch_format="pandas"),
                              window=window)
@@ -1372,7 +1387,7 @@ ORACLE_SQL: dict[str, str] = {
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
                   ::UBIGINT % 20 <> 0
             UNION ALL
-            SELECT doc_id + 100000 AS doc_id, w FROM b
+            SELECT -(doc_id + 1) AS doc_id, w FROM b
         ), bng AS (
             SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS ng
             FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i

@@ -97,8 +97,9 @@ def test_decontaminate_catches_planted_copies(ray_session):
         ngs = {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
         if ngs:
             # the planted copy's distinct 8-grams are ALL in the benchmark
-            # set (they came from it), so n_hits is exactly len(ngs)
-            assert flagged.get(int(row["doc_id"]) + 100_000) == len(ngs)
+            # set (they came from it), so n_hits is exactly len(ngs); the
+            # planted id is the NEGATED id (disjoint from any real id)
+            assert flagged.get(-(int(row["doc_id"]) + 1)) == len(ngs)
     # no benchmark doc ids themselves in the output (they're excluded)
     bench_ids = set(bench["doc_id"].astype(int))
     assert not (set(out["doc_id"].astype(int)) & bench_ids)
@@ -167,9 +168,11 @@ def test_fused_fit_matches_separate_helpers(ray_session):
 
     docs = corpus._tag_bench(
         corpus._rp(SF, "documents", columns=["doc_id", "text"]))
-    logp, bng = corpus._fit_lm_and_ngrams(docs, 8)
+    logp, bng_h, bng_s = corpus._fit_lm_and_ngrams(docs, 8)
     np.testing.assert_array_equal(logp, corpus._fit_bigram_lm(docs))
-    assert bng == corpus._bench_ngram_set(docs, 8)
+    ref_h, ref_s = corpus._bench_ngram_set(docs, 8)
+    np.testing.assert_array_equal(bng_h, ref_h)
+    assert bng_s == ref_s
 
 
 def test_repetition_features_literal_rows():

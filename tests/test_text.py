@@ -52,3 +52,63 @@ def test_stages_smoke():
     assert list(out["lang_pred"]) == ["en", "es"]
     out2 = tx.FingerprintStage()(df.copy())
     assert out2["fingerprint"].notna().all()
+
+
+def _naive_ngrams(ids, texts, n):
+    out = []
+    for i, t in zip(ids, texts):
+        w = (t or "").split(" ")
+        for j in range(len(w) - n + 1):
+            out.append((int(i), " ".join(w[j:j + n])))
+    return out
+
+
+def test_explode_word_ngrams_matches_naive():
+    texts = pd.Series(["a b c d e", "x y", "", "p q r", None, "s t u v w z"])
+    ids = np.array([10, 20, 30, 40, 50, 60])
+    for n in (2, 3, 5):
+        d, g = tx.explode_word_ngrams(ids, texts, n)
+        got = list(zip(d.tolist(), g.tolist()))
+        assert got == _naive_ngrams(ids, texts.fillna(""), n)
+
+
+def test_explode_word_ngrams_hashed_matches_strings():
+    """The rolling window hashes must equal hash_ngram_strings of the same
+    n-gram strings (the cross-side contract the membership test relies on),
+    and distinct strings get distinct hashes here."""
+    texts = pd.Series(["a b c d e f", "b c d e f a", "q w e r t y u"])
+    ids = np.array([1, 2, 3])
+    n = 3
+    d, h, flat, starts = tx.explode_word_ngrams_hashed(ids, texts, n)
+    grams = tx.join_ngrams(flat, starts, n)
+    np.testing.assert_array_equal(h, tx.hash_ngram_strings(grams, n))
+    uniq = pd.DataFrame({"g": grams, "h": h}).drop_duplicates()
+    assert uniq.groupby("h")["g"].nunique().max() == 1
+    # shared windows across docs hash identically ("b c d" appears in both)
+    m = pd.Series(grams) == "b c d"
+    assert len(set(h[m.to_numpy()])) == 1 and m.sum() == 2
+
+
+def test_explode_word_ngrams_hashed_empty_and_short():
+    d, h, flat, starts = tx.explode_word_ngrams_hashed(
+        np.array([1]), pd.Series(["a b"]), 8)
+    assert len(d) == 0 and len(h) == 0
+    assert tx.hash_ngram_strings(np.array([], dtype=object), 8).shape == (0,)
+
+
+def test_byte_bigram_scores_matches_naive():
+    logp = np.log(np.linspace(0.001, 1.0, 65536))
+    texts = pd.Series(["hello world", "ab", "a", "", "zzzz"])
+    ids = np.array([1, 2, 3, 4, 5])
+    out = tx.byte_bigram_scores(ids, texts, logp)
+    exp_ids, exp_scores = [], []
+    for i, t in zip(ids, texts):
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        if len(b) < 2:
+            continue
+        codes = b[:-1].astype(np.int64) * 256 + b[1:]
+        exp_ids.append(int(i))
+        exp_scores.append(float(np.round(logp[codes].mean(), 6)))
+    assert out["doc_id"].tolist() == exp_ids
+    np.testing.assert_allclose(out["lm_score"].to_numpy(), exp_scores,
+                               rtol=0, atol=1e-9)
