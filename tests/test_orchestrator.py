@@ -1,0 +1,172 @@
+"""Phase-orchestration driver: timeout / critical / resume / notifier
+semantics (reference: weekly_orchestrator.py — see orchestrator.py docstring
+for the deliberate differences)."""
+
+import sys
+
+import pytest
+
+from horizon_etl_ray.pipelines.orchestrator import (CallbackNotifier,
+                                                    Orchestrator, PhaseSpec,
+                                                    run_phases)
+
+
+def _spec(name, fn, critical=False, timeout=30.0, retries=0):
+    return PhaseSpec(name=name, run=fn, timeout_sec=timeout,
+                     critical=critical, retries=retries)
+
+
+def test_noncritical_failure_degrades_run():
+    """A failing non-critical phase does not stop later phases and the run
+    exits 0 (reference policy: degraded, not failed)."""
+    ran = []
+
+    def boom():
+        raise RuntimeError("source down")
+
+    rc, results = run_phases([
+        _spec("a", lambda: ran.append("a")),
+        _spec("b", boom, critical=False),
+        _spec("c", lambda: ran.append("c")),
+    ])
+    assert rc == 0
+    assert ran == ["a", "c"]
+    by = {r.name: r for r in results}
+    assert by["b"].status == "failed" and not by["b"].ok
+    assert "source down" in by["b"].error
+    assert by["c"].status == "ran"
+
+
+def test_critical_failure_halts_and_fails():
+    ran = []
+
+    def boom():
+        raise RuntimeError("no export")
+
+    rc, results = run_phases([
+        _spec("a", lambda: ran.append("a")),
+        _spec("b", boom, critical=True),
+        _spec("c", lambda: ran.append("c")),
+    ])
+    assert rc == 1
+    assert ran == ["a"]  # c never ran
+    by = {r.name: r for r in results}
+    assert by["b"].status == "failed" and by["c"].status == "halted"
+
+
+def test_continue_on_critical_matches_reference():
+    """Reference-parity mode: run everything, exit non-zero at the end."""
+    ran = []
+
+    def boom():
+        raise RuntimeError("x")
+
+    rc, results = run_phases(
+        [_spec("b", boom, critical=True), _spec("c", lambda: ran.append("c"))],
+        continue_on_critical=True,
+    )
+    assert rc == 1 and ran == ["c"]
+
+
+def test_rerun_resumes_from_checkpoint(tmp_path):
+    """Succeeded phases are skipped on rerun; the failed one re-executes."""
+    state = str(tmp_path / "state")
+    calls = {"a": 0, "b": 0, "c": 0}
+    flaky_ok = {"on": False}
+
+    def mk(name):
+        def fn():
+            calls[name] += 1
+            if name == "b" and not flaky_ok["on"]:
+                raise RuntimeError("flaky")
+        return fn
+
+    plan = [_spec("a", mk("a")), _spec("b", mk("b"), critical=True),
+            _spec("c", mk("c"))]
+    rc1, r1 = run_phases(plan, state_dir=state)
+    assert rc1 == 1 and calls == {"a": 1, "b": 1, "c": 0}
+    flaky_ok["on"] = True
+    rc2, r2 = run_phases(plan, state_dir=state)
+    assert rc2 == 0
+    assert calls == {"a": 1, "b": 2, "c": 1}  # a skipped, b retried, c ran
+    by = {r.name: r for r in r2}
+    assert by["a"].status == "skipped" and by["b"].status == "ran"
+
+
+def test_callable_timeout_recorded_and_run_continues():
+    import time as _t
+
+    rc, results = run_phases([
+        _spec("slow", lambda: _t.sleep(5), timeout=0.2),
+        _spec("after", lambda: None),
+    ])
+    by = {r.name: r for r in results}
+    assert by["slow"].status == "timeout" and not by["slow"].ok
+    assert by["after"].status == "ran"
+    assert rc == 0  # non-critical timeout degrades
+
+
+def test_subprocess_phase_killed_on_timeout_and_rc_captured():
+    ok = PhaseSpec(name="true", run=[sys.executable, "-c", "pass"],
+                   timeout_sec=30)
+    bad = PhaseSpec(name="bad", run=[sys.executable, "-c", "raise SystemExit(3)"],
+                    timeout_sec=30)
+    hang = PhaseSpec(name="hang",
+                     run=[sys.executable, "-c", "import time; time.sleep(60)"],
+                     timeout_sec=0.5, critical=True)
+    rc, results = run_phases([ok, bad, hang])
+    by = {r.name: r for r in results}
+    assert by["true"].ok and by["true"].rc == 0
+    assert by["bad"].status == "failed" and by["bad"].rc == 3
+    assert by["hang"].status == "timeout"
+    assert rc == 1
+
+
+def test_retries_reattempt_before_failing():
+    n = {"tries": 0}
+
+    def flaky():
+        n["tries"] += 1
+        if n["tries"] < 3:
+            raise RuntimeError("again")
+
+    rc, results = run_phases([_spec("f", flaky, retries=2)])
+    assert rc == 0 and results[0].attempts == 3 and results[0].ok
+
+
+def test_failure_notifier_fires_exactly_once_and_never_alters_outcome():
+    failures, phases_seen, completed = [], [], []
+
+    def boom():
+        raise RuntimeError("x")
+
+    notifier = CallbackNotifier(
+        on_phase_end=lambda r: phases_seen.append(r.name),
+        on_failure=lambda r: failures.append(r.name),
+        on_complete=lambda rs, rc: completed.append(rc),
+    )
+    rc, _ = run_phases(
+        [_spec("a", lambda: None), _spec("b", boom)], notifier=notifier)
+    assert failures == ["b"]
+    assert phases_seen == ["a", "b"]
+    assert completed == [rc]
+
+    class Exploding(CallbackNotifier):
+        def on_failure(self, result):
+            raise RuntimeError("transport down")
+
+        def on_phase_end(self, result):
+            raise RuntimeError("transport down")
+
+        def on_complete(self, results, rc):
+            raise RuntimeError("transport down")
+
+    rc2, results2 = run_phases(
+        [_spec("a", lambda: None), _spec("b", boom)], notifier=Exploding())
+    assert rc2 == 0 and {r.name: r.ok for r in results2} == {
+        "a": True, "b": False}
+
+
+def test_duplicate_phase_names_rejected():
+    with pytest.raises(ValueError):
+        Orchestrator([_spec("x", lambda: None), _spec("x", lambda: None)])
