@@ -348,13 +348,19 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
 
     def empty_out(batch: pa.Table) -> pa.Table:
         """Zero-row block in the REDUCED schema (part_id + content_sha256
-        appended, epoch dropped). Returning the raw batch instead would put
-        schema-inconsistent blocks into the groupby('part_id') exchange
-        whenever a block is empty or fully quarantined/fenced."""
+        appended, epoch dropped, policy aggregate columns added). Returning
+        the raw batch instead would put schema-inconsistent blocks into the
+        groupby('part_id') exchange whenever a block is empty or fully
+        quarantined/fenced — including under a merge policy whose reduce
+        adds aggregate columns (ADVICE r3: policies declare them via
+        extend_schema)."""
         t = batch.slice(0, 0)
         for c in ("epoch", "part_id"):
             if c in t.column_names:
                 t = t.drop_columns([c])
+        if cfg.merge_policy is not None and hasattr(cfg.merge_policy,
+                                                    "extend_schema"):
+            t = cfg.merge_policy.extend_schema(t)
         return add_sha(t.append_column("part_id", pa.array([], pa.int32())))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -442,6 +448,9 @@ def apply_epoch(
     """Apply one epoch (micro-batch of the tail) to the lake. Idempotent:
     re-applying a committed epoch is a no-op; a crash before the manifest
     commit leaves only invisible orphan files that get rewritten on retry."""
+    import time as _time
+
+    t_start = _time.time()
     cfg = cfg or CdcConfig()
     if (cfg.merge_policy is not None and cfg.write_mode == "delta"
             and not hasattr(cfg.merge_policy, "index_columns")):
@@ -588,6 +597,10 @@ def apply_epoch(
         "partitions_updated": len(partition_rows),
         "live_rows": sum(r.row_count for r in partition_rows),
         "tombstones": sum(r.tombstones for r in partition_rows),
+        # wall-clock of this epoch apply — consumed by the run-report writer
+        # (pipelines/report.py); NOT part of the manifest digest (that hashes
+        # only partition content digests, cdc.manifest_digest)
+        "seconds": round(_time.time() - t_start, 3),
     }
     store.commit_epoch(epoch, partition_rows, metrics=metrics, schema_version=schema_version)
     return {"epoch": epoch, "skipped": False, **metrics}

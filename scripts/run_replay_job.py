@@ -41,6 +41,10 @@ def main() -> int:
                     help="after the replay, reconcile deltas into single "
                          "bases, drop tombstones and GC superseded files")
     ap.add_argument("--read-blocks", type=int, default=None)
+    ap.add_argument("--report", action="store_true",
+                    help="after the replay, render report.json + report.md "
+                         "under <lake>/_reports from the manifest lineage "
+                         "(pipelines/report.py)")
     args = ap.parse_args()
 
     if "://" in args.lake or "://" in args.events:
@@ -84,6 +88,10 @@ def main() -> int:
         out["tombstones_dropped"] = c["tombstones_dropped"]
         out["files_gc"] = c["files_gc"]
         out["manifest_digest16"] = manifest_digest(args.lake)[:16]
+    if args.report:
+        from horizon_etl_ray.pipelines.report import write_run_report
+
+        out["report_json"], out["report_md"] = write_run_report(args.lake)
     print(json.dumps(out))
     ray.shutdown()
     return 0
