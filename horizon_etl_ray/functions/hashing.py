@@ -120,6 +120,14 @@ def sha_digest_of_column(arr: pa.ChunkedArray | pa.Array) -> str:
 _HASH_KEY_A = "horizon-sipkey-0"  # 16 chars, pandas siphash key
 _HASH_KEY_B = "horizon-sipkey-1"
 
+# Identifier of the partition-assignment scheme (h1 of key_hash_pair, keyed
+# with _HASH_KEY_A, mod P). Recorded in every manifest so a lake written
+# under a DIFFERENT scheme is refused at commit time instead of silently
+# splitting a key's history across partitions (ADVICE r3: the r3 switch from
+# pandas' default siphash key to _HASH_KEY_A changed string-key placement;
+# any scheme change from here on must bump this id and force a re-replay).
+PARTITION_HASH_SCHEME = "siphash13/horizon-sipkey-0/h1modP/v1"
+
 
 def key_hash_pair(table: pa.Table, key_columns: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """TWO independent 64-bit key hashes per row (128 bits total), sharing

@@ -76,6 +76,8 @@ def _lineitem_events(sf_dir: str, with_quantity: bool = False):
     # a 2-column pruned read (one row per block reaches the driver) — the
     # fact table itself never leaves the cluster
     def _block_max(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # sized reads can hand out empty blocks on tiny
+            return pa.table({"m": pa.array([], pa.int64())})  # files (ADVICE)
         m = pc.max(pc.add(pc.multiply(t["l_orderkey"], pa.scalar(8, pa.int64())),
                           t["l_linenumber"].cast(pa.int64())))
         return pa.table({"m": pa.array([m.as_py()], pa.int64())})

@@ -124,22 +124,36 @@ class PartitionState:
 
 @dataclass
 class Manifest:
-    """The committed view of a lake directory."""
+    """The committed view of a lake directory.
+
+    ``partition_hash`` records the key→partition hash scheme the lake was
+    written under (functions/hashing.py:PARTITION_HASH_SCHEME). Appending
+    with a different scheme would place the same key in a different
+    partition — splitting its history and defeating the per-partition seq
+    fence — so ``commit_epoch`` refuses on mismatch (ADVICE r3). Manifests
+    from before this field default to the current scheme (this repo's lakes
+    are ephemeral test/bench artifacts; a deployment migrating schemes must
+    re-replay or compact under the new one)."""
 
     epoch: int = -1  # latest fully-committed epoch
     schema_version: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
+    partition_hash: str | None = None
 
     def to_json(self) -> dict:
+        from ..functions.hashing import PARTITION_HASH_SCHEME
+
         return {
             "epoch": self.epoch,
             "schema_version": self.schema_version,
+            "partition_hash": self.partition_hash or PARTITION_HASH_SCHEME,
             "partitions": {str(pid): asdict(ps) for pid, ps in self.partitions.items()},
         }
 
     @classmethod
     def from_json(cls, obj: dict) -> "Manifest":
-        m = cls(epoch=obj.get("epoch", -1), schema_version=obj.get("schema_version", 0))
+        m = cls(epoch=obj.get("epoch", -1), schema_version=obj.get("schema_version", 0),
+                partition_hash=obj.get("partition_hash"))
         for pid, ps in obj.get("partitions", {}).items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m
@@ -192,12 +206,24 @@ class ManifestStore:
     ) -> Manifest:
         """Merge updated partitions into current.json, atomically, with
         epoch fencing and the never-empty-over-nonempty guard."""
+        from ..functions.hashing import PARTITION_HASH_SCHEME
+
         m = self.load()
         if epoch <= m.epoch:
             raise RuntimeError(
                 f"epoch fence: epoch {epoch} already committed (current={m.epoch}); "
                 "stale writer refused"
             )
+        if (m.partitions and m.partition_hash is not None
+                and m.partition_hash != PARTITION_HASH_SCHEME):
+            raise RuntimeError(
+                f"partition-hash scheme mismatch: lake written under "
+                f"{m.partition_hash!r}, engine uses "
+                f"{PARTITION_HASH_SCHEME!r}; appending would split key "
+                "histories across partitions — re-replay or compact the lake "
+                "under the current scheme first"
+            )
+        m.partition_hash = PARTITION_HASH_SCHEME
         for ps in partition_rows:
             prev = m.partitions.get(ps.part_id)
             if prev is not None and ps.epoch < prev.epoch:
@@ -254,6 +280,20 @@ class ManifestStore:
         m = self.load()
         removed = 0
         cutoff = time.time() - tmp_grace_sec
+        # crash-orphaned manifest temps too (ADVICE r3): a writer dying mid
+        # atomic_write_bytes leaves current.json.tmp.* / epoch=N.json.tmp.*
+        # in the manifest dir, where the part_id=* sweep below never looks
+        if os.path.isdir(self.manifest_dir):
+            for name in os.listdir(self.manifest_dir):
+                if ".tmp." not in name:
+                    continue
+                full = os.path.join(self.manifest_dir, name)
+                try:
+                    if os.path.getmtime(full) < cutoff:
+                        os.unlink(full)
+                        removed += 1
+                except OSError:
+                    pass
         for pid, ps in m.partitions.items():
             pdir = os.path.join(self.lake_dir, f"part_id={pid}")
             if not os.path.isdir(pdir):

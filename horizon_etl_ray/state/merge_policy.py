@@ -64,6 +64,19 @@ class WidenOnlyPolicy:
             out += [c, f"{c}_min", f"{c}_max"]
         return out
 
+    def extend_schema(self, t: pa.Table) -> pa.Table:
+        """Append the policy's aggregate columns (typed from their source
+        column) to a table lacking them. The CDC combiner uses this to emit
+        zero-row blocks in the REDUCED schema — without it, a fully
+        fenced/quarantined block would inject a block missing ``<col>_min``/
+        ``<col>_max`` into the ``groupby('part_id')`` exchange (ADVICE r3)."""
+        for c in self.widen_columns:
+            typ = t.schema.field(c).type
+            for agg in (f"{c}_min", f"{c}_max"):
+                if agg not in t.column_names:
+                    t = t.append_column(agg, pa.nulls(len(t), typ))
+        return t
+
     def reduce(self, t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t

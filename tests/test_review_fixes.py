@@ -19,6 +19,7 @@ from horizon_etl_ray.pipelines.cdc import (
     CdcConfig,
     compact,
     lake_global_digest,
+    read_lake,
     replay,
 )
 from horizon_etl_ray.sources.generator import EventGenConfig, generate_events_table, write_events
@@ -308,3 +309,91 @@ def test_hot_key_targets_hot_repo_for_tiny_fraction():
     cfg = EventGenConfig(n_keys=500, n_events=100, seed=1,
                          hot_fraction=1e-9, hot_event_fraction=0.5)
     assert repo_of_key(cfg, 0).endswith("/repo0")
+
+
+def test_fully_quarantined_block_under_widen_policy(ray_session, tmp_path):
+    """ADVICE r3: under a merge policy that ADDS aggregate columns
+    (WidenOnlyPolicy's <col>_min/<col>_max), a fully-invalid block's
+    zero-row output must carry those columns too — otherwise the
+    groupby('part_id') exchange mixes schemas, the exact failure empty_out
+    exists to prevent. Digest must equal the same replay without the bad
+    file (policy winners are LWW winners, so _want() still applies to the
+    sha digest)."""
+    import pyarrow.parquet as pq
+
+    from horizon_etl_ray.state.merge_policy import WidenOnlyPolicy
+
+    events_dir = str(tmp_path / "ev")
+    write_events(GEN, events_dir)
+    ep_dirs = sorted(d for d in os.listdir(events_dir) if d.startswith("epoch"))
+    bad = pa.table({
+        "seq": pa.array([-5, -6], pa.int64()),
+        "op": pa.array(["bogus", "bogus"]),
+        "repo": pa.array([None, None], pa.string()),
+        "path": pa.array(["a", "b"]),
+        "commit": pa.array(["c", "c"]),
+        "lang": pa.array(["x", "x"]),
+        "content": pa.array(["y", "y"]),
+    })
+    pq.write_table(bad, os.path.join(events_dir, ep_dirs[0], "zz-bad.parquet"))
+    lake = str(tmp_path / "lake")
+    pol = WidenOnlyPolicy(key_columns=("repo", "path"), widen_columns=("seq",))
+    cfg = CdcConfig(num_partitions=8, shuffle_mode="groupby", merge_policy=pol)
+    replay(events_dir, lake, cfg, mode="bulk")
+    assert lake_global_digest(lake, cfg=cfg) == _want()
+    got = read_lake(lake, cfg=cfg).to_pandas()
+    assert {"seq_min", "seq_max"} <= set(got.columns)
+
+
+def test_manifest_records_partition_hash_scheme_and_refuses_mismatch(tmp_path):
+    """ADVICE r3: the manifest carries the key-to-partition hash scheme id;
+    appending to a lake written under a different scheme is refused (it
+    would split key histories across partitions and defeat the seq fence)."""
+    import json
+
+    from horizon_etl_ray.functions.hashing import PARTITION_HASH_SCHEME
+
+    lake = str(tmp_path / "lake")
+    store = ManifestStore(lake)
+    t = pa.table({"repo": ["r"], "path": ["p"], "seq": pa.array([1], pa.int64()),
+                  "content_sha256": ["x"], "deleted": [False]})
+    atomic_write_table(store.partition_file(0, 0), t)
+    store.commit_epoch(0, [PartitionState(
+        part_id=0, epoch=0, offset=1, row_count=1, tombstones=0,
+        content_digest="d")])
+    with open(store.current_path) as f:
+        assert json.load(f)["partition_hash"] == PARTITION_HASH_SCHEME
+    # simulate a lake written under an older/different scheme
+    with open(store.current_path) as f:
+        obj = json.load(f)
+    obj["partition_hash"] = "pandas-default-key/v0"
+    with open(store.current_path, "w") as f:
+        json.dump(obj, f)
+    with pytest.raises(RuntimeError, match="partition-hash scheme mismatch"):
+        store.commit_epoch(1, [PartitionState(
+            part_id=0, epoch=1, offset=2, row_count=1, tombstones=0,
+            content_digest="d2")])
+
+
+def test_gc_sweeps_manifest_dir_tmp_orphans(tmp_path):
+    """ADVICE r3: a writer dying mid atomic_write leaves current.json.tmp.*
+    / epoch json temps in the manifest dir; gc() reclaims stale ones there
+    too (same mtime grace as the partition sweep)."""
+    lake = str(tmp_path / "lake")
+    store = ManifestStore(lake)
+    t = pa.table({"repo": ["r"], "path": ["p"], "seq": pa.array([1], pa.int64()),
+                  "content_sha256": ["x"], "deleted": [False]})
+    atomic_write_table(store.partition_file(0, 0), t)
+    store.commit_epoch(0, [PartitionState(
+        part_id=0, epoch=0, offset=1, row_count=1, tombstones=0,
+        content_digest="d")])
+    stale = os.path.join(store.manifest_dir, "current.json.tmp.999.1")
+    fresh = os.path.join(store.manifest_dir, "epoch=7.json.tmp.999.2")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    store.gc()
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # grace protects in-flight temps

@@ -210,3 +210,79 @@ def test_streaming_restores_from_delta_mode_lake(tmp_path):
     ref_lake = str(tmp_path / "ref")
     replay(events_dir, ref_lake, CdcConfig(num_partitions=8), mode="bulk")
     assert lake_global_digest(lake) == lake_global_digest(ref_lake)
+
+
+def test_streaming_merge_policy_matches_batch(tmp_path):
+    """VERDICT r3 #5: the shard fold carries a merge policy (same reduce as
+    the batch combiner). Digest parity vs apply_epoch on the same tail, and
+    the policy's aggregate columns survive snapshot + read_lake in BOTH
+    write modes."""
+    import os
+
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.cdc import manifest_digest
+    from horizon_etl_ray.state.merge_policy import WidenOnlyPolicy
+
+    ev = _events_dir(tmp_path)
+    pol = WidenOnlyPolicy(key_columns=("repo", "path"),
+                          widen_columns=("seq",))
+    for mode in ("cow", "delta"):
+        cfg = CdcConfig(num_partitions=8, merge_policy=pol, write_mode=mode)
+        lake_s = str(tmp_path / f"lake_pol_s_{mode}")
+        up = StreamingUpserter(lake_s, cfg, num_shards=2)
+        try:
+            for e in range(4):
+                d = os.path.join(ev, f"epoch={e}")
+                files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+                up.apply_epoch(rd.read_parquet(files), e)
+        finally:
+            up.shutdown()
+
+        lake_b = str(tmp_path / f"lake_pol_b_{mode}")
+        replay(ev, lake_b, CdcConfig(num_partitions=8, merge_policy=pol),
+               mode="incremental")
+        assert manifest_digest(lake_s) == manifest_digest(lake_b), mode
+        got = read_lake(lake_s, cfg=cfg).to_pandas()
+        assert {"seq_min", "seq_max"} <= set(got.columns)
+        assert (got["seq_min"] <= got["seq_max"]).all()
+
+
+def test_streaming_auto_compact_bounds_files_and_keeps_digest(tmp_path):
+    """VERDICT r3 #6: with compact_every=K, a forever tail in delta mode
+    keeps <= K data files per partition (long chains are promoted to a
+    fresh base inside a regular snapshot commit) and the digest equals the
+    uncompacted batch path."""
+    import os
+
+    import ray.data as rd
+
+    ev = _events_dir(tmp_path)
+    lake = str(tmp_path / "lake_ac")
+    K = 3
+    up = StreamingUpserter(
+        lake, CdcConfig(num_partitions=8, write_mode="delta"),
+        num_shards=2, compact_every=K)
+    try:
+        for e in range(4):
+            d = os.path.join(ev, f"epoch={e}")
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+            up.apply_epoch(rd.read_parquet(files), e)
+    finally:
+        up.shutdown()
+    assert lake_global_digest(lake) == _want_digest()
+    m = ManifestStore(lake).load()
+    store = ManifestStore(lake)
+    for pid, ps in m.partitions.items():
+        # manifest-referenced chain bounded
+        assert 1 + len(ps.delta_epochs) <= K, (pid, ps.delta_epochs)
+        # and on-disk files are GC'd down to the referenced set
+        pdir = os.path.join(lake, f"part_id={pid}")
+        on_disk = [f for f in os.listdir(pdir)
+                   if f.endswith(".parquet") and ".tmp." not in f]
+        referenced = {os.path.basename(p)
+                      for p in store.partition_data_files(ps)}
+        assert len(on_disk) <= len(referenced) + 1, (pid, on_disk)  # +1: gc keep_epochs
+    # at least one promotion actually happened over the run
+    recs = store.epoch_records()
+    assert sum(r["metrics"].get("partitions_promoted", 0) for r in recs) > 0
