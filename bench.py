@@ -25,6 +25,17 @@ import subprocess
 import sys
 import time
 
+# glibc malloc tunables, inherited by every Ray worker this driver starts:
+# keep large allocations on the heap instead of mmap/munmap per temp array.
+# Measured on this host class (BASELINE.md r4): under the hypervisor
+# page-backing throttle a FIRST TOUCH of fresh pages costs ~85µs/4K page
+# (6-7 s per 72 MB numpy temp); with heap reuse the second identical
+# allocation costs 0.03 s. Steady-state batch workers reuse same-sized
+# buffers, so this turns the throttle's per-batch penalty into a one-time
+# warmup. Harmless on healthy hosts (slightly higher RSS, fewer syscalls).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # RAM-backed by default when available: the replay writes ~10 GB per run and

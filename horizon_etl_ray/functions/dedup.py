@@ -607,11 +607,46 @@ class SimHashStage:
             acc += np.where(bits == 1, 1, -1)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
+    @staticmethod
+    def simhash64_batch(texts: pd.Series) -> np.ndarray:
+        """Vectorized batch variant of :meth:`simhash64`: distinct
+        (doc, word) pairs are built with C-speed pandas ops, every distinct
+        word is hashed once by the vectorized single-block MD5
+        (functions/hashing.py:md5_head64_of_strs), and the per-doc ±1 bit
+        votes reduce with one ``np.add.reduceat`` — no per-row Python."""
+        from .hashing import md5_head64_of_strs
+
+        s = texts.fillna("").str.lower()
+        words = s.str.findall(_WORD_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        n = len(s)
+        sig = np.zeros(n, dtype=np.uint64)
+        if not int(lens.sum()):
+            return sig
+        flat = np.concatenate(words.to_numpy()).astype(object, copy=False)
+        d = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # hash-based factorize (C hashtable, no object sort), then distinct
+        # (doc, word-code) pairs as one int64 dedup
+        codes, uw = pd.factorize(flat)
+        pair_key = d * np.int64(len(uw)) + codes
+        upairs = pd.unique(pair_key)
+        upairs.sort()  # doc-major: pairs of one doc are contiguous
+        dd_idx = upairs // np.int64(len(uw))
+        h = md5_head64_of_strs(uw)[upairs % np.int64(len(uw))]
+        shifts = np.arange(64, dtype=np.uint64)
+        # ±1 bit votes per pair, reduced per doc; int32 accumulators (a doc
+        # would need 2^31 distinct words to overflow)
+        votes = (((h[:, None] >> shifts) & np.uint64(1))
+                 .astype(np.int32) * 2 - 1)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], dd_idx[1:] != dd_idx[:-1])))
+        acc = np.add.reduceat(votes, starts, axis=0)
+        bits = (acc > 0).astype(np.uint64)
+        sig[dd_idx[starts]] = bits @ (np.uint64(1) << shifts)
+        return sig
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sig = np.array(
-            [self.simhash64(t) for t in batch[self.text_column].fillna("")],
-            dtype=np.uint64,
-        )
+        sig = self.simhash64_batch(batch[self.text_column])
         batch = batch[[self.id_column]].copy()
         batch["simhash"] = sig
         return batch

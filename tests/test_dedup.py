@@ -160,3 +160,43 @@ def test_dedup_pairs_vectorized():
     out = dd.dedup_pairs(rd.from_pandas(df)).to_pandas()
     assert len(out) == 3
     assert set(map(tuple, out[["id_a", "id_b"]].to_numpy())) == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_md5_kernels_match_hashlib():
+    """The vectorized single-block MD5 (ints + short strings) must be
+    bit-identical to hashlib — it backs every content-addressed convention
+    the DuckDB oracles reproduce."""
+    import hashlib
+
+    from horizon_etl_ray.functions.hashing import (md5_head64_of_strs,
+                                                   md5_hex_of_ints,
+                                                   md5_of_ints)
+
+    ids = np.concatenate([
+        np.array([0, 1, 9, 10, 99, 100, 12345, -1, -10, 2**62, -(2**62)]),
+        np.random.default_rng(3).integers(-10**18, 10**18, 2000),
+    ])
+    head, _ = md5_of_ints(ids)
+    hexes = md5_hex_of_ints(ids)
+    for i, v in enumerate(ids):
+        ref = hashlib.md5(str(int(v)).encode()).hexdigest()
+        assert hexes[i] == ref
+        assert int(head[i]) == int.from_bytes(bytes.fromhex(ref)[:8], "big")
+
+    words = np.array(["", "a", "hello", "x" * 55, "y" * 56, "z" * 200,
+                      "café", "word123", "UPPER", " spaces inside "],
+                     dtype=object)
+    out = md5_head64_of_strs(words)
+    for w, v in zip(words, out):
+        assert int(v) == int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:8], "big"), w
+
+
+def test_simhash_batch_equals_scalar_reference():
+    texts = pd.Series(["the cat sat on the mat", "", None, "a",
+                       "scan filter order scan", "the CAT sat ON the mat",
+                       "x y z w " * 30, "unique words only here now"])
+    batch = dd.SimHashStage.simhash64_batch(texts)
+    ref = np.array([dd.SimHashStage.simhash64(t) for t in texts.fillna("")],
+                   dtype=np.uint64)
+    np.testing.assert_array_equal(batch, ref)
