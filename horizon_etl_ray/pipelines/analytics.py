@@ -621,13 +621,17 @@ def pii_anonymize_customers(sf_dir: str) -> pd.DataFrame:
 
     ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
-    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"c_custkey": batch["c_custkey"].to_numpy(),
-             "anon_id": [anonymize_cpf(v) for v in batch["c_name"]]}
-        )
+    def scrub(t):  # pyarrow in/out: no Arrow→pandas copy around the sha loop
+        import pyarrow as pa
 
-    out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+        names = t["c_name"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "anon_id": pa.array([anonymize_cpf(v) for v in names],
+                                pa.string()),
+        })
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 

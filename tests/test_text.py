@@ -112,3 +112,21 @@ def test_byte_bigram_scores_matches_naive():
     assert out["doc_id"].tolist() == exp_ids
     np.testing.assert_allclose(out["lm_score"].to_numpy(), exp_scores,
                                rtol=0, atol=1e-9)
+
+
+def test_arrow_regex_token_count_matches_python_re():
+    """The Arrow-native bpeish counter uses RE2's count_substring_regex;
+    it must agree with the Python-re kernel on representative text (incl.
+    punctuation runs, unicode words, empty)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = pd.Series(["hello, world!!", "", "a-b_c  d", "café com pão",
+                       "1+2=3 ... ok?", "   ", "word", "naïve — dash",
+                       "日本語 テスト", "mixed 日本 and latin",
+                       "\xa0nbsp case", "Ωmega", "tab\tsep", "line\nbreak"])
+    want = tx.count_tokens_bpeish(texts)
+    got = pc.count_substring_regex(
+        pa.array(texts.fillna("").tolist()),
+        r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\p{Z}\s]+").to_numpy()
+    np.testing.assert_array_equal(got.astype(np.int64), want)
