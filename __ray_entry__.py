@@ -57,7 +57,12 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # minhash banding recall additionally proven by a dedicated test.
 # chunk_documents ships straight to the tail: oracle-checked locally, but
 # the 1→N explode shape is already gated via multimodal_frames/doc_sections.
+# connected_components_labelprop demoted round 4 for consolidate_repoint_links
+# (the new link-table repoint operator, reference person_consolidator.py:151):
+# A5 stays gated via graph_degree_stats + connected_components; labelprop is a
+# second algorithm for the same row and remains oracle-checked locally.
 _TAIL = (
+    "connected_components_labelprop",
     "chunk_documents",
     "minhash_dedup_pairs",
     "hash_join_revenue",

@@ -1171,6 +1171,74 @@ def consolidate_winners(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("s_nationkey").reset_index(drop=True)
 
 
+def repoint_links(links_ds, mapping: dict[int, int], fk_columns):
+    """Link-table repointing — the fan-out half of the reference's
+    consolidation (person_consolidator.py:151-264: after picking a winner
+    per duplicate class, every link table's FK column is rewritten
+    loser→winner and the link rows re-deduped). Ray-first shape: the
+    mapping is the SMALL side (duplicate classes, not facts) — broadcast
+    once via ``ray.put`` as two sorted arrays — and each link Dataset
+    streams through a stateless vectorized ``searchsorted`` rewrite; the
+    post-merge dedup is the caller's groupby on its link key (partition
+    assumption: mapping fits one worker's heap; a consolidation map bigger
+    than that should ship as a hash join instead)."""
+    import ray
+
+    if not mapping:
+        return links_ds
+    losers = np.array(sorted(mapping), dtype=np.int64)
+    winners = np.array([mapping[k] for k in losers], dtype=np.int64)
+    ref = ray.put((losers, winners))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        lo, wi = ray.get(ref)
+        for col in fk_columns:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(lo, v), len(lo) - 1)
+            hit = lo[idx] == v
+            new = np.where(hit, wi[idx], v)
+            t = t.set_column(t.column_names.index(col), col,
+                             pa.array(new, pa.int64()))
+        return t
+
+    return links_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def consolidate_repoint_links(sf_dir: str) -> pd.DataFrame:
+    """Consolidation + link repoint end-to-end over the driver tables:
+    suppliers collapse into duplicate classes of four consecutive ids
+    (winner = class head, the deterministic stand-in for a matcher's
+    winner pick), the lineitem order↔supplier link table is repointed
+    loser→winner, and the merged links are re-deduped — per winner: the
+    distinct orders it now links to and the raw link rows it absorbed
+    (person_consolidator.py:151-264's _merge_simple_link_table counts)."""
+    from ray.data.aggregate import Count, Sum
+
+    sup = _rp(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
+    keys = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    winner = (keys // 4) * 4  # class head (keys are 0-based)
+    mapping = {int(k): int(w) for k, w in zip(keys, winner) if k != w}
+
+    links = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    repointed = repoint_links(links, mapping, ["l_suppkey"])
+    # post-merge dedup: distinct (supplier, order) with multiplicity, then
+    # the per-winner rollup (two-level aggregate — the distinct count never
+    # materializes raw links on one node)
+    per_pair = (
+        repointed.groupby(["l_suppkey", "l_orderkey"])
+        .aggregate(Count(alias_name="n"))
+    )
+    out = (
+        per_pair.groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("n", alias_name="n_link_rows"))
+        .to_pandas()
+        .rename(columns={"l_suppkey": "supplier"})
+    )
+    out["n_link_rows"] = out["n_link_rows"].astype(np.int64)
+    return (out.sort_values("supplier").reset_index(drop=True)
+            [["supplier", "n_orders", "n_link_rows"]])
+
+
 def evidence_flags(sf_dir: str) -> pd.DataFrame:
     """Per-entity any() evidence flags (A8 parity: the per-person email /
     identification evidence aggregation of
@@ -1784,6 +1852,20 @@ ORACLE_SQL: dict[str, str] = {
 # the forced-distributed labeler computes the same result as the routed query
 ORACLE_SQL["connected_components_labelprop"] = ORACLE_SQL["connected_components"]
 
+ORACLE_SQL["consolidate_repoint_links"] = """
+    WITH m AS (
+        SELECT s_suppkey, (s_suppkey // 4) * 4 AS winner
+        FROM supplier
+    ), r AS (
+        SELECT l.l_orderkey, m.winner AS supplier
+        FROM lineitem l JOIN m ON l.l_suppkey = m.s_suppkey
+    )
+    SELECT supplier,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_link_rows
+    FROM r GROUP BY supplier ORDER BY supplier
+"""
+
 ORACLE_SQL["classify_customers"] = """
     WITH agg AS (
         SELECT o_custkey, count(*) AS n_orders,
@@ -1852,5 +1934,6 @@ QUERIES = {
     "entity_resolution_cascade": entity_resolution_cascade,
     "weighted_vote_resolution": weighted_vote_resolution,
     "consolidate_winners": consolidate_winners,
+    "consolidate_repoint_links": consolidate_repoint_links,
     "evidence_flags": evidence_flags,
 }

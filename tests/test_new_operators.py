@@ -130,3 +130,27 @@ def test_q3_bloom_path_matches_exact_path():
     fast = q3_top_orders(sf)
     bloom = q3_top_orders(sf, bloom_threshold=0)
     pd.testing.assert_frame_equal(fast, bloom)
+
+
+def test_repoint_links_unit(ray_session):
+    """Link-table repoint kernel: losers rewrite to winners, unmapped ids
+    (incl. winners and foreign keys outside the mapping) pass through,
+    multiple FK columns rewrite independently, empty mapping is identity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.analytics import repoint_links
+
+    t = pa.table({
+        "a": pa.array([1, 2, 3, 99, 5], pa.int64()),
+        "b": pa.array([2, 2, 1, 1, 42], pa.int64()),
+        "payload": ["p", "q", "r", "s", "t"],
+    })
+    mapping = {2: 1, 3: 1, 5: 4}
+    out = repoint_links(rd.from_arrow(t), mapping, ["a", "b"]).to_pandas()
+    assert out["a"].tolist() == [1, 1, 1, 99, 4]
+    assert out["b"].tolist() == [1, 1, 1, 1, 42]
+    assert out["payload"].tolist() == ["p", "q", "r", "s", "t"]
+    # empty mapping: identity
+    same = repoint_links(rd.from_arrow(t), {}, ["a"]).to_pandas()
+    assert same["a"].tolist() == [1, 2, 3, 99, 5]
