@@ -274,7 +274,10 @@ def main() -> None:
     # Headline replay, retried until a probe-healthy window (see host_probe).
     # An attempt counts as clean only when the probes on BOTH sides of it are
     # healthy — a throttle starting mid-run would pass a before-only check.
-    max_attempts = int(os.environ.get("GRAFT_PROBE_RETRIES", "3"))
+    # Clamped to ≥1: the value is TOTAL attempts (the headline replay must
+    # run at least once — GRAFT_PROBE_RETRIES=0 would otherwise skip the
+    # replay entirely and crash on the empty attempts list).
+    max_attempts = max(1, int(os.environ.get("GRAFT_PROBE_RETRIES", "3")))
     retry_sleep = float(os.environ.get("GRAFT_PROBE_RETRY_SLEEP", "30"))
     attempts: list[dict] = []
     probe_before = host_probe()

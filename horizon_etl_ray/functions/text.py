@@ -18,6 +18,13 @@ import numpy as np
 import pandas as pd
 
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]+", re.UNICODE)  # BPE-ish: words + punct runs
+
+# RE2 (pyarrow count_substring_regex) spelling of the SAME pattern — RE2's
+# \w/\s are ASCII-only, and \p{Z} misses the Cc control-whitespace chars
+# (\x1C-\x1F, \x85 NEL) that Python's unicode \s includes. The single
+# source of truth for every Arrow-native user; cross-checked against
+# _TOKEN_RE in tests/test_text.py.
+BPEISH_RE2 = r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\p{Z}\s\x{1C}-\x{1F}\x{85}]+"
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic —

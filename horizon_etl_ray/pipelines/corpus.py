@@ -66,10 +66,10 @@ def token_counts_bpeish(sf_dir: str) -> pd.DataFrame:
 
     def count(t: pa.Table) -> pa.Table:
         s = pc.fill_null(t["text"], "")
-        # RE2 spelling of Python-re's unicode \w/\s (RE2 \w and \s are
-        # ASCII-only): letters/digits/underscore runs, else non-space
-        # punctuation runs — cross-checked kernel-vs-kernel in test_text
-        n = pc.count_substring_regex(s, r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\p{Z}\s]+")
+        # RE2 spelling of Python-re's unicode \w/\s — the shared constant
+        # (functions/text.py BPEISH_RE2), cross-checked kernel-vs-kernel in
+        # test_text incl. the Cc control-whitespace chars \p{Z} misses
+        n = pc.count_substring_regex(s, tx.BPEISH_RE2)
         return pa.table({"doc_id": t["doc_id"],
                          "n_tokens": pc.cast(n, pa.int64())})
 

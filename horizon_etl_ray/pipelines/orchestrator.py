@@ -18,7 +18,10 @@ from the reference, on purpose:
   ``<state_dir>/phases.json`` with the same atomic write discipline as the
   lake manifest (temp + fsync + rename, `state/manifest.py:42`); re-running
   the same plan skips phases that already succeeded — the reference re-runs
-  everything.
+  everything. The checkpoint is a FAILURE-RESUME record only: a run in
+  which every phase succeeds deletes it, so the next invocation of the same
+  plan (e.g. next week's driver run over new epochs) executes fresh instead
+  of silently skipping everything.
 - **Phases are callables or argv lists.** Callable phases run in-process
   (they typically drive Ray Data pipelines that share the caller's Ray
   session) on a watchdog thread — a timeout is *recorded* and the run moves
@@ -26,7 +29,10 @@ from the reference, on purpose:
   Python threads are not killable). Argv phases run in their own subprocess
   like every reference phase and ARE killed on timeout — use them for
   phases needing hard isolation (`scripts/run_replay_job.py` is the
-  ready-made CDC phase entry).
+  ready-made CDC phase entry). Argv phases start in their own process
+  GROUP and the whole group is SIGKILLed on timeout — a phase that spawns
+  children (``bash -c``, a replay forking Ray workers) cannot leave
+  grandchildren racing the next phase.
 
 Notification hooks mirror the reference's flow-state handlers
 (`/root/reference/src/notifications/telegram.py`, wired at
@@ -40,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import threading
 import time
@@ -192,6 +199,11 @@ class Orchestrator:
         os.makedirs(self.state_dir, exist_ok=True)
         atomic_write_json(p, {"phases": [r.to_json() for r in results]})
 
+    def _clear_checkpoint(self) -> None:
+        p = self._state_path
+        if p and os.path.exists(p):
+            os.unlink(p)
+
     # -- notification (never alters the outcome) ----------------------------
     def _notify(self, hook: str, *args) -> None:
         try:
@@ -211,22 +223,39 @@ class Orchestrator:
                     spec.run, spec.timeout_sec)
                 if not finished:
                     status = "timeout"
-                elif err is None:
-                    status = "ran"
-                else:
-                    status = "failed"
+                    # The straggler thread is STILL RUNNING (Python threads
+                    # cannot be preempted) — retrying would start a second
+                    # concurrent execution racing it (two writers on one
+                    # lake). Record the timeout and stop; only argv phases
+                    # (killed for real) are retryable after a timeout.
+                    err = ("timed out; straggler thread may still be "
+                           "running — not retried (use an argv phase for "
+                           "kill-and-retry semantics)")
+                    break
+                status = "ran" if err is None else "failed"
             else:
                 argv = [str(a) for a in spec.run]
+                # Own process group so a timeout kills the whole tree —
+                # subprocess.run's timeout only kills the direct child,
+                # leaving grandchildren (bash -c wrappers, forked workers)
+                # racing the next phase.
+                proc = subprocess.Popen(
+                    argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, start_new_session=True)
                 try:
-                    proc = subprocess.run(argv, timeout=spec.timeout_sec,
-                                          capture_output=True, text=True)
+                    _, stderr = proc.communicate(timeout=spec.timeout_sec)
                     rc = proc.returncode
                     if rc == 0:
                         status, err = "ran", None
                     else:
                         status = "failed"
-                        err = (proc.stderr or "").strip()[-500:] or f"exit {rc}"
+                        err = (stderr or "").strip()[-500:] or f"exit {rc}"
                 except subprocess.TimeoutExpired:
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        proc.kill()
+                    proc.communicate()  # reap; pipes already closed by kill
                     status, rc, err = "timeout", None, None
             if status == "ran":
                 break
@@ -267,7 +296,14 @@ class Orchestrator:
         crit_failed = [r for r in results
                        if r.critical and not r.ok and r.status != "halted"]
         rc = 1 if crit_failed else 0
-        self._checkpoint([r for r in results if r.status != "halted"])
+        if all(r.ok for r in results):
+            # Fully-successful run: the checkpoint is a failure-resume
+            # record, not a was-ever-run record — clear it so the NEXT
+            # invocation of this plan (new week, new epochs) runs fresh
+            # instead of skipping every phase forever.
+            self._clear_checkpoint()
+        else:
+            self._checkpoint([r for r in results if r.status != "halted"])
         self._notify("on_complete", results, rc)
         return rc, results
 

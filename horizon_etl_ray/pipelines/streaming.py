@@ -358,6 +358,9 @@ class StreamingUpserter:
              for s in self.shards])
                 for r in rs]
         partition_rows = []
+        promoted: list[int] = []  # ACTUAL promotions: dirty ∩ promote — a
+        # long-chain partition with no events this epoch is skipped by
+        # snapshot (it iterates self.dirty only) and must not be counted
         for r in rows:
             wrote_delta = r.pop("wrote_delta", False)
             pid = int(r["part_id"])
@@ -366,24 +369,26 @@ class StreamingUpserter:
                 prev = manifest.partitions[pid]
                 base_epoch = prev.resolved_base_epoch()
                 delta_epochs = list(prev.delta_epochs) + [epoch]
+            elif pid in promote:
+                promoted.append(pid)
             partition_rows.append(PartitionState(
                 **r, base_epoch=base_epoch, delta_epochs=delta_epochs))
         self.store.commit_epoch(
             epoch, partition_rows,
             metrics={"applied_winners": int(applied), "mode": "streaming",
-                     "partitions_promoted": len(promote)},
+                     "partitions_promoted": len(promoted)},
             schema_version=schema_version,
         )
         # manifest is durable → let the actors promote their staged
         # bookkeeping (see UpserterShard.snapshot/confirm two-phase note)
         ray.get([s.confirm.remote(epoch) for s in self.shards])
-        if promote:
+        if promoted:
             # superseded delta chains + old bases of promoted partitions are
             # no longer referenced by the committed manifest
             self.store.gc(keep_epochs=1)
         return {"epoch": epoch, "skipped": False, "applied_winners": int(applied),
                 "partitions_updated": len(partition_rows),
-                "partitions_promoted": len(promote)}
+                "partitions_promoted": len(promoted)}
 
     def shutdown(self) -> None:
         import ray

@@ -20,6 +20,7 @@ like any other batch."""
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from html.parser import HTMLParser
@@ -70,8 +71,12 @@ def read_xlsx_table(path: str, sheet: int = 0,
     manual workbook needs."""
     with zipfile.ZipFile(path) as zf:
         shared = _load_shared_strings(zf)
-        sheets = sorted(n for n in zf.namelist()
-                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        # numeric sort: lexicographic order puts sheet10 before sheet2, so
+        # the `sheet` index would select the wrong worksheet on 10+ sheets
+        sheets = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)))
         if not sheets:
             raise ValueError(f"no worksheets in {path}")
         root = ET.fromstring(zf.read(sheets[sheet]))
@@ -99,7 +104,12 @@ def read_xlsx_table(path: str, sheet: int = 0,
     n_cols = max_col + 1
     if header:
         head, body = rows[0], rows[1:]
-        names = [str(head.get(i, f"col{i}")) for i in range(n_cols)]
+        names = []
+        for i in range(n_cols):
+            nm = str(head.get(i, f"col{i}"))
+            while nm in names:  # duplicate header cells: a dict would
+                nm += "_"       # silently drop all but the last column
+            names.append(nm)
     else:
         body = rows
         names = [f"col{i}" for i in range(n_cols)]
@@ -113,10 +123,17 @@ def read_xlsx_table(path: str, sheet: int = 0,
                 nums.append(None)
                 continue
             try:
-                nums.append(float(v))
-            except ValueError:
+                f = float(v)
+            except (ValueError, OverflowError):
                 numeric = False
                 break
+            if not math.isfinite(f):
+                # 'NaN'/'Infinity'/'1e999' parse as float but would crash
+                # the integral check (int(nan) raises) — messy manual cells
+                # like these stay strings
+                numeric = False
+                break
+            nums.append(f)
         if numeric and any(v is not None for v in vals):
             if all(n is None or n == int(n) for n in nums):
                 cols.append(pa.array(
@@ -259,8 +276,11 @@ class HtmlTableStage:
             "table_idx": pa.array(tidx, pa.int32()),
             "row_idx": pa.array(ridx, pa.int32()),
         }
+        # ALWAYS emit all max_cols columns: emitting only populated ones
+        # makes the schema data-dependent per batch, which puts
+        # schema-inconsistent blocks into any downstream exchange (the
+        # exact failure cdc.empty_out exists to prevent)
         for ci in range(self.max_cols):
-            if any(v is not None for v in cells[ci]):
-                cols[f"col{ci}"] = pa.array(cells[ci], pa.string())
-                cols[f"header_{ci}"] = pa.array(headers[ci], pa.string())
+            cols[f"col{ci}"] = pa.array(cells[ci], pa.string())
+            cols[f"header_{ci}"] = pa.array(headers[ci], pa.string())
         return pa.table(cols)

@@ -115,3 +115,89 @@ def test_parse_html_tables_empty_and_malformed():
     # unclosed tags: parser is forgiving, no crash
     ts = parse_html_tables("<table><tr><td>a<td>b<tr><td>c</table>")
     assert len(ts) == 1 and ts[0].num_rows == 1
+
+
+def test_xlsx_sheet_index_is_numeric_not_lexicographic(tmp_path):
+    """sheet10.xml must not sort before sheet2.xml: with 10+ worksheets a
+    lexicographic sort maps sheet=1 to sheet10 (silently wrong table)."""
+    def sheet_with_value(v):
+        return (
+            '<?xml version="1.0"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            f'<row r="1"><c r="A1"><v>{v}</v></c></row>'
+            '</sheetData></worksheet>'
+        )
+
+    p = tmp_path / "many_sheets.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        for i in range(1, 13):  # sheet1..sheet12
+            zf.writestr(f"xl/worksheets/sheet{i}.xml",
+                        sheet_with_value(i * 100))
+    for idx, want in [(0, 100), (1, 200), (9, 1000), (11, 1200)]:
+        t = read_xlsx_table(str(p), sheet=idx, header=False)
+        assert t["col0"].to_pylist() == [want], (idx, t["col0"].to_pylist())
+
+
+def test_xlsx_nan_inf_cells_stay_string(tmp_path):
+    """'NaN'/'Infinity'/'1e999' parse as float but are not finite — they
+    must degrade the column to string, not crash the integral check."""
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>NaN</t></is></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>1e999</t></is></c></row>'
+        '<row r="4"><c r="A4"><v>3</v></c></row>'
+        '</sheetData></worksheet>'
+    )
+    p = tmp_path / "nan.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    t = read_xlsx_table(str(p))
+    assert t["v"].type == pa.string()
+    assert t["v"].to_pylist() == ["NaN", "1e999", "3"]
+
+
+def test_xlsx_duplicate_headers_keep_all_columns(tmp_path):
+    """Two columns both headed 'amount' must both survive (suffix dedup,
+    same policy as the HTML path) — a dict would keep only the last one."""
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>amount</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>amount</t></is></c>'
+        '</row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>'
+        '</sheetData></worksheet>'
+    )
+    p = tmp_path / "dup.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    t = read_xlsx_table(str(p))
+    assert t.column_names == ["amount", "amount_"]
+    assert t["amount"].to_pylist() == [1]
+    assert t["amount_"].to_pylist() == [2]
+
+
+def test_html_table_stage_schema_is_batch_invariant():
+    """A batch whose pages contain no tables (or narrower tables) must emit
+    the SAME column set as a table-bearing batch — data-dependent schemas
+    put inconsistent blocks into any downstream exchange."""
+    stage = HtmlTableStage(max_cols=4)
+    with_tables = stage(pa.table({"url": ["u1"], "body": [_HTML]}))
+    empty = stage(pa.table({"url": ["u2"], "body": ["<p>none</p>"]}))
+    assert with_tables.column_names == empty.column_names
+    assert empty.num_rows == 0
+    narrow = stage(pa.table({
+        "url": ["u3"],
+        "body": ["<table><tr><th>h</th></tr><tr><td>x</td></tr></table>"],
+    }))
+    assert narrow.column_names == with_tables.column_names
+    assert narrow["col3"].to_pylist() == [None]

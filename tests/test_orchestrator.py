@@ -167,6 +167,88 @@ def test_failure_notifier_fires_exactly_once_and_never_alters_outcome():
         "a": True, "b": False}
 
 
+def test_successful_run_clears_checkpoint_so_next_run_executes(tmp_path):
+    """The checkpoint is a failure-resume record, not a was-ever-run record:
+    after a fully-green run the next invocation of the same plan (next
+    week's driver over new epochs) must execute fresh, not skip forever."""
+    import os
+
+    state = str(tmp_path / "state")
+    calls = {"a": 0, "b": 0}
+    plan = [_spec("a", lambda: calls.__setitem__("a", calls["a"] + 1)),
+            _spec("b", lambda: calls.__setitem__("b", calls["b"] + 1),
+                  critical=True)]
+    rc1, _ = run_phases(plan, state_dir=state)
+    assert rc1 == 0 and calls == {"a": 1, "b": 1}
+    assert not os.path.exists(os.path.join(state, "phases.json"))
+    rc2, r2 = run_phases(plan, state_dir=state)
+    assert rc2 == 0 and calls == {"a": 2, "b": 2}
+    assert all(r.status == "ran" for r in r2)
+
+
+def test_timed_out_callable_not_retried():
+    """A timed-out callable phase leaves its straggler thread running —
+    retrying would start a second concurrent execution against the same
+    state. Only argv phases (killed for real) are retryable after timeout."""
+    import time as _t
+
+    n = {"starts": 0}
+
+    def slow():
+        n["starts"] += 1
+        _t.sleep(5)
+
+    rc, results = run_phases([_spec("slow", slow, timeout=0.2, retries=3)])
+    assert results[0].status == "timeout"
+    assert results[0].attempts == 1
+    assert n["starts"] == 1
+    assert "straggler" in results[0].error
+
+
+def test_subprocess_timeout_kills_whole_process_tree(tmp_path):
+    """An argv phase that spawns a grandchild: the timeout must kill the
+    whole process group, not just the direct child — a surviving grandchild
+    would race the next phase (e.g. a replay still committing during
+    compact)."""
+    import os
+    import time as _t
+
+    pid_file = str(tmp_path / "grandchild.pid")
+    child_src = (
+        "import subprocess, sys, time\n"
+        f"p = subprocess.Popen([sys.executable, '-c', "
+        f"'import time; time.sleep(60)'])\n"
+        f"open({pid_file!r}, 'w').write(str(p.pid))\n"
+        "time.sleep(60)\n"
+    )
+    rc, results = run_phases([
+        PhaseSpec(name="spawner", run=[sys.executable, "-c", child_src],
+                  timeout_sec=2.0),
+    ])
+    assert results[0].status == "timeout"
+    gpid = int(open(pid_file).read())
+    # the grandchild must be dead (or a reaped zombie) shortly after
+    deadline = _t.time() + 5
+    alive = True
+    while _t.time() < deadline:
+        try:
+            os.kill(gpid, 0)
+        except ProcessLookupError:
+            alive = False
+            break
+        # may still be an unreaped zombie of *our* session — check state
+        try:
+            with open(f"/proc/{gpid}/stat") as f:
+                if f.read().split(")")[-1].split()[0] == "Z":
+                    alive = False
+                    break
+        except FileNotFoundError:
+            alive = False
+            break
+        _t.sleep(0.1)
+    assert not alive, f"grandchild {gpid} survived the group kill"
+
+
 def test_duplicate_phase_names_rejected():
     with pytest.raises(ValueError):
         Orchestrator([_spec("x", lambda: None), _spec("x", lambda: None)])

@@ -288,6 +288,48 @@ def test_streaming_auto_compact_bounds_files_and_keeps_digest(tmp_path):
     assert sum(r["metrics"].get("partitions_promoted", 0) for r in recs) > 0
 
 
+def test_streaming_promoted_metric_counts_actual_promotions(tmp_path):
+    """``partitions_promoted`` must count dirty∩promote only: a long-chain
+    partition receiving no events this epoch is skipped by snapshot (which
+    iterates dirty partitions) and must not be reported as promoted."""
+    import pyarrow as pa
+
+    from horizon_etl_ray.functions.hashing import partition_ids
+
+    P = 2
+    cand = [(f"r{i}", f"p{i}") for i in range(32)]
+    pids = partition_ids(
+        pa.table({"repo": [c[0] for c in cand],
+                  "path": [c[1] for c in cand]}), ["repo", "path"], P)
+    a = cand[list(pids).index(0)]
+    b = cand[list(pids).index(1)]
+
+    def ev(key, seq):
+        return {"repo": key[0], "path": key[1], "commit": "c", "lang": "py",
+                "content": f"v{seq}", "seq": seq, "op": "update"}
+
+    def ds_of(rows):
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    lake = str(tmp_path / "lake_pm")
+    up = StreamingUpserter(
+        lake, CdcConfig(num_partitions=P, write_mode="delta"),
+        num_shards=1, compact_every=2)
+    try:
+        r0 = up.apply_epoch(ds_of([ev(a, 1), ev(b, 2)]), 0)  # both bases
+        r1 = up.apply_epoch(ds_of([ev(a, 3)]), 1)  # delta for a's partition
+        # a's chain now reaches the threshold, so it sits in the promote
+        # set — but this epoch touches only b, so nothing is promoted
+        r2 = up.apply_epoch(ds_of([ev(b, 4)]), 2)
+        r3 = up.apply_epoch(ds_of([ev(a, 5)]), 3)  # a dirty → promoted now
+    finally:
+        up.shutdown()
+    assert r0["partitions_promoted"] == 0
+    assert r1["partitions_promoted"] == 0
+    assert r2["partitions_promoted"] == 0  # over-counted 1 before the fix
+    assert r3["partitions_promoted"] == 1
+
+
 def test_replay_notifier_commit_and_failure_hooks(tmp_path):
     """VERDICT r3 #7: a commit fires on_epoch_commit with the metrics dict;
     a failing epoch fires on_failure EXACTLY once and re-raises; a broken

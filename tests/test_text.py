@@ -124,9 +124,12 @@ def test_arrow_regex_token_count_matches_python_re():
     texts = pd.Series(["hello, world!!", "", "a-b_c  d", "café com pão",
                        "1+2=3 ... ok?", "   ", "word", "naïve — dash",
                        "日本語 テスト", "mixed 日本 and latin",
-                       "\xa0nbsp case", "Ωmega", "tab\tsep", "line\nbreak"])
+                       "\xa0nbsp case", "Ωmega", "tab\tsep", "line\nbreak",
+                       # control whitespace: Python unicode \s includes
+                       # NEL (\x85) and \x1c-\x1f (category Cc, not \p{Z})
+                       "a\x85b", "x\x1cy\x1dz", "u\x1e.\x1fv",
+                       " line sep "])
     want = tx.count_tokens_bpeish(texts)
     got = pc.count_substring_regex(
-        pa.array(texts.fillna("").tolist()),
-        r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\p{Z}\s]+").to_numpy()
+        pa.array(texts.fillna("").tolist()), tx.BPEISH_RE2).to_numpy()
     np.testing.assert_array_equal(got.astype(np.int64), want)
