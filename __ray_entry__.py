@@ -61,7 +61,15 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # (the new link-table repoint operator, reference person_consolidator.py:151):
 # A5 stays gated via graph_degree_stats + connected_components; labelprop is a
 # second algorithm for the same row and remains oracle-checked locally.
+# Round-4 session-2 demotions for near_dup_clusters + vocab_top_terms (the
+# cluster-then-keep-one dedup step and distributed vocabulary counts):
+# simhash_dedup_pairs (D3 near-dup stays gated via ngram_jaccard +
+# embedding pairs + the new clusters row, which exercises the pair op AND
+# the distributed labeling) and topk_per_group (O1 top-k gated via
+# q3_top_orders; the per-group variant stays oracle-checked locally).
 _TAIL = (
+    "simhash_dedup_pairs",
+    "topk_per_group",
     "connected_components_labelprop",
     "chunk_documents",
     "minhash_dedup_pairs",

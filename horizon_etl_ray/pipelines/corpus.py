@@ -323,6 +323,71 @@ def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERING: pair emission → connected components → one
+    canonical survivor per cluster — the cluster-then-keep-one step of
+    web-corpus dedup pipelines (pairwise near-dup alone can't pick
+    survivors consistently when A~B and B~C but A≁C; the component makes
+    the keep decision transitive). Edges come from the EXACT n-gram
+    Jaccard operator (prefix filtering, Bayardo et al. WWW'07 — no
+    probabilistic misses), so the oracle can rebuild the identical edge
+    set and label it with a recursive transitive closure.
+    ``cluster_id`` = min doc_id reachable; ``is_canonical`` marks the
+    cluster's survivor. Scale shape: the pair stage is the bucketed
+    prefix-filter exchange (functions/dedup.py), the labeling is the same
+    distributed min-label-propagation operator the part co-graph uses
+    (functions/graph.py — iterative bucketed exchanges; the edge list
+    never lands on one machine)."""
+    from ..functions.graph import connected_components as cc_labelprop
+
+    corpus = _planted_near_dups(sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, threshold=0.5, concurrency=(1, 4))
+    labels = cc_labelprop(
+        pairs.select_columns(["id_a", "id_b"]),
+        corpus.select_columns(["doc_id"]),
+        src="id_a", dst="id_b", node_col="doc_id", num_buckets=8,
+    )
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "component": "cluster_id"})
+    out["is_canonical"] = (
+        out["doc_id"] == out["cluster_id"]).astype(np.int64)
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "cluster_id", "is_canonical"]])
+
+
+def vocab_top_terms(sf_dir: str, k: int = 256) -> pd.DataFrame:
+    """Distributed vocabulary construction (the count step of tokenizer
+    training): corpus-wide token counts with per-block PARTIAL aggregation
+    — each block contributes one (token, n) row per DISTINCT token
+    (``value_counts`` on the exploded Arrow token column), so the groupby
+    exchange moves distinct-per-block rows, not one row per occurrence;
+    the global top-k is a distributed sort + limit with a deterministic
+    tie-break (count DESC, token ASC) so the rank-k boundary is stable.
+    Tokenization is the repo-wide single-space convention
+    (functions/text.py count_tokens_whitespace) so the DuckDB twin
+    reproduces it with ``string_split(text, ' ')``."""
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        vc = pc.list_flatten(pc.split_pattern(s, " ")).value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["token", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token").sum("n")
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
 def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
     """Language-ID heuristic (stopword profiles, actor-pool stage) against
     the labeled lang column → confusion counts. The count is a DISTRIBUTED
@@ -1833,6 +1898,47 @@ ORACLE_SQL: dict[str, str] = {
         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
         ORDER BY id_a, id_b
     """,
+    "near_dup_clusters": """
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 50000, text || ' nearduplicate' FROM documents
+            WHERE doc_id < 25
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) < 5
+                        THEN [array_to_string(ws, ' ')]
+                        ELSE [array_to_string(ws[i:i+4], ' ')
+                              for i in generate_series(1, len(ws) - 4)] END) AS s
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+                  FROM corpus)
+        ), j AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s)) * 1.0 /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+        ), sym AS (
+            SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+        ), reach(node, comp) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b
+        )
+        SELECT node AS doc_id, min(comp) AS cluster_id,
+               CAST(node = min(comp) AS BIGINT) AS is_canonical
+        FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    "vocab_top_terms": """
+        WITH toks AS (
+            SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+            FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY token
+        ORDER BY n DESC, token LIMIT 256
+    """,
     "simhash_dedup_pairs": """
         WITH corpus AS (
             SELECT doc_id, text FROM documents
@@ -1963,6 +2069,8 @@ QUERIES = {
     "clean_corpus": clean_corpus,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "near_dup_clusters": near_dup_clusters,
+    "vocab_top_terms": vocab_top_terms,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_fingerprints": doc_fingerprints,
     "ivf_ann_exhaustive": ivf_ann_exhaustive,

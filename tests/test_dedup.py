@@ -200,3 +200,29 @@ def test_simhash_batch_equals_scalar_reference():
     ref = np.array([dd.SimHashStage.simhash64(t) for t in texts.fillna("")],
                    dtype=np.uint64)
     np.testing.assert_array_equal(batch, ref)
+
+
+def test_near_dup_clusters_are_transitive():
+    """A~B and B~C but A≁C (a chain) must land in ONE cluster with the min
+    id canonical — the property pairwise near-dup output alone can't give."""
+    import ray.data as rd
+
+    from horizon_etl_ray.functions.graph import connected_components as cc
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " lambda"},           # ~1 strongly
+        {"doc_id": 3, "text": base + " lambda mu nu xi"},  # ~2, weaker to 1
+        {"doc_id": 9, "text": "totally different words about engines and rays"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dd.ngram_jaccard_pairs(ds, threshold=0.5, concurrency=(1, 2))
+    labels = cc(pairs.select_columns(["id_a", "id_b"]),
+                ds.select_columns(["doc_id"]),
+                src="id_a", dst="id_b", node_col="doc_id",
+                num_buckets=2).to_pandas()
+    comp = dict(zip(labels["node"], labels["component"]))
+    # the chain collapses to one cluster labeled by the min id
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[9] == 9  # isolated doc is its own (canonical) cluster
