@@ -67,7 +67,12 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # embedding pairs + the new clusters row, which exercises the pair op AND
 # the distributed labeling) and topk_per_group (O1 top-k gated via
 # q3_top_orders; the per-group variant stays oracle-checked locally).
+# sessionize_events demoted for c4_line_stats (C4 line-quality filtering,
+# Raffel et al. 2020): §2.10 windows/late-data stays gated via
+# events_window; sessionization (gap grouping) remains oracle-checked
+# locally alongside events_sliding_window.
 _TAIL = (
+    "sessionize_events",
     "simhash_dedup_pairs",
     "topk_per_group",
     "connected_components_labelprop",

@@ -971,6 +971,64 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def c4_line_stats(sf_dir: str) -> pd.DataFrame:
+    """C4-style line-level quality filtering (Raffel et al., JMLR 2020
+    §2.2): keep a line iff it ends in terminal punctuation, has ≥5
+    whitespace words, and contains none of the boilerplate markers
+    (javascript / lorem ipsum / cookie, case-insensitive). Returns the
+    per-document line audit (total lines, kept lines, kept chars) — the
+    integer inputs of the keep-document decision. The synthetic corpus has
+    single-line docs, so line structure is PLANTED with a deterministic
+    string rewrite both engines reproduce exactly (replace " merge " →
+    ".\\nmerge "), the same plant-then-check pattern decontamination uses.
+    Fully vectorized: one line explode per batch (Arrow split + flatten),
+    pyarrow.compute predicates, and per-document ``np.add.reduceat``
+    segment sums — no Python loop, no shuffle."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = pc.replace_substring(
+            pc.fill_null(t["text"], ""), " merge ", ".\nmerge ")
+        lines_list = pc.split_pattern(text, "\n")
+        n_lines = pc.list_value_length(lines_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines_list)
+        low = pc.utf8_lower(flat)
+        keep = pc.and_(
+            pc.and_(
+                pc.or_(pc.or_(pc.ends_with(flat, "."),
+                              pc.ends_with(flat, "!")),
+                       pc.ends_with(flat, "?")),
+                pc.greater_equal(
+                    pc.add(pc.count_substring(flat, " "),
+                           pa.scalar(1, pa.int32())),
+                    pa.scalar(5, pa.int32())),
+            ),
+            pc.invert(pc.or_(
+                pc.or_(pc.match_substring(low, "javascript"),
+                       pc.match_substring(low, "lorem ipsum")),
+                pc.match_substring(low, "cookie"))),
+        ).to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # per-document segment sums over the exploded line frame
+        offsets = np.concatenate(([0], np.cumsum(n_lines)[:-1]))
+        kept = np.add.reduceat(keep.astype(np.int64), offsets)
+        kept_chars = np.add.reduceat(chars * keep, offsets)
+        # reduceat on a zero-length segment returns the NEXT element — a
+        # doc can't have 0 lines here (split of "" is [""]), so offsets are
+        # strictly increasing and segments are non-empty
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(kept, pa.int64()),
+            "n_chars_kept": pa.array(kept_chars, pa.int64()),
+        })
+
+    out = docs.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def mixture_sample_documents(sf_dir: str) -> pd.DataFrame:
     """Data mixing — per-source sampling rates, the mixture-weighting step of
     LLM corpus assembly (public method: source-weighted sampling as in the
@@ -1930,6 +1988,32 @@ ORACLE_SQL: dict[str, str] = {
                CAST(node = min(comp) AS BIGINT) AS is_canonical
         FROM reach GROUP BY node ORDER BY doc_id
     """,
+    "c4_line_stats": """
+        WITH c AS (
+            SELECT doc_id,
+                   replace(coalesce(text, ''), ' merge ',
+                           '.' || chr(10) || 'merge ') AS text
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM c
+        ), flags AS (
+            SELECT doc_id, line,
+                   ((line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?')
+                    AND len(string_split(line, ' ')) >= 5
+                    AND NOT contains(lower(line), 'javascript')
+                    AND NOT contains(lower(line), 'lorem ipsum')
+                    AND NOT contains(lower(line), 'cookie')) AS keep
+            FROM lines
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+                   AS n_kept,
+               CAST(coalesce(sum(CASE WHEN keep THEN len(line) END), 0)
+                   AS BIGINT) AS n_chars_kept
+        FROM flags GROUP BY doc_id ORDER BY doc_id
+    """,
     "vocab_top_terms": """
         WITH toks AS (
             SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
@@ -2071,6 +2155,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "near_dup_clusters": near_dup_clusters,
     "vocab_top_terms": vocab_top_terms,
+    "c4_line_stats": c4_line_stats,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_fingerprints": doc_fingerprints,
     "ivf_ann_exhaustive": ivf_ann_exhaustive,
