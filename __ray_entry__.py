@@ -71,7 +71,13 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # Raffel et al. 2020): §2.10 windows/late-data stays gated via
 # events_window; sessionization (gap grouping) remains oracle-checked
 # locally alongside events_sliding_window.
+# embedding_near_dup_pairs demoted for dup_span_documents (exact
+# duplicate-span detection, Lee et al. 2021): the embedding/vector
+# modality stays gated via ivf_ann_exhaustive, D3 near-dup keeps two gated
+# rows (ngram_jaccard_pairs + near_dup_clusters); the embedding pair
+# variant remains oracle-checked locally.
 _TAIL = (
+    "embedding_near_dup_pairs",
     "sessionize_events",
     "simhash_dedup_pairs",
     "topk_per_group",

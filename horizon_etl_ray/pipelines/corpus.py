@@ -355,6 +355,140 @@ def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
             [["doc_id", "cluster_id", "is_canonical"]])
 
 
+def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
+    """Exact duplicate-SPAN detection (substring-level dedup à la Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    a document's ``w``-token window is a duplicate span iff the identical
+    window occurs in ≥2 distinct documents — catching copied passages that
+    whole-document near-dup misses. Returns per-document window totals and
+    duplicate-window counts (the inputs of span-removal). Duplicate spans
+    are planted by unioning exact copies of the first 25 docs (id+50_000).
+
+    Stage shape: per-batch DISTINCT (doc, window) explode (vectorized
+    shifted-concat join over the token frame — no per-row loop) → ONE
+    vectorized ``groupby(window).count()`` exchange → the (small) dup
+    window set broadcasts once and the per-doc stats stream out of a
+    second explode pass with a hash-set membership test; above the
+    broadcast threshold a ``groupby(window).map_groups`` co-shuffle
+    fallback stays correct at any dup-set size. At 100 TB the exchange key
+    would be the 64-bit rolling window hash (functions/text.py, as
+    decontamination does) with exact verify on collisions — parity keeps
+    the exact string key so the DuckDB twin is hash-free; tokenization is
+    the \\w+ lowercase convention of the jaccard shingle CTE (ASCII
+    corpus: Python-re and RE2 agree)."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["doc_id"], pa.scalar(25, pa.int64())))
+        return pa.table(
+            {"doc_id": pc.add(sel["doc_id"], pa.scalar(50_000, pa.int64())),
+             "text": sel["text"]})
+
+    corpus = docs.union(docs.map_batches(plant, batch_format="pyarrow"))
+
+    def _explode_df(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"\w+")
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        out_ids, out_wins = [], []
+        big = lens >= w
+        if big.any():
+            flat = np.array([t for lst in toks[big] for t in lst],
+                            dtype=object)
+            blens = lens[big]
+            offs = np.concatenate(([0], np.cumsum(blens)))[:-1]
+            n_starts = blens - w + 1
+            # global start index of every window (repeat + cumsum trick)
+            starts = np.repeat(offs, n_starts) + (
+                np.arange(int(n_starts.sum()))
+                - np.repeat(np.concatenate(([0],
+                                            np.cumsum(n_starts)))[:-1],
+                            n_starts))
+            acc = flat[starts]
+            for j in range(1, w):  # w-1 elementwise object concats
+                acc = acc + " "
+                acc = acc + flat[starts + j]
+            out_ids.append(np.repeat(ids[big], n_starts))
+            out_wins.append(acc)
+        small = ~big
+        if small.any():  # whole doc is the single window ('' when empty,
+            out_ids.append(ids[small])  # matching the SQL branch)
+            out_wins.append(toks[small].str.join(" ").to_numpy(dtype=object))
+        df = pd.DataFrame({"doc_id": np.concatenate(out_ids),
+                           "window": np.concatenate(out_wins)})
+        return df.drop_duplicates()  # distinct per doc (one row per doc/batch)
+
+    def explode(t: pa.Table) -> pa.Table:
+        # explicit Arrow string output: letting the pandas block conversion
+        # pick the string layout made the downstream sort exchange ~8×
+        # slower on this key (measured 12.8 s → 1.6 s at 25k windows)
+        df = _explode_df(t.to_pandas())
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "window": pa.array(df["window"].tolist(), pa.string()),
+        })
+
+    # Stage A: ONE vectorized count exchange over the exploded frame (no
+    # per-group UDF), keeping only windows seen in ≥2 docs — the dup set.
+    exploded = corpus.map_batches(explode, batch_format="pyarrow")
+    counts = exploded.groupby("window").count()
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["count()"],
+                                         pa.scalar(2, pa.int64())))
+
+    dup_ds = counts.map_batches(only_dups, batch_format="pyarrow")
+    n_dup_windows_total = dup_ds.count()
+
+    if n_dup_windows_total <= 2_000_000:
+        # hybrid fast path (same discipline as the join build sides): the
+        # dup-window set is broadcast ONCE via the object store and the
+        # final per-doc stats stream out of a second explode pass with a
+        # hash-set membership test — total one exchange, no join.
+        import ray
+
+        dup_windows = pd.Index(
+            dup_ds.to_pandas()["window"]) if n_dup_windows_total else pd.Index([])
+        ref = ray.put(dup_windows)
+
+        def finish(batch: pd.DataFrame) -> pd.DataFrame:
+            df = _explode_df(batch)
+            dups = ray.get(ref)
+            isdup = df["window"].isin(dups).to_numpy()
+            g = df.groupby("doc_id", sort=False)
+            tot = g.size()
+            dup_n = pd.Series(isdup, index=df.index).groupby(
+                df["doc_id"], sort=False).sum()
+            return pd.DataFrame({
+                "doc_id": tot.index.to_numpy(dtype=np.int64),
+                "n_windows": tot.to_numpy(dtype=np.int64),
+                "n_dup_windows": dup_n.reindex(tot.index).to_numpy(
+                    dtype=np.int64),
+            })
+
+        out = corpus.map_batches(finish, batch_format="pandas").to_pandas()
+    else:  # co-shuffle fallback: correct at ANY dup-set size
+        def mark(g: pd.DataFrame) -> pd.DataFrame:
+            # rows are distinct (doc, window): group size == distinct docs
+            dup = np.int64(1 if len(g) >= 2 else 0)
+            return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                                 "dup": np.full(len(g), dup, dtype=np.int64)})
+
+        from ray.data.aggregate import Count, Sum
+
+        out = (
+            exploded.groupby("window").map_groups(mark, batch_format="pandas")
+            .groupby("doc_id").aggregate(Count(), Sum("dup"))
+            .to_pandas()
+            .rename(columns={"count()": "n_windows",
+                             "sum(dup)": "n_dup_windows"})
+        )
+        out["n_dup_windows"] = out["n_dup_windows"].astype(np.int64)
+        out["n_windows"] = out["n_windows"].astype(np.int64)
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_windows", "n_dup_windows"]])
+
+
 def vocab_top_terms(sf_dir: str, k: int = 256) -> pd.DataFrame:
     """Distributed vocabulary construction (the count step of tokenizer
     training): corpus-wide token counts with per-block PARTIAL aggregation
@@ -1067,13 +1201,17 @@ def shuffled_head_documents(sf_dir: str, k: int = 50) -> pd.DataFrame:
 
     docs = _rp(sf_dir, "documents", columns=["doc_id"])
 
-    def key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["shuffle_key"] = md5_hex_of_ints(batch["doc_id"].to_numpy())
-        return batch
+    def key(t: pa.Table) -> pa.Table:
+        # Arrow string key: the sort exchange on a pandas object column is
+        # ~8× slower than on an Arrow string column (dup_span finding)
+        ks = md5_hex_of_ints(t["doc_id"].to_numpy(zero_copy_only=False))
+        # drop pandas schema metadata: its dict payload defeats Ray's
+        # schema-dedup hashing in the sort exchange (warning noise)
+        return t.replace_schema_metadata(None).append_column(
+            "shuffle_key", pa.array(list(ks), pa.string()))
 
     head = (
-        docs.map_batches(key, batch_format="pandas")
+        docs.map_batches(key, batch_format="pyarrow")
         .sort(["shuffle_key", "doc_id"])
         .limit(k)
         .to_pandas()
@@ -1228,16 +1366,21 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()
 
-    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        batch = t.to_pandas()
         toks = batch["text"].fillna("").str.split(" ")
         lens = toks.str.len().to_numpy(dtype=np.int64)
         long = pd.DataFrame({
             "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), lens),
             "term": np.concatenate(toks.to_numpy()),
         }).drop_duplicates()
-        return long[["term"]]
+        # explicit Arrow string output: a pandas block would carry the term
+        # column as Python objects through the DF exchange, which sorts ~8×
+        # slower than Arrow strings (same finding as dup_span_documents)
+        return pa.table({"term": pa.array(long["term"].tolist(),
+                                          pa.string())})
 
-    df_tbl = (docs.map_batches(distinct_pairs, batch_format="pandas")
+    df_tbl = (docs.map_batches(distinct_pairs, batch_format="pyarrow")
               .groupby("term").count().to_pandas())
     idf = dict(zip(df_tbl["term"],
                    np.log(float(n_docs) / df_tbl["count()"].to_numpy())))
@@ -1988,6 +2131,34 @@ ORACLE_SQL: dict[str, str] = {
                CAST(node = min(comp) AS BIGINT) AS is_canonical
         FROM reach GROUP BY node ORDER BY doc_id
     """,
+    "dup_span_documents": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 50000, text FROM documents WHERE doc_id < 25
+        ), tok AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM corpus
+        ), wins AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(ws) < 8
+                        THEN [array_to_string(ws, ' ')]
+                        ELSE [array_to_string(ws[i:i+7], ' ')
+                              for i in generate_series(1, len(ws) - 7)] END)
+                       AS win
+            FROM tok
+        ), d AS (
+            SELECT DISTINCT doc_id, win FROM wins
+        ), c AS (
+            SELECT win, count(*) AS n_docs FROM d GROUP BY win
+        )
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_windows
+        FROM d JOIN c USING (win)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
     "c4_line_stats": """
         WITH c AS (
             SELECT doc_id,
@@ -2156,6 +2327,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "vocab_top_terms": vocab_top_terms,
     "c4_line_stats": c4_line_stats,
+    "dup_span_documents": dup_span_documents,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_fingerprints": doc_fingerprints,
     "ivf_ann_exhaustive": ivf_ann_exhaustive,
