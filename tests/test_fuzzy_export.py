@@ -90,3 +90,59 @@ def test_json_tail_source_parity(tmp_path):
     apply_epoch(rd.read_json(jpath), lake_j, 0, CdcConfig(num_partitions=4))
     apply_epoch(rd.from_arrow(t), lake_p, 0, CdcConfig(num_partitions=4))
     assert lake_global_digest(lake_j) == lake_global_digest(lake_p)
+
+
+def test_sharded_corpus_export_resumes_and_skips_done(tmp_path, ray_session):
+    """Resumable sharded export: a rerun (a) skips marker-complete shards
+    without rewriting their files, (b) removes and rewrites a crashed
+    (unmarked) shard, and the read-back equals the input either way."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.export import export_sharded_corpus
+
+    df = pd.DataFrame({"doc_id": range(200), "text": [f"t{i}" for i in range(200)]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = str(tmp_path / "corpus_out")
+
+    m1 = export_sharded_corpus(ds, out, num_shards=4)
+    assert sorted(m1["written"]) == [0, 1, 2, 3] and m1["rows_written"] == 200
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back["doc_id"]) == list(range(200))
+
+    # full rerun: everything marker-complete → nothing written
+    mtimes = {}
+    for k in range(4):
+        sdir = os.path.join(out, f"shard={k}")
+        mtimes[k] = {f: os.path.getmtime(os.path.join(sdir, f))
+                     for f in os.listdir(sdir)}
+    m2 = export_sharded_corpus(ds, out, num_shards=4)
+    assert m2["written"] == [] and m2["skipped"] == [0, 1, 2, 3]
+    assert m2["rows_written"] == 0
+    for k in range(4):
+        sdir = os.path.join(out, f"shard={k}")
+        assert {f: os.path.getmtime(os.path.join(sdir, f))
+                for f in os.listdir(sdir)} == mtimes[k]
+
+    # crash simulation: shard 2's marker is gone and its dir is partial
+    os.unlink(os.path.join(out, "_shard_2.done"))
+    sdir2 = os.path.join(out, "shard=2")
+    victim = os.path.join(sdir2, os.listdir(sdir2)[0])
+    with open(victim, "ab") as f:
+        f.write(b"CORRUPT PARTIAL WRITE")
+    time.sleep(0.01)
+    m3 = export_sharded_corpus(ds, out, num_shards=4)
+    assert m3["written"] == [2] and sorted(m3["skipped"]) == [0, 1, 3]
+    assert m3["rows_written"] > 0
+    back3 = rd.read_parquet(out).to_pandas()
+    assert sorted(back3["doc_id"]) == list(range(200))
+    # untouched shards kept their original files
+    for k in (0, 1, 3):
+        sdir = os.path.join(out, f"shard={k}")
+        assert {f: os.path.getmtime(os.path.join(sdir, f))
+                for f in os.listdir(sdir)} == mtimes[k]
