@@ -32,6 +32,10 @@ def main() -> int:
                     help="phase-checkpoint dir (default <lake>/_orchestrator)")
     ap.add_argument("--replay-timeout", type=float, default=3600)
     ap.add_argument("--compact-timeout", type=float, default=1800)
+    ap.add_argument("--export-dir", default=None,
+                    help="also export the committed lake view as resumable "
+                         "sharded parquet (skipped when omitted)")
+    ap.add_argument("--export-shards", type=int, default=16)
     args = ap.parse_args()
 
     import ray
@@ -43,7 +47,9 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from horizon_etl_ray.pipelines.cdc import CdcConfig, compact, replay
+    from horizon_etl_ray.pipelines.cdc import (CdcConfig, compact, read_lake,
+                                               replay)
+    from horizon_etl_ray.pipelines.export import export_sharded_corpus
     from horizon_etl_ray.pipelines.orchestrator import (CallbackNotifier,
                                                         PhaseSpec, run_phases)
     from horizon_etl_ray.pipelines.report import write_run_report
@@ -67,6 +73,14 @@ def main() -> int:
         PhaseSpec("report", lambda: write_run_report(args.lake),
                   timeout_sec=300, critical=False),
     ]
+    if args.export_dir:
+        key0 = cfg.key_columns[0]
+        phases.append(PhaseSpec(
+            "export",
+            lambda: export_sharded_corpus(
+                read_lake(args.lake, cfg=cfg), args.export_dir,
+                id_column=key0, num_shards=args.export_shards),
+            timeout_sec=1800, critical=False))
     rc, results = run_phases(
         phases,
         state_dir=args.state_dir or os.path.join(args.lake, "_orchestrator"),
