@@ -387,35 +387,28 @@ def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
     corpus = docs.union(docs.map_batches(plant, batch_format="pyarrow"))
 
     def _explode_df(batch: pd.DataFrame) -> pd.DataFrame:
+        # normalize (\w+ lowercase, the jaccard-CTE convention) then reuse
+        # the shared vectorized n-gram explode kernel for full windows;
+        # docs shorter than w contribute their whole text as one window
+        # ('' when empty, matching the SQL branch)
         toks = batch["text"].fillna("").str.lower().str.findall(r"\w+")
+        norm = toks.str.join(" ")
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         lens = toks.str.len().to_numpy(dtype=np.int64)
-        out_ids, out_wins = [], []
+        frames = []
         big = lens >= w
         if big.any():
-            flat = np.array([t for lst in toks[big] for t in lst],
-                            dtype=object)
-            blens = lens[big]
-            offs = np.concatenate(([0], np.cumsum(blens)))[:-1]
-            n_starts = blens - w + 1
-            # global start index of every window (repeat + cumsum trick)
-            starts = np.repeat(offs, n_starts) + (
-                np.arange(int(n_starts.sum()))
-                - np.repeat(np.concatenate(([0],
-                                            np.cumsum(n_starts)))[:-1],
-                            n_starts))
-            acc = flat[starts]
-            for j in range(1, w):  # w-1 elementwise object concats
-                acc = acc + " "
-                acc = acc + flat[starts + j]
-            out_ids.append(np.repeat(ids[big], n_starts))
-            out_wins.append(acc)
+            d, grams = tx.explode_word_ngrams(ids[big], norm[big], w)
+            frames.append(pd.DataFrame({"doc_id": d, "window": grams}))
         small = ~big
-        if small.any():  # whole doc is the single window ('' when empty,
-            out_ids.append(ids[small])  # matching the SQL branch)
-            out_wins.append(toks[small].str.join(" ").to_numpy(dtype=object))
-        df = pd.DataFrame({"doc_id": np.concatenate(out_ids),
-                           "window": np.concatenate(out_wins)})
+        if small.any():
+            frames.append(pd.DataFrame(
+                {"doc_id": ids[small],
+                 "window": norm[small].to_numpy(dtype=object)}))
+        if not frames:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "window": pd.Series([], dtype=object)})
+        df = pd.concat(frames, ignore_index=True)
         return df.drop_duplicates()  # distinct per doc (one row per doc/batch)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -437,7 +430,10 @@ def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
         return t.filter(pc.greater_equal(t["count()"],
                                          pa.scalar(2, pa.int64())))
 
-    dup_ds = counts.map_batches(only_dups, batch_format="pyarrow")
+    # materialize: count() and to_pandas() below would otherwise each
+    # re-execute the explode + count exchange from scratch (lazy lineage)
+    dup_ds = counts.map_batches(only_dups,
+                                batch_format="pyarrow").materialize()
     n_dup_windows_total = dup_ds.count()
 
     if n_dup_windows_total <= 2_000_000:

@@ -80,6 +80,22 @@ def export_sharded_corpus(ds, out_dir: str, id_column: str = "doc_id",
     from ..functions.hashing import partition_ids
 
     os.makedirs(out_dir, exist_ok=True)
+    # resume-config fence: a rerun with a different num_shards/id_column
+    # would remap rows across shard boundaries while the old marked dirs
+    # keep their copies → silent duplication on read-back. Refuse instead.
+    meta_path = os.path.join(out_dir, "_export_meta.json")
+    meta = {"num_shards": num_shards, "id_column": id_column}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"export config mismatch in {out_dir}: directory was "
+                f"written with {prev}, rerun requested {meta} — resuming "
+                "would duplicate rows across shard layouts; export to a "
+                "fresh directory or delete the old one")
+    else:
+        atomic_write_bytes(meta_path, json.dumps(meta, indent=1).encode())
     done = {
         k for k in range(num_shards)
         if os.path.exists(os.path.join(out_dir, f"_shard_{k}.done"))

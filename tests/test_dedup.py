@@ -211,13 +211,17 @@ def test_near_dup_clusters_are_transitive():
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [
-        {"doc_id": 1, "text": base},
-        {"doc_id": 2, "text": base + " lambda"},           # ~1 strongly
-        {"doc_id": 3, "text": base + " lambda mu nu xi"},  # ~2, weaker to 1
+        {"doc_id": 1, "text": base},  # 10 tokens → 6 shingles
+        {"doc_id": 2, "text": base + " lambda"},  # 11 → 7; jac(1,2)=6/7
+        # 17 tokens → 13 shingles: jac(2,3)=7/13≈0.54 ≥ 0.5 but
+        # jac(1,3)=6/13≈0.46 < 0.5 — a TRUE chain, no direct 1–3 edge
+        {"doc_id": 3, "text": base + " lambda mu nu xi omicron pi rho"},
         {"doc_id": 9, "text": "totally different words about engines and rays"},
     ]
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     pairs = dd.ngram_jaccard_pairs(ds, threshold=0.5, concurrency=(1, 2))
+    pset = {(r["id_a"], r["id_b"]) for r in pairs.to_pandas().to_dict("records")}
+    assert (1, 3) not in pset and {(1, 2), (2, 3)} <= pset  # chain premise
     labels = cc(pairs.select_columns(["id_a", "id_b"]),
                 ds.select_columns(["doc_id"]),
                 src="id_a", dst="id_b", node_col="doc_id",

@@ -146,3 +146,24 @@ def test_sharded_corpus_export_resumes_and_skips_done(tmp_path, ray_session):
         sdir = os.path.join(out, f"shard={k}")
         assert {f: os.path.getmtime(os.path.join(sdir, f))
                 for f in os.listdir(sdir)} == mtimes[k]
+
+
+def test_sharded_export_refuses_resume_with_different_layout(tmp_path, ray_session):
+    """Resuming with a different num_shards would remap rows across shard
+    boundaries while old marked dirs keep their copies (silent duplication)
+    — the exporter must refuse on a layout mismatch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.export import export_sharded_corpus
+
+    df = pd.DataFrame({"doc_id": range(50), "text": ["x"] * 50})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = str(tmp_path / "layout_out")
+    export_sharded_corpus(ds, out, num_shards=4)
+    with _pytest.raises(ValueError, match="config mismatch"):
+        export_sharded_corpus(ds, out, num_shards=8)
+    with _pytest.raises(ValueError, match="config mismatch"):
+        export_sharded_corpus(ds, out, id_column="text", num_shards=4)
