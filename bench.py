@@ -244,6 +244,11 @@ BENCH_QUERIES = [
     "doc_sections",
     "classify_customers",
     "cdc_replay_lineitem_epochs",
+    # round-4 session-2 additions
+    "near_dup_clusters",
+    "dup_span_documents",
+    "vocab_top_terms",
+    "c4_line_stats",
 ]
 
 
