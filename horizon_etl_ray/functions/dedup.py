@@ -550,17 +550,37 @@ def ngram_jaccard_pairs(ds, text_column="text", id_column="doc_id",
         return df
 
     def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, sub in g.groupby("_sh", sort=False):
-            ids = np.unique(sub["_id"].to_numpy())[:max_bucket]
-            if len(ids) < 2:
-                continue
-            a, b = np.triu_indices(len(ids), k=1)
-            frames.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
-        if not frames:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.concat(frames, ignore_index=True)
+        # fully vectorized pair expansion (was a per-shingle Python loop —
+        # the measured hot stage of the operator): sort by (shingle, id),
+        # derive per-shingle segments, cap each at max_bucket, then emit
+        # every within-segment (a < b) pair with repeat/cumsum arithmetic
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        sub = g[["_sh", "_id"]].drop_duplicates().sort_values(["_sh", "_id"])
+        sh = sub["_sh"].to_numpy()
+        ids = sub["_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return empty
+        new = np.concatenate(([True], sh[1:] != sh[:-1]))
+        starts = np.flatnonzero(new)
+        seg_of = np.cumsum(new) - 1
+        rank = np.arange(len(ids)) - starts[seg_of]
+        if (rank >= max_bucket).any():  # hot-shingle cap (stop-grams)
+            keep = rank < max_bucket
+            ids, seg_raw = ids[keep], seg_of[keep]
+            new = np.concatenate(([True], seg_raw[1:] != seg_raw[:-1]))
+            starts = np.flatnonzero(new)
+            seg_of = np.cumsum(new) - 1
+            rank = np.arange(len(ids)) - starts[seg_of]
+        lens = np.diff(np.append(starts, len(ids)))
+        counts = lens[seg_of] - 1 - rank  # per-element partner count
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(ids)), counts)
+        excl = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total) - np.repeat(excl, counts))
+        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
     cands = dedup_pairs(
         (prefixes.map_batches(route, batch_format="pandas")
