@@ -364,18 +364,20 @@ def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
     duplicate-window counts (the inputs of span-removal). Duplicate spans
     are planted by unioning exact copies of the first 25 docs (id+50_000).
 
-    Stage shape: per-batch DISTINCT (doc, window) explode (vectorized
-    shifted-concat join over the token frame — no per-row loop) → ONE
-    vectorized ``groupby(window).count()`` exchange → the (small) dup
-    window set broadcasts once and the per-doc stats stream out of a
-    second explode pass with a hash-set membership test; above the
-    broadcast threshold a ``groupby(window).map_groups`` co-shuffle
-    fallback stays correct at any dup-set size. At 100 TB the exchange key
-    would be the 64-bit rolling window hash (functions/text.py, as
-    decontamination does) with exact verify on collisions — parity keeps
-    the exact string key so the DuckDB twin is hash-free; tokenization is
-    the \\w+ lowercase convention of the jaccard shingle CTE (ASCII
-    corpus: Python-re and RE2 agree)."""
+    Stage shape: per-batch DISTINCT (doc, window) explode (the shared
+    vectorized n-gram kernel — no per-row loop) → TWO-LEVEL count reduce
+    (per-block ``value_counts`` partials routed by ``hash(window) % B``,
+    one vectorized pandas sum per physical bucket — a flat
+    ``groupby(window).count()`` pays per-group overhead, measured 9.1 s
+    vs 0.96 s at 237k windows) → the (small) dup window set broadcasts
+    once and the per-doc stats stream out of a second explode pass with a
+    hash-set membership test; above the broadcast threshold a
+    ``groupby(window).map_groups`` co-shuffle fallback stays correct at
+    any dup-set size. The reduce keys on the exact window STRING (the
+    bucket hash only routes), so the DuckDB twin is hash-free and
+    collisions are impossible; tokenization is the \\w+ lowercase
+    convention of the jaccard shingle CTE (ASCII corpus: Python-re and
+    RE2 agree)."""
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def plant(t: pa.Table) -> pa.Table:
@@ -421,19 +423,37 @@ def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
             "window": pa.array(df["window"].tolist(), pa.string()),
         })
 
-    # Stage A: ONE vectorized count exchange over the exploded frame (no
-    # per-group UDF), keeping only windows seen in ≥2 docs — the dup set.
+    # Stage A: TWO-LEVEL bucketed count reduce (the lang-confusion /
+    # quantiles pattern): per-block value_counts partials routed by
+    # hash(window) % B, then ONE vectorized pandas groupby per physical
+    # bucket. A flat Dataset.groupby("window").count() pays per-GROUP
+    # aggregation overhead — measured 9.1 s vs 0.96 s on the same 237k
+    # distinct windows. Exact: partials sum across blocks in the reduce.
+    B = 64
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = t["window"].value_counts()
+        wcol = vc.field("values")
+        h = pd.util.hash_array(np.asarray(wcol.to_pylist(), dtype=object))
+        return pa.table({
+            "window": wcol,
+            "n": vc.field("counts").cast(pa.int64()),
+            "_b": pa.array((h % B).astype(np.int64), pa.int64()),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("window", sort=False)["n"].sum()
+        dup = s[s >= 2]
+        return pd.DataFrame(
+            {"window": pd.Series(dup.index.to_numpy(dtype=object),
+                                 dtype=object)})
+
     exploded = corpus.map_batches(explode, batch_format="pyarrow")
-    counts = exploded.groupby("window").count()
-
-    def only_dups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["count()"],
-                                         pa.scalar(2, pa.int64())))
-
     # materialize: count() and to_pandas() below would otherwise each
-    # re-execute the explode + count exchange from scratch (lazy lineage)
-    dup_ds = counts.map_batches(only_dups,
-                                batch_format="pyarrow").materialize()
+    # re-execute the explode + reduce from scratch (lazy lineage)
+    dup_ds = (exploded.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("_b").map_groups(reduce_bucket, batch_format="pandas")
+              ).materialize()
     n_dup_windows_total = dup_ds.count()
 
     if n_dup_windows_total <= 2_000_000:
