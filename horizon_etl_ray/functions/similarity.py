@@ -119,6 +119,58 @@ class IvfIndexParams:
                 centroids[j] = members.mean(axis=0)
         return cls(centroids)
 
+    @classmethod
+    def fit_distributed(cls, ds, nlist: int = 16,
+                        vec_column: str = "embedding", iters: int = 4,
+                        sample_rows: int = 4096,
+                        seed: int = 42) -> "IvfIndexParams":
+        """FULL-CORPUS spherical k-means (Lloyd's) — the scale path when
+        the sample-seeded one-pass fit isn't enough (skewed corpora, large
+        ``nlist``): init from :meth:`fit`, then ``iters`` rounds where each
+        block emits per-centroid (vector sum, member count) partials —
+        ONE streaming ``map_batches`` pass per round, no shuffle, and the
+        driver folds only ``nlist × dim`` floats per block. Centroids are
+        re-normalized each round (cosine/spherical variant, matching the
+        dot-product assignment ``ivf_topk`` uses); empty clusters keep
+        their previous centroid. Deterministic given the seed up to
+        float-sum reassociation across blocks."""
+        import ray
+
+        cents = cls.fit(ds, nlist=nlist, vec_column=vec_column,
+                        sample_rows=sample_rows, seed=seed).centroids
+        k, dim = cents.shape
+        for _ in range(iters):
+            ref = ray.put(cents)
+
+            def partial(batch: pd.DataFrame) -> pd.DataFrame:
+                c = ray.get(ref)
+                m = _normalize(_stack(batch[vec_column].to_numpy()))
+                a = (m @ c.T).argmax(axis=1)
+                rows = []
+                for j in range(len(c)):
+                    members = m[a == j]
+                    if len(members):
+                        rows.append({"j": j, "n": len(members),
+                                     "s": members.sum(axis=0).tolist()})
+                if not rows:
+                    return pd.DataFrame({"j": pd.Series([], dtype=np.int64),
+                                         "n": pd.Series([], dtype=np.int64),
+                                         "s": pd.Series([], dtype=object)})
+                return pd.DataFrame(rows)
+
+            parts = ds.map_batches(partial,
+                                   batch_format="pandas").to_pandas()
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            for j, n, s in zip(parts["j"], parts["n"], parts["s"]):
+                sums[int(j)] += np.asarray(s, dtype=np.float64)
+                cnts[int(j)] += int(n)
+            nz = cnts > 0
+            cents = cents.copy()
+            cents[nz] = sums[nz] / cnts[nz, None]
+            cents = _normalize(cents)
+        return cls(cents)
+
 
 def ivf_topk(
     ds,

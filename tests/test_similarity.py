@@ -56,3 +56,48 @@ def test_ivf_recall(corpus, corpus_ds):
     for qid in [0, 100, 250]:
         top1 = out[(out["query_id"] == qid) & (out["rank"] == 1)]["vec_id"].iloc[0]
         assert top1 == qid
+
+
+def _naive_spherical_kmeans(corpus, init, iters):
+    """Serial reference of the distributed fit's per-round math."""
+    m = corpus.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = init.copy()
+    for _ in range(iters):
+        a = (m @ c.T).argmax(axis=1)
+        c = c.copy()
+        for j in range(len(c)):
+            members = m[a == j]
+            if len(members):
+                c[j] = members.sum(axis=0) / len(members)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c
+
+
+def test_fit_distributed_matches_serial_lloyds(corpus, corpus_ds):
+    """The distributed Lloyd's rounds (per-block sum/count partials folded
+    on the driver) must equal a serial spherical k-means from the SAME
+    init, up to float-sum reassociation across blocks."""
+    init = sim.IvfIndexParams.fit(corpus_ds, nlist=8).centroids
+    want = _naive_spherical_kmeans(corpus, init, iters=3)
+    got = sim.IvfIndexParams.fit_distributed(corpus_ds, nlist=8,
+                                             iters=3).centroids
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_ivf_recall_with_distributed_fit(corpus, corpus_ds):
+    """Iterated centroids must not LOSE recall vs the quick sample fit on
+    the same probe budget — and the self-match invariant holds."""
+    queries = corpus[[0, 100, 250]]
+    params = sim.IvfIndexParams.fit_distributed(corpus_ds, nlist=8, iters=3)
+    out = sim.ivf_topk(corpus_ds, params, queries, k=5, nprobe=4,
+                       query_ids=np.array([0, 100, 250]))
+    hits = 0
+    for qid, qvec in zip([0, 100, 250], queries):
+        exact = set(_exact_topk(corpus, qvec, 5))
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        hits += len(exact & got)
+    assert hits >= 9
+    for qid in [0, 100, 250]:
+        top1 = out[(out["query_id"] == qid) & (out["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == qid
