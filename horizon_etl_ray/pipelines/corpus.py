@@ -704,10 +704,14 @@ def clean_corpus(sf_dir: str, quality_min: float = 0.5,
 
 
 def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
-    """IVF-bucketed ANN (scale path of ann_cosine_topk; approximate)."""
+    """IVF-bucketed ANN (scale path of ann_cosine_topk; approximate).
+    Centroids come from the DISTRIBUTED full-corpus spherical k-means
+    (``fit_distributed``: per-block sum/count partials, one streaming pass
+    per Lloyd round) so this row exercises the iterated index build, not
+    just the sample seeding."""
     queries, qids = _query_vectors(sf_dir)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    params = sim.IvfIndexParams.fit(ds, nlist=16)
+    params = sim.IvfIndexParams.fit_distributed(ds, nlist=16, iters=2)
     out = sim.ivf_topk(ds, params, queries, k=10, nprobe=6, query_ids=qids)
     return out[["query_id", "rank", "vec_id"]].reset_index(drop=True)
 
