@@ -355,7 +355,8 @@ def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
             [["doc_id", "cluster_id", "is_canonical"]])
 
 
-def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
+def dup_span_documents(sf_dir: str, w: int = 8,
+                       broadcast_threshold: int = 2_000_000) -> pd.DataFrame:
     """Exact duplicate-SPAN detection (substring-level dedup à la Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models Better"):
     a document's ``w``-token window is a duplicate span iff the identical
@@ -456,7 +457,7 @@ def dup_span_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
               ).materialize()
     n_dup_windows_total = dup_ds.count()
 
-    if n_dup_windows_total <= 2_000_000:
+    if n_dup_windows_total <= broadcast_threshold:
         # hybrid fast path (same discipline as the join build sides): the
         # dup-window set is broadcast ONCE via the object store and the
         # final per-doc stats stream out of a second explode pass with a

@@ -310,3 +310,25 @@ def test_vocab_topk_tie_break_is_deterministic(tmp_path, ray_session):
     out = vocab_top_terms(sf, k=4)
     assert out["token"].tolist() == ["zz", "bb", "cc", "dd"]
     assert out["n"].tolist() == [3, 2, 2, 2]
+
+
+def test_dup_span_fallback_path_matches_broadcast(tmp_path, ray_session):
+    """broadcast_threshold=0 forces the co-shuffle fallback; its output
+    must equal the broadcast fast path (same policy as the exact-dedup
+    semi-join parity test)."""
+    import pandas as pd
+
+    from horizon_etl_ray.pipelines.corpus import dup_span_documents
+
+    passage = "one two three four five six seven eight nine ten"
+    rows = [
+        {"doc_id": 40 + i,
+         "text": f"doc {i} prefix " + (passage if i % 2 == 0 else f"own words {i} " * 3),
+         "lang": "en", "source": "s", "n_chars": 0}
+        for i in range(8)
+    ]
+    sf = _fake_sf_dir(tmp_path, rows)
+    fast = dup_span_documents(sf, w=8)
+    slow = dup_span_documents(sf, w=8, broadcast_threshold=0)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert fast["n_dup_windows"].sum() > 0  # the even docs share the passage
