@@ -1404,7 +1404,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
+    B = 32
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # per-block PARTIAL document-frequency counts: each doc lives in
+        # one row, so distinct (doc,term) within the block is globally
+        # distinct and value_counts(term) is a mergeable DF partial.
+        # Two-level bucketed reduce (the dup_span/vocab pattern — a flat
+        # vocab-cardinality groupby pays per-group overhead).
         batch = t.to_pandas()
         toks = batch["text"].fillna("").str.split(" ")
         lens = toks.str.len().to_numpy(dtype=np.int64)
@@ -1412,16 +1419,24 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
             "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), lens),
             "term": np.concatenate(toks.to_numpy()),
         }).drop_duplicates()
-        # explicit Arrow string output: a pandas block would carry the term
-        # column as Python objects through the DF exchange, which sorts ~8×
-        # slower than Arrow strings (same finding as dup_span_documents)
-        return pa.table({"term": pa.array(long["term"].tolist(),
-                                          pa.string())})
+        vc = long["term"].value_counts()
+        terms = vc.index.to_numpy(dtype=object)
+        h = pd.util.hash_array(terms)
+        return pa.table({"term": pa.array(terms.tolist(), pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                         "_b": pa.array((h % B).astype(np.int64),
+                                        pa.int64())})
 
-    df_tbl = (docs.map_batches(distinct_pairs, batch_format="pyarrow")
-              .groupby("term").count().to_pandas())
+    def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", sort=False)["df"].sum()
+        return pd.DataFrame({"term": s.index.to_numpy(dtype=object),
+                             "df": s.to_numpy(np.int64)})
+
+    df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("_b").map_groups(df_reduce, batch_format="pandas")
+              .to_pandas())
     idf = dict(zip(df_tbl["term"],
-                   np.log(float(n_docs) / df_tbl["count()"].to_numpy())))
+                   np.log(float(n_docs) / df_tbl["df"].to_numpy())))
     ref = ray.put(idf)
 
     def topk(batch: pd.DataFrame) -> pd.DataFrame:
