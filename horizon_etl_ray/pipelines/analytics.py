@@ -94,16 +94,15 @@ def parent_rollup(sf_dir: str) -> pd.DataFrame:
             t["o_orderdate"].cast(pa.int64()),
         )
 
-    out = (
-        ds.map_batches(to_micros, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Min("o_orderdate", alias_name="first_us"),
-            Max("o_orderdate", alias_name="last_us"),
-            Count(alias_name="n_orders"),
-        )
-        .to_pandas()
-    )
+    from ..functions.bucketed import bucketed_groupby_agg
+
+    out = bucketed_groupby_agg(  # customer-cardinality keys (see bucketed.py)
+        ds.map_batches(to_micros, batch_format="pyarrow"),
+        "o_custkey",
+        {"first_us": ("o_orderdate", "min"),
+         "last_us": ("o_orderdate", "max"),
+         "n_orders": ("o_orderdate", "count")},
+    ).to_pandas()
     first = pd.to_datetime(out["first_us"], unit="us")
     last = pd.to_datetime(out["last_us"], unit="us")
     out["first_order"] = first.dt.strftime("%Y-%m-%d")
@@ -216,9 +215,9 @@ def q3_top_orders(sf_dir: str, bloom_threshold: int = 10_000_000
         positives are removed EXACTLY by a ``Dataset.join`` of the (tiny)
         per-order aggregate back to the filtered orders."""
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.bloom import bloom_contains, build_bloom
+    from ..functions.bucketed import bucketed_groupby_agg
 
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
                filter=pc.field("c_mktsegment") == "BUILDING"
@@ -275,9 +274,11 @@ def q3_top_orders(sf_dir: str, bloom_threshold: int = 10_000_000
             mask = keys[pos] == ok if len(keys) else np.zeros(len(ok), bool)
             return revenue(t.filter(pa.array(mask)))
 
-        agg = (li.map_batches(exact_semi, batch_format="pyarrow")
-               .groupby("l_orderkey")
-               .aggregate(Sum("rev", alias_name="revenue")))
+        # two-level reduce: order-cardinality groups pay the per-group
+        # overhead flat groupby has (functions/bucketed.py)
+        agg = bucketed_groupby_agg(
+            li.map_batches(exact_semi, batch_format="pyarrow"),
+            "l_orderkey", {"revenue": ("rev", "sum")})
         out = agg.to_pandas()
     else:
         bloom = build_bloom(seg_orders, "o_orderkey")
@@ -288,9 +289,9 @@ def q3_top_orders(sf_dir: str, bloom_threshold: int = 10_000_000
             ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
             return revenue(t.filter(pa.array(bloom_contains(bits, ok))))
 
-        agg = (li.map_batches(bloom_semi, batch_format="pyarrow")
-               .groupby("l_orderkey")
-               .aggregate(Sum("rev", alias_name="revenue")))
+        agg = bucketed_groupby_agg(
+            li.map_batches(bloom_semi, batch_format="pyarrow"),
+            "l_orderkey", {"revenue": ("rev", "sum")})
         # exact FP removal on the (small) aggregate
         cpus = int(ray.cluster_resources().get("CPU", 4))
         exact = agg.join(seg_orders, join_type="inner",
@@ -396,10 +397,14 @@ def top_event_users(sf_dir: str) -> pd.DataFrame:
     """O2 parity: top-20 users by total event value, (-value, id) tiebreak."""
     from ray.data.aggregate import Count, Sum
 
+    from ..functions.bucketed import bucketed_groupby_agg
+
     out = (
-        _rp(sf_dir, "events", columns=["user_id", "value"])
-        .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        bucketed_groupby_agg(  # user-cardinality keys (see bucketed.py)
+            _rp(sf_dir, "events", columns=["user_id", "value"]),
+            "user_id",
+            {"total_value": ("value", "sum"),
+             "n_events": ("value", "count")})
         .to_pandas()
     )
     out = _round(out, {"total_value": 2})
@@ -845,11 +850,14 @@ def classify_customers(sf_dir: str) -> pd.DataFrame:
                          "o_totalprice": t["o_totalprice"],
                          "urgent": urgent})
 
-    agg = (orders.map_batches(proj, batch_format="pyarrow")
-           .groupby("o_custkey")
-           .aggregate(Count(alias_name="n_orders"),
-                      Max("o_totalprice", alias_name="max_price"),
-                      Sum("urgent", alias_name="n_urgent")))
+    from ..functions.bucketed import bucketed_groupby_agg
+
+    agg = bucketed_groupby_agg(  # customer-cardinality keys (bucketed.py)
+        orders.map_batches(proj, batch_format="pyarrow"),
+        "o_custkey",
+        {"n_orders": ("o_totalprice", "count"),
+         "max_price": ("o_totalprice", "max"),
+         "n_urgent": ("urgent", "sum")})
     # hybrid build side (same policy as q3_top_orders/anti_join): the
     # per-customer aggregate is the SMALL side — broadcast it below the
     # threshold (saves the join's aggregator-actor spin-up, ~3 s of fixed
@@ -1377,37 +1385,40 @@ def year_expansion_mart(sf_dir: str) -> pd.DataFrame:
     customer's [first order year, last order year] span is expanded with a
     flat_map, then a per-year active-customer count. Expansion factor is
     bounded by the year range, so the exchange stays linear."""
-    from ray.data.aggregate import Count, Max, Min
-
     ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def to_year(t: pa.Table) -> pa.Table:
         year = pc.year(t["o_orderdate"]).cast(pa.int64())
         return pa.table({"o_custkey": t["o_custkey"], "year": year})
 
-    spans = (
-        ds.map_batches(to_year, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Min("year", alias_name="y0"), Max("year", alias_name="y1"))
-    )
+    from ..functions.bucketed import bucketed_groupby_agg
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
+    spans = bucketed_groupby_agg(  # customer-cardinality keys (bucketed.py)
+        ds.map_batches(to_year, batch_format="pyarrow"),
+        "o_custkey",
+        {"y0": ("year", "min"), "y1": ("year", "max")})
+
+    def expand_counts(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-block (year, partial count): the span expansion is pure
+        repeat/cumsum arithmetic (no per-customer loop) and collapses to a
+        per-year count before leaving the block — the driver only ever sees
+        #blocks × #distinct-years rows (years are calendar-bounded), so no
+        sort exchange is needed for the final 7-row aggregate."""
         y0 = df["y0"].to_numpy(dtype=np.int64)
         y1 = df["y1"].to_numpy(dtype=np.int64)
-        n = (y1 - y0 + 1)
-        years = np.concatenate([np.arange(a, b + 1)
-                                for a, b in zip(y0, y1)]) if len(df) else \
-            np.array([], dtype=np.int64)
-        return pd.DataFrame({"year": years, "one": np.ones(int(n.sum()),
-                                                           dtype=np.int64)})
+        n = y1 - y0 + 1
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame({"year": np.array([], dtype=np.int64),
+                                 "cnt": np.array([], dtype=np.int64)})
+        years = np.repeat(y0, n) + (np.arange(total, dtype=np.int64)
+                                    - np.repeat(np.cumsum(n) - n, n))
+        u, c = np.unique(years, return_counts=True)
+        return pd.DataFrame({"year": u, "cnt": c.astype(np.int64)})
 
-    out = (
-        spans.map_batches(expand, batch_format="pandas")
-        .groupby("year")
-        .sum("one")
-        .to_pandas()
-        .rename(columns={"sum(one)": "active_customers"})
-    )
+    parts = spans.map_batches(expand_counts, batch_format="pandas").to_pandas()
+    out = (parts.groupby("year", sort=False)["cnt"].sum()
+           .rename("active_customers").reset_index())
     out["active_customers"] = out["active_customers"].astype(np.int64)
     return out.sort_values("year").reset_index(drop=True)
 
