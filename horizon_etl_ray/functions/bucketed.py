@@ -28,38 +28,47 @@ __all__ = ["bucketed_groupby_agg"]
 _MERGE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def _key_array(values: np.ndarray) -> pa.Array:
+    """Explicit Arrow type for a key column so string keys never ride
+    pandas object blocks through the exchange (measured ~8× exchange
+    penalty for object-dtype keys, BASELINE.md round-4)."""
+    if values.dtype == object or values.dtype.kind in ("U", "S"):
+        return pa.array(list(values), pa.string())
+    return pa.array(values.astype(np.int64), pa.int64())
+
+
 def bucketed_groupby_agg(
     ds,
-    key: str,
+    key: str | list[str],
     aggs: dict[str, tuple[str, str]],
     num_buckets: int = 64,
 ):
     """``ds.groupby(key).aggregate(...)`` for high-cardinality ``key``.
 
-    ``aggs`` maps output column → ``(input column, op)`` with op in
-    {sum, min, max, count} (count ignores the input column). Returns a
-    Dataset with columns ``[key, *aggs]``. Key dtype (int64 or string) is
-    preserved; partials are emitted as explicit Arrow types so string keys
-    never ride pandas object blocks through the exchange."""
+    ``key`` is a column name or a list of them (composite key — e.g. the
+    distinct-pair reduce of the link consolidation). ``aggs`` maps output
+    column → ``(input column, op)`` with op in {sum, min, max, count}
+    (count ignores the input column). Returns a Dataset with columns
+    ``[*keys, *aggs]``. Key dtypes (int64 or string) are preserved;
+    partials are emitted as explicit Arrow types so string keys never ride
+    pandas object blocks through the exchange."""
+    keys = [key] if isinstance(key, str) else list(key)
     for out_col, (_, op) in aggs.items():
         if op not in _MERGE_OP:
             raise ValueError(f"unsupported agg op {op!r} for {out_col!r}")
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby(key, sort=False)
+        g = df.groupby(keys, sort=False)
         cols: dict[str, pd.Series] = {}
         for out_col, (in_col, op) in aggs.items():
             cols[out_col] = g.size() if op == "count" else g[in_col].agg(op)
         part = pd.DataFrame(cols).reset_index()
-        kv = part[key].to_numpy()
-        if kv.dtype == object or kv.dtype.kind in ("U", "S"):
-            h = pd.util.hash_array(kv.astype(object))
-            key_arr = pa.array(part[key].tolist(), pa.string())
-        else:
-            h = pd.util.hash_array(kv.astype(np.int64))
-            key_arr = pa.array(kv.astype(np.int64), pa.int64())
-        out: dict[str, pa.Array] = {key: key_arr}
+        # one row-hash across ALL key columns: a composite key lives in
+        # exactly one bucket, so per-bucket merges stay disjoint
+        h = pd.util.hash_pandas_object(part[keys], index=False).to_numpy()
+        out: dict[str, pa.Array] = {
+            k: _key_array(part[k].to_numpy()) for k in keys}
         for out_col, (_, op) in aggs.items():
             v = part[out_col].to_numpy()
             out[out_col] = pa.array(
@@ -68,13 +77,14 @@ def bucketed_groupby_agg(
         return pa.table(out)
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(key, sort=False)
+        gg = g.groupby(keys, sort=False)
         cols = {out_col: gg[out_col].agg(_MERGE_OP[op])
                 for out_col, (_, op) in aggs.items()}
         merged = pd.DataFrame(cols).reset_index()
-        if merged[key].dtype == object:
-            merged[key] = pd.Series(
-                merged[key].to_numpy(dtype=object), dtype=object)
+        for k in keys:
+            if merged[k].dtype == object:
+                merged[k] = pd.Series(
+                    merged[k].to_numpy(dtype=object), dtype=object)
         return merged
 
     return (ds.map_batches(partial, batch_format="pyarrow")

@@ -1220,7 +1220,7 @@ def consolidate_repoint_links(sf_dir: str) -> pd.DataFrame:
     loser→winner, and the merged links are re-deduped — per winner: the
     distinct orders it now links to and the raw link rows it absorbed
     (person_consolidator.py:151-264's _merge_simple_link_table counts)."""
-    from ray.data.aggregate import Count, Sum
+    from ..functions.bucketed import bucketed_groupby_agg
 
     sup = _rp(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
     keys = sup["s_suppkey"].to_numpy(dtype=np.int64)
@@ -1232,13 +1232,13 @@ def consolidate_repoint_links(sf_dir: str) -> pd.DataFrame:
     # post-merge dedup: distinct (supplier, order) with multiplicity, then
     # the per-winner rollup (two-level aggregate — the distinct count never
     # materializes raw links on one node)
-    per_pair = (
-        repointed.groupby(["l_suppkey", "l_orderkey"])
-        .aggregate(Count(alias_name="n"))
-    )
+    per_pair = bucketed_groupby_agg(  # pair-cardinality keys (bucketed.py)
+        repointed, ["l_suppkey", "l_orderkey"],
+        {"n": ("l_orderkey", "count")})
     out = (
-        per_pair.groupby("l_suppkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("n", alias_name="n_link_rows"))
+        bucketed_groupby_agg(  # supplier-cardinality second level
+            per_pair, "l_suppkey",
+            {"n_orders": ("n", "count"), "n_link_rows": ("n", "sum")})
         .to_pandas()
         .rename(columns={"l_suppkey": "supplier"})
     )

@@ -56,6 +56,23 @@ def test_string_key_matches_flat_groupby():
         want.astype({"n": np.int64, "s": np.int64}))
 
 
+def test_composite_key_matches_flat_groupby():
+    """Pair keys: every distinct (a, b) lives in exactly one bucket, so
+    per-bucket merges stay disjoint and the two-level result is exact."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 40, 3000),
+        "b": rng.integers(0, 40, 3000),
+        "v": rng.integers(0, 100, 3000),
+    })
+    aggs = {"s": ("v", "sum"), "n": ("v", "count")}
+    got = _run(df, ["a", "b"], aggs)
+    want = _flat(df, ["a", "b"], aggs)
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "s", "n"]].astype({"n": np.int64, "s": np.int64}),
+        want.astype({"n": np.int64, "s": np.int64}))
+
+
 def test_bucket_count_invariance():
     """Result must not depend on num_buckets (routing is internal)."""
     rng = np.random.default_rng(3)
