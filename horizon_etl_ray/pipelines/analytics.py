@@ -54,29 +54,38 @@ def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H-Q1-shaped grouped aggregate (A2-family)."""
-    from ray.data.aggregate import Count, Sum
+    """TPC-H-Q1-shaped grouped aggregate (A2-family).
 
+    Group cardinality is fixed at |returnflag|×|linestatus| = 6, so a flat
+    ``groupby`` (which sorts EVERY row by the string keys) is the wrong
+    shape — each block collapses to ≤6 partial rows in-task and the driver
+    folds #blocks × 6 rows (the same bounded-reduce pattern as
+    year_expansion_mart)."""
     ds = _rp(sf_dir, "lineitem",
              columns=["l_returnflag", "l_linestatus", "l_quantity",
                       "l_extendedprice", "l_discount"])
 
-    def add_cols(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty": t["l_quantity"].to_numpy(zero_copy_only=False),
+            "sum_base_price": t["l_extendedprice"].to_numpy(
+                zero_copy_only=False),
+            "sum_disc_price": disc.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = g.sum()
+        out["count_order"] = g.size().astype(np.int64)
+        return out.reset_index()
 
-    out = (
-        ds.map_batches(add_cols, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
-        .to_pandas()
-    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["l_returnflag", "l_linestatus"], sort=False)
+    out = g[["sum_qty", "sum_base_price", "sum_disc_price",
+             "count_order"]].sum().reset_index()
+    out["count_order"] = out["count_order"].astype(np.int64)
     out = _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -1024,8 +1033,6 @@ def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
     order key via ``Dataset.join`` (Ray's hash-shuffle join), then a grouped
     revenue rollup. Complements hash_join_revenue, which shows the
     broadcast-small-side plan."""
-    from ray.data.aggregate import Count, Sum
-
     o = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     li = _rp(sf_dir, "lineitem",
              columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1043,13 +1050,25 @@ def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
     joined = li.map_batches(revenue_col, batch_format="pyarrow").join(
         o, join_type="inner", num_partitions=16,
         on=("l_orderkey",), right_on=("o_orderkey",))
-    out = (
-        joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="cents"))
-        .to_pandas()
-    )
+    # |orderpriority| = 5: collapse each joined block to ≤5 partial rows
+    # in-task and fold on the driver (bounded by blocks × 5) instead of
+    # sorting the lineitem-scale join output by the string key
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "cents": t["rev_cents"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_orderpriority", sort=False)
+        out = g.sum()
+        out["n_items"] = g.size().astype(np.int64)
+        return out.reset_index()
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("o_orderpriority", sort=False)
+    out = g[["n_items", "cents"]].sum().reset_index()
+    out["n_items"] = out["n_items"].astype(np.int64)
     out["revenue"] = np.round(out["cents"].to_numpy(dtype=np.int64) / 100.0, 2)
-    out = out.drop(columns=["cents"])
+    out = out.drop(columns=["cents"])[["o_orderpriority", "n_items", "revenue"]]
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
