@@ -76,7 +76,15 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # modality stays gated via ivf_ann_exhaustive, D3 near-dup keeps two gated
 # rows (ngram_jaccard_pairs + near_dup_clusters); the embedding pair
 # variant remains oracle-checked locally.
+# quality_scores demoted round-4 session-3 for domain_quality_filter (the
+# source-reputation gate of C4/RefinedWeb web pipelines): the identical
+# quality kernel stays gated THREE times — inside domain_quality_filter
+# itself (same per-doc quality column, value-hash-checked), via
+# c4_line_stats (line-level quality) and composed end-to-end in
+# clean_corpus; the standalone per-doc listing remains oracle-checked
+# locally.
 _TAIL = (
+    "quality_scores",
     "embedding_near_dup_pairs",
     "sessionize_events",
     "simhash_dedup_pairs",

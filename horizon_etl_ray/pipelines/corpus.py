@@ -622,6 +622,84 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def domain_quality_filter(sf_dir: str,
+                          threshold_micro: int = 500_000) -> pd.DataFrame:
+    """Domain/source-REPUTATION filtering (the URL-level gate of C4 /
+    RefinedWeb-family web pipelines — Raffel et al. 2020, Penedo et al.
+    2023: judge the DOMAIN, not just the document, so a boilerplate farm's
+    individually-plausible pages drop wholesale): pass 1 aggregates mean
+    document quality per ``source``; a source whose mean falls below the
+    threshold is dropped with every document it carries; pass 2 streams
+    the corpus again and emits the survivors with their scores. A
+    low-reputation source (``srcbad``: punctuation-only texts over the
+    first 12 doc ids, id+70_000) is planted deterministically so the drop
+    path is exercised and the oracle can reproduce it.
+
+    Scale shape: the per-source aggregate is the two-level bucketed reduce
+    on the source STRING key (functions/bucketed.py — at web scale
+    ``source`` is millions of domains, far past flat-groupby territory);
+    the driver folds one row per source only to build the drop set, which
+    broadcasts once via ``ray.put`` (a drop set past broadcast size would
+    use the anti_filter co-shuffle, the clean_corpus policy). The corpus
+    is never pinned: pass 2 re-reads and re-scores (two streaming passes —
+    at 100 TB re-scoring is cheaper than materializing the scored corpus).
+    The mean-vs-threshold comparison is INTEGER (micro-quality sum vs
+    count × threshold), so Ray's and DuckDB's float summation order can
+    never flip a boundary source."""
+    import ray
+
+    from ..functions.bucketed import bucketed_groupby_agg
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["doc_id"], pa.scalar(12, pa.int64())))
+        n = len(sel)
+        return pa.table({
+            "doc_id": pc.add(sel["doc_id"], pa.scalar(70_000, pa.int64())),
+            "text": pa.array(["!!! ??? !!!"] * n, pa.string()),
+            "source": pa.array(["srcbad"] * n, pa.string()),
+        })
+
+    corpus = docs.union(docs.map_batches(plant, batch_format="pyarrow"))
+
+    def score(t: pa.Table) -> pa.Table:
+        f = tx.quality_features(t["text"].to_pandas())
+        q = np.round(tx.quality_score(f), 6)
+        # integer micro-quality: q is already 6-dp rounded, so q*1e6 is
+        # integral up to float eps and never near a .5 rounding boundary
+        q6 = np.round(q * 1e6).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "quality": pa.array(q, pa.float64()),
+            "q6": pa.array(q6, pa.int64()),
+        })
+
+    scored = corpus.map_batches(score, batch_format="pyarrow")
+    stats = bucketed_groupby_agg(
+        scored, "source",
+        {"q6_sum": ("q6", "sum"), "n_docs": ("q6", "count")}).to_pandas()
+    bad = stats.loc[stats["q6_sum"] < stats["n_docs"] * threshold_micro,
+                    "source"]
+    ref = ray.put(np.sort(bad.to_numpy(dtype=object)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        bad_arr = ray.get(ref)
+        t = t.drop_columns(["q6"])
+        if len(bad_arr) == 0:
+            return t
+        src = t["source"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(src, bad_arr)))
+
+    out = scored.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all sources dropped: to_pandas loses the schema
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "source": pd.Series([], dtype=str),
+                            "quality": pd.Series([], dtype=np.float64)})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-language token-count percentiles via mergeable histogram
     partials (functions/quantiles.py) — exact percentiles WITHOUT a global
@@ -1903,6 +1981,47 @@ ORACLE_SQL: dict[str, str] = {
                round(0.4 * length_ok + 0.3 * alpha + 0.3 * stop, 6) AS quality
         FROM r ORDER BY doc_id
     """,
+    "domain_quality_filter": """
+        WITH base AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 70000 AS doc_id, '!!! ??? !!!' AS text,
+                   'srcbad' AS source
+            FROM documents WHERE doc_id < 12
+        ), f AS (
+            SELECT doc_id, source,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM base
+        ), r AS (
+            SELECT doc_id, source,
+                   least(n_tokens / 50.0, 1.0) AS length_ok,
+                   least((n_alpha * 1.0 / greatest(n_chars, 1)) * 1.25, 1.0)
+                       AS alpha,
+                   least((len(list_filter(ws, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','are','this')))
+                       * 1.0 / greatest(len(ws), 1)) * 4.0, 1.0) AS stop
+            FROM f
+        ), q AS (
+            SELECT doc_id, source,
+                   round(0.4 * length_ok + 0.3 * alpha + 0.3 * stop, 6)
+                       AS quality
+            FROM r
+        ), scored AS (
+            SELECT doc_id, source, quality,
+                   CAST(round(quality * 1000000) AS BIGINT) AS q6
+            FROM q
+        ), good AS (
+            SELECT source FROM scored GROUP BY source
+            HAVING sum(q6) >= count(*) * 500000
+        )
+        SELECT doc_id, source, quality FROM scored
+        WHERE source IN (SELECT source FROM good)
+        ORDER BY doc_id
+    """,
     "embedding_near_dup_pairs": """
         WITH base AS (SELECT vec_id, embedding FROM embeddings),
         planted AS (
@@ -2372,6 +2491,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "ann_cosine_topk": ann_cosine_topk,
     "quality_scores": quality_scores,
+    "domain_quality_filter": domain_quality_filter,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
     "clean_corpus": clean_corpus,

@@ -42,7 +42,7 @@ def con():
     ["decontaminate_documents", "pack_sequences", "repetition_stats",
      "mixture_sample_documents", "shuffled_head_documents",
      "bigram_lm_scores", "prepare_training_set", "tfidf_top_terms",
-     "chunk_documents"],
+     "chunk_documents", "domain_quality_filter"],
 )
 def test_matches_duckdb_oracle(ray_session, con, name):
     ray_df = corpus.QUERIES[name](SF)
@@ -192,3 +192,24 @@ def test_repetition_features_literal_rows():
         assert row["n_tokens"] == len(w)
         assert row["n_distinct"] == len(set(w))
         assert row["top_bigram_n"] == top
+
+
+def test_domain_quality_filter_drops_planted_source(ray_session):
+    """The planted punctuation-only source must drop wholesale (every
+    srcbad doc gone) while every real source survives — i.e. the gate
+    judges the DOMAIN: srcbad docs are absent even though the per-doc
+    threshold never ran, and no real doc is lost to its source's mean."""
+    out = corpus.domain_quality_filter(SF)
+    assert not (out["source"] == "srcbad").any()
+    assert not (out["doc_id"] >= 70_000).any()
+    base = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(out) == len(base)  # all real sources above 0.5 at this SF
+
+
+def test_domain_quality_filter_threshold_boundary(ray_session):
+    """Threshold semantics are >= on the integer micro-mean: at
+    threshold 0 every source (even srcbad) survives; at 1e6+1 none do."""
+    keep_all = corpus.domain_quality_filter(SF, threshold_micro=0)
+    assert (keep_all["source"] == "srcbad").sum() == 12
+    none = corpus.domain_quality_filter(SF, threshold_micro=1_000_001)
+    assert len(none) == 0
