@@ -249,6 +249,10 @@ BENCH_QUERIES = [
     "dup_span_documents",
     "vocab_top_terms",
     "c4_line_stats",
+    # round-4 session-3 additions
+    "domain_quality_filter",
+    "consolidate_repoint_links",
+    "year_expansion_mart",
 ]
 
 
