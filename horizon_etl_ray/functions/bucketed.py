@@ -15,6 +15,14 @@ Only MERGEABLE aggregates are supported: ``sum`` / ``min`` / ``max`` /
 ``count`` (count partials merge by sum). Low-cardinality groupbys (≤ a few
 thousand groups) should keep the plain ``Dataset.groupby`` — the builtin is
 simpler and the overhead is invisible there.
+
+Sizing at scale: each physical bucket is reduced as ONE in-memory frame of
+roughly ``distinct_keys / num_buckets × avg blocks-per-key`` partial rows,
+so ``num_buckets`` must grow with key cardinality (rule of thumb:
+``distinct_keys / num_buckets`` ≲ a few million; the default 64 suits up to
+~10^8 keys). Hot keys are safe at ANY bucket count: a key contributes at
+most one partial row per BLOCK, so its bucket sees ≤ #blocks rows for it —
+the skew-bound test pins this.
 """
 
 from __future__ import annotations

@@ -88,3 +88,58 @@ def test_unsupported_op_raises():
     ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
     with pytest.raises(ValueError, match="unsupported agg op"):
         bucketed_groupby_agg(ds, "k", {"m": ("v", "mean")})
+
+
+def test_hot_key_partials_bounded_by_block_count():
+    """Skew safety: a key occupying 60% of all rows still enters the
+    exchange as at most one partial row per block — the combiner, not the
+    exchange, absorbs the skew."""
+    rng = np.random.default_rng(13)
+    n = 4000
+    k = rng.integers(1, 200, n)
+    k[: int(n * 0.6)] = 0  # hot key
+    df = pd.DataFrame({"k": k, "v": rng.integers(0, 5, n)})
+    n_blocks = 7
+    ds = ray.data.from_pandas(df).repartition(n_blocks)
+
+    from horizon_etl_ray.functions.bucketed import bucketed_groupby_agg
+
+    agg = bucketed_groupby_agg(ds, "k", {"s": ("v", "sum")})
+    # count the hot key's rows in the PARTIAL stage by re-running the same
+    # partial shape the helper uses: per-block groupby → one row per
+    # (key, block)
+    hot_partial_rows = sum(
+        int((b["k"].to_pandas() == 0).any())
+        for b in ds.map_batches(
+            lambda t: t.group_by("k").aggregate([("v", "sum")]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    assert hot_partial_rows <= n_blocks
+    out = agg.to_pandas().set_index("k")
+    assert out.loc[0, "s"] == df.loc[df["k"] == 0, "v"].sum()
+
+
+def test_property_random_frames_match_flat():
+    """Randomized sweep (seeded): many shapes × key types × ops must match
+    the flat pandas groupby exactly."""
+    rng = np.random.default_rng(99)
+    for trial in range(5):
+        n = int(rng.integers(1, 900))
+        card = int(rng.integers(1, 80))
+        as_str = bool(rng.integers(0, 2))
+        keys = rng.integers(0, card, n)
+        df = pd.DataFrame({
+            "k": [f"s{v}" for v in keys] if as_str else keys.astype(np.int64),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        })
+        aggs = {"s": ("v", "sum"), "lo": ("v", "min"),
+                "hi": ("v", "max"), "n": ("v", "count")}
+        nb = int(rng.integers(1, 100))
+        got = _run(df, "k", aggs, num_buckets=nb)
+        want = _flat(df, "k", aggs)
+        pd.testing.assert_frame_equal(
+            got[["k", "s", "lo", "hi", "n"]].astype(
+                {c: np.int64 for c in ("s", "lo", "hi", "n")}),
+            want.astype({c: np.int64 for c in ("s", "lo", "hi", "n")}),
+        )
