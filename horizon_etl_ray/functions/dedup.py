@@ -74,7 +74,8 @@ def add_content_hash(batch: pa.Table, text_column: str = "text",
 
 
 def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
-                broadcast_threshold: int = 1_000_000, num_partitions: int = 32):
+                broadcast_threshold: int = 1_000_000, num_partitions: int = 32,
+                keep_hash: bool = False):
     """Keep the minimum-id row per exact content hash.
 
     hash in map_batches → groupby(hash) shipping ONLY (hash, id) pairs (the
@@ -82,11 +83,16 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
     back onto the corpus:
 
       - ≤ ``broadcast_threshold`` winners: broadcast the sorted id array once
-        (``ray.put``) and filter per batch — one shuffle total.
+        (``ray.put``) and filter per batch — one shuffle total. The filter
+        keys on the ID alone, so the output pass reads ``ds`` directly and
+        SKIPS a second content-hash sweep over the corpus (the hash is an
+        internal detail; pass ``keep_hash=True`` to get it back, at the cost
+        of re-hashing the output pass).
       - above it: **distributed semi-join** — ``Dataset.join`` of the corpus
         with the winner (hash, min_id) table on the hash, then an equality
         filter, so nothing ever materializes on the driver (at 10^10 docs the
-        id set alone would be ~80 GB).
+        id set alone would be ~80 GB). Here the output pass re-hashes by
+        construction (the join needs the key on both sides).
     """
     import ray
     import ray.data as rd  # noqa: F401
@@ -138,7 +144,8 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
             mask = np.isin(ids, keep)
             return t.filter(pa.array(mask))
 
-        return hashed.map_batches(keep_only, batch_format="pyarrow")
+        return (hashed if keep_hash else ds).map_batches(
+            keep_only, batch_format="pyarrow")
 
     # distributed path: hash-shuffle join, equality filter, drop helper cols.
     # Join partitions are capped at 2×cluster CPUs: Dataset.join spawns one
@@ -157,8 +164,10 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
 
     def keep_winner(t: pa.Table) -> pa.Table:
         mask = pc.equal(t[id_column], t["_min_id"])
+        drop = ["_min_id", "_h"] if keep_hash else ["_min_id", "_h",
+                                                    "content_hash"]
         return t.filter(mask).drop_columns(
-            [c for c in ("_min_id", "_h") if c in t.column_names])
+            [c for c in drop if c in t.column_names])
 
     return joined.map_batches(keep_winner, batch_format="pyarrow")
 

@@ -756,9 +756,14 @@ def clean_corpus(sf_dir: str, quality_min: float = 0.5,
         keep = (batch["lang_pred"] == "en") & (batch["quality"] >= quality_min)
         return batch[keep]
 
+    # pinned: exact_dedup consumes its input TWICE (winner election +
+    # survivor filter) — without the pin the lang-ID actor-pool inference
+    # and the quality kernel would re-execute for the second pass (at
+    # 100 TB: a duplicated model-inference sweep; like the survivor set
+    # below, at that scale this pin is a partitioned lake write read twice)
     kept = (docs.map_batches(tx.LangIdStage, batch_format="pandas",
                              concurrency=(1, 4))
-            .map_batches(score_filter, batch_format="pandas"))
+            .map_batches(score_filter, batch_format="pandas")).materialize()
     deduped = dd.exact_dedup(
         kept, broadcast_threshold=broadcast_threshold).materialize()
 
