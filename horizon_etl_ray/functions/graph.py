@@ -45,7 +45,8 @@ def _bucket(key: np.ndarray, P: int) -> np.ndarray:
 
 
 def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
-                         node_col="node", num_buckets=16, max_rounds=50):
+                         node_col="node", num_buckets=16, max_rounds=50,
+                         broadcast_m_threshold: int = 2_000_000):
     """(node, component) for every node in ``nodes_ds``; component = the
     minimum node id reachable (isolated nodes map to themselves).
 
@@ -58,7 +59,16 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
     the source routing stays CORRECT (a bucket's closure over any edge
     subset is a monotone partial merge; later rounds finish the job) at
     the cost of extra rounds — raise ``num_buckets`` first, salt only if a
-    single star exceeds worker memory."""
+    single star exceeds worker memory.
+
+    Hybrid relabel (the join-build-side discipline): when a round's
+    contraction map has ≤ ``broadcast_m_threshold`` rows it broadcasts once
+    via ``ray.put`` and the label/edge relabels are map-only — 2 exchanges
+    per round (closure + m-reduce) instead of 5. Above the threshold the
+    bucketed co-shuffle relabel runs unchanged. On the broadcast path edge
+    dedup is per-block only (a global dedup would need the exchange back);
+    duplicates stay correct — the closure is idempotent on them — and
+    cannot grow, they just contract to self-loops a round later."""
     import os
     import time as _time
 
@@ -209,22 +219,59 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
             .map_groups(lambda g: reduce_min_m(g.drop(columns=["_b"])),
                         batch_format="pandas"))
 
-        # 2. relabel the full label table: label ← m[label]
-        labels = _snapshot(
-            _apply_m(labels, "label", "node", m, ("node", "label")))
+        if m.count() <= broadcast_m_threshold:
+            # hybrid fast path: broadcast m once, relabel map-only
+            import ray
 
-        # 3. contract the edge list through m (both endpoints), drop the
-        #    self-loops, dedup exact duplicates (same (a,b) always lands in
-        #    the same b-bucket, so per-bucket dedup is global dedup)
-        half = _apply_m(edges, "a", "b", m, ("b", "a"))
-        contracted = _apply_m(half, "b", "a", m, ("a", "b"))
+            mdf = m.to_pandas()
+            mk = mdf["cnode"].to_numpy(dtype=np.int64)
+            mv = mdf["mlabel"].to_numpy(dtype=np.int64)
+            order = np.argsort(mk)
+            m_ref = ray.put((mk[order], mv[order]))
 
-        def finish_edges(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["a"] != df["b"]]
-            return df.drop_duplicates(["a", "b"])
+            def _lookup(v: np.ndarray, keys, vals) -> np.ndarray:
+                if len(keys) == 0:
+                    return v
+                pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+                hit = keys[pos] == v
+                return np.where(hit, vals[pos], v)
 
-        edges = _snapshot(contracted.map_batches(finish_edges,
-                                                 batch_format="pandas"))
+            def relabel_labels(df: pd.DataFrame) -> pd.DataFrame:
+                keys, vals = ray.get(m_ref)
+                return pd.DataFrame({
+                    "node": df["node"].to_numpy(dtype=np.int64),
+                    "label": _lookup(df["label"].to_numpy(dtype=np.int64),
+                                     keys, vals)})
+
+            def relabel_edges(df: pd.DataFrame) -> pd.DataFrame:
+                keys, vals = ray.get(m_ref)
+                a = _lookup(df["a"].to_numpy(dtype=np.int64), keys, vals)
+                b = _lookup(df["b"].to_numpy(dtype=np.int64), keys, vals)
+                out = pd.DataFrame({"a": a, "b": b})
+                out = out[out["a"] != out["b"]]
+                return out.drop_duplicates(["a", "b"])  # per-block only
+
+            labels = _snapshot(labels.map_batches(relabel_labels,
+                                                  batch_format="pandas"))
+            edges = _snapshot(edges.map_batches(relabel_edges,
+                                                batch_format="pandas"))
+        else:
+            # 2. relabel the full label table: label ← m[label]
+            labels = _snapshot(
+                _apply_m(labels, "label", "node", m, ("node", "label")))
+
+            # 3. contract the edge list through m (both endpoints), drop the
+            #    self-loops, dedup exact duplicates (same (a,b) always lands
+            #    in the same b-bucket, so per-bucket dedup is global dedup)
+            half = _apply_m(edges, "a", "b", m, ("b", "a"))
+            contracted = _apply_m(half, "b", "a", m, ("a", "b"))
+
+            def finish_edges(df: pd.DataFrame) -> pd.DataFrame:
+                df = df[df["a"] != df["b"]]
+                return df.drop_duplicates(["a", "b"])
+
+            edges = _snapshot(contracted.map_batches(finish_edges,
+                                                     batch_format="pandas"))
         if _dbg:
             print(f"[graph.cc] round {_round}: {_time.time() - _t0:.1f}s "
                   f"edges {n_edges} -> {edges.count()}", flush=True)

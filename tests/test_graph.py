@@ -86,3 +86,20 @@ def test_connected_components_random_graphs_vs_union_find(ray_session):
         expect = np.array([comp_min[find(x)] for x in range(nn)])
         assert np.array_equal(out.sort_index().to_numpy(), expect), \
             f"seed={seed}"
+
+
+def test_connected_components_both_relabel_paths_agree(ray_session):
+    """The hybrid broadcast relabel (default) and the bucketed co-shuffle
+    fallback (broadcast_m_threshold=0) must label identically — same
+    union-find components on a seeded random graph."""
+    rs = np.random.RandomState(11)
+    nn, m = 350, 600
+    ea, eb = rs.randint(0, nn, m), rs.randint(0, nn, m)
+    edges = pd.DataFrame({"s1": ea, "s2": eb})
+    nodes = pd.DataFrame({"node": np.arange(nn)})
+    fast = (G.connected_components(_ds(edges), _ds(nodes), num_buckets=8)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    slow = (G.connected_components(_ds(edges), _ds(nodes), num_buckets=8,
+                                   broadcast_m_threshold=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
