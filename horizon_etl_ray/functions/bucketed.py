@@ -31,17 +31,24 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["bucketed_groupby_agg"]
+__all__ = ["bucketed_groupby_agg", "bounded_groupby_fold"]
 
 _MERGE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
-def _key_array(values: np.ndarray) -> pa.Array:
+def _key_array(values: np.ndarray, col: str) -> pa.Array:
     """Explicit Arrow type for a key column so string keys never ride
     pandas object blocks through the exchange (measured ~8× exchange
-    penalty for object-dtype keys, BASELINE.md round-4)."""
+    penalty for object-dtype keys, BASELINE.md round-4). Only integer and
+    string keys are supported — a float key would be silently truncated by
+    the int64 cast, so refuse it loudly."""
     if values.dtype == object or values.dtype.kind in ("U", "S"):
         return pa.array(list(values), pa.string())
+    if values.dtype.kind not in ("i", "u", "b"):
+        raise TypeError(
+            f"bucketed_groupby_agg key {col!r} has dtype {values.dtype}; "
+            "only integer and string keys are supported (a float key would "
+            "be silently truncated)")
     return pa.array(values.astype(np.int64), pa.int64())
 
 
@@ -67,6 +74,12 @@ def bucketed_groupby_agg(
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        for k in keys:  # pandas groupby DROPS null keys — refuse loudly
+            if df[k].isna().any():
+                raise ValueError(
+                    f"bucketed_groupby_agg key {k!r} contains nulls; the "
+                    "partial groupby would silently drop those rows "
+                    "(filter or fill them upstream)")
         g = df.groupby(keys, sort=False)
         cols: dict[str, pd.Series] = {}
         for out_col, (in_col, op) in aggs.items():
@@ -76,7 +89,7 @@ def bucketed_groupby_agg(
         # exactly one bucket, so per-bucket merges stay disjoint
         h = pd.util.hash_pandas_object(part[keys], index=False).to_numpy()
         out: dict[str, pa.Array] = {
-            k: _key_array(part[k].to_numpy()) for k in keys}
+            k: _key_array(part[k].to_numpy(), k) for k in keys}
         for out_col, (_, op) in aggs.items():
             v = part[out_col].to_numpy()
             out[out_col] = pa.array(
@@ -88,13 +101,34 @@ def bucketed_groupby_agg(
         gg = g.groupby(keys, sort=False)
         cols = {out_col: gg[out_col].agg(_MERGE_OP[op])
                 for out_col, (_, op) in aggs.items()}
-        merged = pd.DataFrame(cols).reset_index()
-        for k in keys:
-            if merged[k].dtype == object:
-                merged[k] = pd.Series(
-                    merged[k].to_numpy(dtype=object), dtype=object)
-        return merged
+        return pd.DataFrame(cols).reset_index()
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(reduce_bucket, batch_format="pandas"))
+
+
+def bounded_groupby_fold(ds, key: str | list[str], sum_cols: list[str],
+                         count_col: str | None = None) -> pd.DataFrame:
+    """In-task partial + DRIVER fold, for group counts bounded by a small
+    domain (priority flags, return-flag × status, calendar years): each
+    block collapses to ≤|domain| partial rows in-task, and the driver folds
+    only ``blocks × |domain|`` rows — no exchange at all. Returns a pandas
+    DataFrame with ``[*keys, *sum_cols, count_col?]``. Use the bucketed
+    reduce above when |groups| scales with the data instead."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False)
+        out = g[sum_cols].sum()
+        if count_col is not None:
+            out[count_col] = g.size().astype(np.int64)
+        return out.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = sum_cols + ([count_col] if count_col is not None else [])
+    out = parts.groupby(keys, sort=False)[cols].sum().reset_index()
+    if count_col is not None:
+        out[count_col] = out[count_col].astype(np.int64)
+    return out

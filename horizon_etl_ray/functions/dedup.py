@@ -107,32 +107,12 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
     # hash is its own group: measured 21.7 s vs 1.05 s at 1M distinct
     # hashes (the round-4 dup_span finding; an earlier two-stage attempt
     # lost because its partials rode pandas object-string blocks).
-    _B = 64
-    pairs = hashed.select_columns(["content_hash", id_column])
+    from .bucketed import bucketed_groupby_agg
+
     minname = f"min({id_column})"
-
-    def _min_partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        m = df.groupby("content_hash", sort=False)[id_column].min()
-        hb = pd.util.hash_array(m.index.to_numpy(dtype=object))
-        return pa.table({
-            "content_hash": pa.array(m.index.tolist(), pa.string()),
-            id_column: pa.array(m.to_numpy(np.int64), pa.int64()),
-            "_b": pa.array((hb % _B).astype(np.int64), pa.int64()),
-        })
-
-    def _min_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("content_hash", sort=False)[id_column].min()
-        return pd.DataFrame({
-            "content_hash": pd.Series(m.index.to_numpy(dtype=object),
-                                      dtype=object),
-            minname: m.to_numpy(np.int64),
-        })
-
-    winners = (pairs.map_batches(_min_partial, batch_format="pyarrow")
-               .groupby("_b")
-               .map_groups(_min_reduce, batch_format="pandas")
-               ).materialize()
+    winners = bucketed_groupby_agg(
+        hashed.select_columns(["content_hash", id_column]),
+        "content_hash", {minname: (id_column, "min")}).materialize()
 
     if winners.count() <= broadcast_threshold:
         keep_ids = set(r[minname] for r in winners.take_all())

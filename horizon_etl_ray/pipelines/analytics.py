@@ -65,27 +65,24 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
              columns=["l_returnflag", "l_linestatus", "l_quantity",
                       "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    from ..functions.bucketed import bounded_groupby_fold
+
+    def project(t: pa.Table) -> pa.Table:
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        df = pd.DataFrame({
-            "l_returnflag": t["l_returnflag"].to_pandas(),
-            "l_linestatus": t["l_linestatus"].to_pandas(),
-            "sum_qty": t["l_quantity"].to_numpy(zero_copy_only=False),
-            "sum_base_price": t["l_extendedprice"].to_numpy(
-                zero_copy_only=False),
-            "sum_disc_price": disc.to_numpy(zero_copy_only=False),
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["l_quantity"],
+            "sum_base_price": t["l_extendedprice"],
+            "sum_disc_price": disc,
         })
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-        out = g.sum()
-        out["count_order"] = g.size().astype(np.int64)
-        return out.reset_index()
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    g = parts.groupby(["l_returnflag", "l_linestatus"], sort=False)
-    out = g[["sum_qty", "sum_base_price", "sum_disc_price",
-             "count_order"]].sum().reset_index()
-    out["count_order"] = out["count_order"].astype(np.int64)
+    out = bounded_groupby_fold(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "sum_disc_price"],
+        count_col="count_order")
     out = _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -93,8 +90,6 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def parent_rollup(sf_dir: str) -> pd.DataFrame:
     """A1 parity: per-customer order-span rollup with derived status
     (min/max over a timestamp via int64 micros so Min/Max aggregate cleanly)."""
-    from ray.data.aggregate import Count, Max, Min
-
     ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def to_micros(t: pa.Table) -> pa.Table:
@@ -404,8 +399,6 @@ def union_counts(sf_dir: str) -> pd.DataFrame:
 
 def top_event_users(sf_dir: str) -> pd.DataFrame:
     """O2 parity: top-20 users by total event value, (-value, id) tiebreak."""
-    from ray.data.aggregate import Count, Sum
-
     from ..functions.bucketed import bucketed_groupby_agg
 
     out = (
@@ -846,7 +839,6 @@ def classify_customers(sf_dir: str) -> pd.DataFrame:
     rule sets its own confidence tier, edge rules attach a note (the
     reference's ``classification_note``)."""
     import ray
-    from ray.data.aggregate import Count, Max, Sum
 
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     orders = _rp(sf_dir, "orders",
@@ -1053,22 +1045,15 @@ def dist_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
     # |orderpriority| = 5: collapse each joined block to ≤5 partial rows
     # in-task and fold on the driver (bounded by blocks × 5) instead of
     # sorting the lineitem-scale join output by the string key
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "o_orderpriority": t["o_orderpriority"].to_pandas(),
-            "cents": t["rev_cents"].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby("o_orderpriority", sort=False)
-        out = g.sum()
-        out["n_items"] = g.size().astype(np.int64)
-        return out.reset_index()
+    from ..functions.bucketed import bounded_groupby_fold
 
-    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
-    g = parts.groupby("o_orderpriority", sort=False)
-    out = g[["n_items", "cents"]].sum().reset_index()
-    out["n_items"] = out["n_items"].astype(np.int64)
-    out["revenue"] = np.round(out["cents"].to_numpy(dtype=np.int64) / 100.0, 2)
-    out = out.drop(columns=["cents"])[["o_orderpriority", "n_items", "revenue"]]
+    out = bounded_groupby_fold(
+        joined.select_columns(["o_orderpriority", "rev_cents"]),
+        "o_orderpriority", ["rev_cents"], count_col="n_items")
+    out["revenue"] = np.round(
+        out["rev_cents"].to_numpy(dtype=np.int64) / 100.0, 2)
+    out = out.drop(columns=["rev_cents"])[
+        ["o_orderpriority", "n_items", "revenue"]]
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 

@@ -8,7 +8,7 @@ MAX_WAIT_SEC=${MAX_WAIT_SEC:-14400}
 POLL_SLEEP=${POLL_SLEEP:-120}
 start=$(date +%s)
 while :; do
-  healthy=$(python - <<'EOF'
+  healthy=$(python - 2>>/tmp/bench_watch.log <<'EOF'
 import sys
 sys.path.insert(0, '/root/repo')
 import bench

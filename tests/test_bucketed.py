@@ -143,3 +143,17 @@ def test_property_random_frames_match_flat():
                 {c: np.int64 for c in ("s", "lo", "hi", "n")}),
             want.astype({c: np.int64 for c in ("s", "lo", "hi", "n")}),
         )
+
+
+def test_float_key_raises():
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1.5], "v": [1]}))
+    with pytest.raises(Exception, match="only integer and string keys"):
+        bucketed_groupby_agg(ds, "k", {"s": ("v", "sum")}).to_pandas()
+
+
+def test_null_key_raises():
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                      "v": [1, 2]}))
+    with pytest.raises(Exception, match="contains nulls"):
+        bucketed_groupby_agg(ds, "k", {"s": ("v", "sum")}).to_pandas()
