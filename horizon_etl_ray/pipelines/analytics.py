@@ -809,6 +809,11 @@ def connected_components(sf_dir: str, edge_threshold: int = 100_000
     from ..functions.graph import node_degrees
 
     edges, nodes = _part_cograph(sf_dir)
+    # pinned: edges feed THREE consumers (degrees, the routing count, the
+    # labeler/union-find) — unpinned, the lineitem pair expansion would
+    # re-execute for each (at scale: write the edge list to a lake path
+    # and read it back, same semantics)
+    edges = edges.materialize()
     deg = node_degrees(edges, nodes).to_pandas()  # distributed reduce
     deg["degree"] = deg["degree"].astype(np.int64)
     if edges.count() <= edge_threshold:
