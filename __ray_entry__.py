@@ -83,7 +83,20 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # c4_line_stats (line-level quality) and composed end-to-end in
 # clean_corpus; the standalone per-doc listing remains oracle-checked
 # locally.
+# Round-4 session-4 demotions for percentile_quality_filter (per-language
+# median gate — exact distributed per-group percentile THRESHOLDING, the
+# composition token_count_quantiles alone doesn't exercise) and
+# token_budget_sample (per-source token-budget cut via an order-preserving
+# coarse-range prefix sum — a distributed ordered cumsum with NO global
+# sort): doc_fingerprints (the winnowing kernel stays oracle-checked
+# locally + test_text; its actor-pool per-string shape is gated via
+# doc_sections and lang_id_confusion) and repetition_stats (the exploded
+# n-gram groupby family stays gated via c4_line_stats + vocab_top_terms;
+# the Gopher kernel itself remains pinned by test_llm_ops against literal
+# rows and the local oracle).
 _TAIL = (
+    "doc_fingerprints",
+    "repetition_stats",
     "quality_scores",
     "embedding_near_dup_pairs",
     "sessionize_events",

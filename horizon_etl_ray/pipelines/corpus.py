@@ -700,6 +700,170 @@ def domain_quality_filter(sf_dir: str,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def percentile_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Per-language percentile quality gate — keep documents whose quality
+    score is at or above their OWN language's median (the "keep the best
+    half per language" curation cut of web-corpus pipelines; language-aware
+    so a high-resource language's score distribution doesn't set the bar
+    for a low-resource one — a fixed global threshold would).
+
+    Scale shape: pass 1 computes EXACT per-language medians with the
+    mergeable histogram combiner (functions/quantiles.py — integer
+    micro-quality domain, no global sort, no sketch; the exchange carries
+    only distinct (lang, q6) rows). The per-language threshold table (one
+    row per language) broadcasts once via ``ray.put``; pass 2 re-reads and
+    re-scores the corpus and filters map-only — two streaming passes,
+    nothing pinned (the ``domain_quality_filter`` policy: at 100 TB
+    re-scoring is cheaper than materializing the scored corpus). The
+    threshold comparison is INTEGER micro-quality (q6 = round(q·1e6)), so
+    Ray's and DuckDB's float rounding can never flip a boundary document."""
+    import ray
+
+    from ..functions.quantiles import group_quantiles_histogram
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        f = tx.quality_features(t["text"].to_pandas())
+        q = np.round(tx.quality_score(f), 6)
+        q6 = np.round(q * 1e6).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "quality": pa.array(q, pa.float64()),
+            "q6": pa.array(q6, pa.int64()),
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    med = (group_quantiles_histogram(
+        scored.select_columns(["lang", "q6"]), value_column="q6",
+        group_column="lang", qs={"p50": 0.5})
+        .to_pandas().sort_values("lang"))
+    ref = ray.put((med["lang"].to_numpy(dtype=object),
+                   med["p50"].to_numpy(dtype=np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        langs, p50 = ray.get(ref)
+        lv = t["lang"].to_numpy(zero_copy_only=False)
+        # every lang is present in the pass-1 table by construction
+        thr = p50[np.searchsorted(langs, lv)]
+        q6 = t["q6"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["q6"]).filter(pa.array(q6 >= thr))
+
+    out = scored.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_budget_sample(sf_dir: str, budget: int = 400,
+                        hb_bits: int = 6) -> pd.DataFrame:
+    """Per-source token-budget sampling — walk each source's documents in
+    content-addressed md5(doc_id) order and keep every document that STARTS
+    before the source's token budget is exhausted (the "N tokens per
+    source/domain" cap of mixture construction; hash order makes the kept
+    prefix deterministic, order-independent and extensible — raising the
+    budget only ever ADDS documents).
+
+    Scale shape — a distributed ORDERED prefix sum without a global sort:
+    the uint64 hash key is cut into 2^hb_bits ORDER-PRESERVING coarse
+    ranges (``hb = h >> (64-hb_bits)``), so per-(source, hb) token sums
+    (one bucketed exchange, functions/bucketed.py) give the driver a tiny
+    table — O(sources × 2^hb_bits) rows, the same driver-side bound as
+    ``domain_quality_filter``'s per-source stats fold (a source universe
+    past that bound would move the per-source scan into a
+    ``groupby(source).map_groups``, each group ≤ 2^hb_bits rows). The
+    exclusive scan over that table classifies every bucket as
+    fully-kept / fully-dropped / BOUNDARY (≤1 per source), so the final
+    pass filters map-only and only the boundary slice — ~2^-hb_bits of
+    each source — pays a per-doc cumsum behind one small exchange. The
+    narrow token table (4 fixed-width columns + source) is pinned once so
+    tokenize+hash runs a single time (the ``pack_sequences`` policy).
+
+    Ties: order is (h, doc_id) on both sides; the md5 convention is the
+    engine-wide one DuckDB reproduces exactly (functions/hashing.py)."""
+    import ray
+
+    from ..functions.bucketed import bucketed_groupby_agg
+    from ..functions.hashing import md5_of_ints
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    shift = np.uint64(64 - hb_bits)
+
+    def tok(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        head, _ = md5_of_ints(ids)
+        s = pc.fill_null(t["text"], "")
+        n = pc.add(pc.count_substring(s, " "), pa.scalar(1, pa.int32()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tokens": pc.cast(n, pa.int64()),
+            "h": pa.array(head, pa.uint64()),
+            "hb": pa.array((head >> shift).astype(np.int64), pa.int64()),
+        })
+
+    toks = docs.map_batches(tok, batch_format="pyarrow").materialize()
+
+    per_bucket = (bucketed_groupby_agg(
+        toks, ["source", "hb"], {"tok_sum": ("n_tokens", "sum")})
+        .to_pandas().sort_values(["source", "hb"]))
+    start = (per_bucket.groupby("source")["tok_sum"].cumsum()
+             - per_bucket["tok_sum"])
+    end = start + per_bucket["tok_sum"]
+    # bucket classification: end<=budget → every doc starts before end≤B
+    # (fully kept); the FIRST bucket with end>budget is the boundary (≤1
+    # per source) and pays the per-doc cumsum; later buckets start ≥ its
+    # end' ≥ … ≥ budget and are dropped map-only. "First end>budget"
+    # rather than "start<budget<end": when a bucket ends EXACTLY at the
+    # budget the crossing is empty, and the cut stage then correctly keeps
+    # zero rows of a boundary bucket whose start is already ≥ budget.
+    bnd = (per_bucket[(end > budget).to_numpy()]
+           .groupby("source", sort=False).head(1))
+    n_hb = 1 << hb_bits
+    srcs = np.sort(per_bucket["source"].unique().astype(object))
+    bnd_hb = np.full(len(srcs), n_hb, dtype=np.int64)  # no crossing: keep all
+    bnd_start = np.zeros(len(srcs), dtype=np.int64)
+    ix = np.searchsorted(srcs, bnd["source"].to_numpy(dtype=object))
+    bnd_hb[ix] = bnd["hb"].to_numpy(dtype=np.int64)
+    bnd_start[ix] = start[bnd.index].to_numpy(dtype=np.int64)
+    ref = ray.put((srcs, bnd_hb, bnd_start))
+
+    def full_keep(t: pa.Table) -> pa.Table:
+        srcs_, bhb, _ = ray.get(ref)
+        sv = t["source"].to_numpy(zero_copy_only=False)
+        keep = t["hb"].to_numpy(zero_copy_only=False) < bhb[
+            np.searchsorted(srcs_, sv)]
+        return t.drop_columns(["h", "hb"]).filter(pa.array(keep))
+
+    def boundary_only(t: pa.Table) -> pa.Table:
+        srcs_, bhb, _ = ray.get(ref)
+        sv = t["source"].to_numpy(zero_copy_only=False)
+        keep = t["hb"].to_numpy(zero_copy_only=False) == bhb[
+            np.searchsorted(srcs_, sv)]
+        return t.filter(pa.array(keep))
+
+    def cut(g: pd.DataFrame) -> pa.Table:
+        srcs_, _, bstart = ray.get(ref)
+        g = g.sort_values(["h", "doc_id"])
+        nn = g["n_tokens"].to_numpy(dtype=np.int64)
+        s0 = int(bstart[np.searchsorted(srcs_, g["source"].iloc[0])])
+        prior = s0 + np.concatenate(([0], np.cumsum(nn[:-1])))
+        k = g.loc[prior < budget]
+        # explicit Arrow block: the union partner (full_keep) is Arrow, and
+        # a pandas object-string block would re-type the merged stream
+        return pa.table({"doc_id": pa.array(k["doc_id"], pa.int64()),
+                         "source": pa.array(k["source"], pa.string()),
+                         "n_tokens": pa.array(k["n_tokens"], pa.int64())})
+
+    full = toks.map_batches(full_keep, batch_format="pyarrow")
+    if len(bnd):
+        edge = (toks.map_batches(boundary_only, batch_format="pyarrow")
+                .groupby("source").map_groups(cut, batch_format="pandas"))
+        out = full.union(edge).to_pandas()
+    else:  # every bucket classified fully-kept/dropped: map-only plan
+        out = full.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-language token-count percentiles via mergeable histogram
     partials (functions/quantiles.py) — exact percentiles WITHOUT a global
@@ -1986,6 +2150,70 @@ ORACLE_SQL: dict[str, str] = {
                round(0.4 * length_ok + 0.3 * alpha + 0.3 * stop, 6) AS quality
         FROM r ORDER BY doc_id
     """,
+    # per-language median gate: identical quality + q6 arithmetic as the
+    # Ray side (6-dp round then integer micro-quality), identical rank
+    # convention as token_count_quantiles (r = max(ceil(0.5·n), 1)).
+    "percentile_quality_filter": """
+        WITH f AS (
+            SELECT doc_id, lang,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   regexp_extract_all(lower(text), '\\w+') AS ws
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   round(0.4 * least(n_tokens / 50.0, 1.0)
+                       + 0.3 * least((n_alpha * 1.0 / greatest(n_chars, 1))
+                                     * 1.25, 1.0)
+                       + 0.3 * least((len(list_filter(ws, x -> x IN
+                           ('the','and','of','to','a','in','is','that','it',
+                            'for','on','with','as','are','this')))
+                           * 1.0 / greatest(len(ws), 1)) * 4.0, 1.0),
+                       6) AS quality
+            FROM f
+        ), q AS (
+            SELECT doc_id, lang, quality,
+                   CAST(round(quality * 1000000) AS BIGINT) AS q6
+            FROM s
+        ), c AS (
+            SELECT lang, count(*) AS n FROM q GROUP BY lang
+        ), r AS (
+            SELECT lang, q6,
+                   row_number() OVER (PARTITION BY lang ORDER BY q6) AS rk
+            FROM q
+        ), m AS (
+            SELECT r.lang, max(CASE WHEN rk = greatest(
+                       CAST(ceil(0.5 * c.n) AS BIGINT), 1)
+                       THEN q6 END) AS p50
+            FROM r JOIN c USING (lang) GROUP BY r.lang
+        )
+        SELECT q.doc_id, q.lang, q.quality
+        FROM q JOIN m ON q.lang = m.lang
+        WHERE q.q6 >= m.p50
+        ORDER BY doc_id
+    """,
+    # per-source budget cut in md5(doc_id) order: the window's exclusive
+    # running sum is the Ray side's "prior tokens" prefix sum; same
+    # (h, doc_id) tie order, same engine-wide md5 convention.
+    "token_budget_sample": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS h
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prior
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens FROM c
+        WHERE prior < 400 ORDER BY doc_id
+    """,
     "domain_quality_filter": """
         WITH base AS (
             SELECT doc_id, text, source FROM documents
@@ -2497,6 +2725,8 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "quality_scores": quality_scores,
     "domain_quality_filter": domain_quality_filter,
+    "percentile_quality_filter": percentile_quality_filter,
+    "token_budget_sample": token_budget_sample,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
     "clean_corpus": clean_corpus,

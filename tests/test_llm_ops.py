@@ -42,7 +42,8 @@ def con():
     ["decontaminate_documents", "pack_sequences", "repetition_stats",
      "mixture_sample_documents", "shuffled_head_documents",
      "bigram_lm_scores", "prepare_training_set", "tfidf_top_terms",
-     "chunk_documents", "domain_quality_filter"],
+     "chunk_documents", "domain_quality_filter",
+     "percentile_quality_filter", "token_budget_sample"],
 )
 def test_matches_duckdb_oracle(ray_session, con, name):
     ray_df = corpus.QUERIES[name](SF)
@@ -213,3 +214,37 @@ def test_domain_quality_filter_threshold_boundary(ray_session):
     assert (keep_all["source"] == "srcbad").sum() == 12
     none = corpus.domain_quality_filter(SF, threshold_micro=1_000_001)
     assert len(none) == 0
+
+
+def test_percentile_quality_filter_keeps_at_least_half_per_lang(ray_session):
+    """The gate is q6 >= per-lang lower-median, so every language keeps at
+    least ceil(n/2) of its documents (values >= the r-th smallest number
+    n - r + 1 with r = ceil(n/2)) — and never all of them unless the
+    distribution is degenerate at this SF (it isn't: assert both bounds)."""
+    out = corpus.percentile_quality_filter(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    n = docs.groupby("lang").size()
+    k = out.groupby("lang").size().reindex(n.index, fill_value=0)
+    assert (k * 2 >= n).all()
+    assert (k < n).any()
+
+
+def test_token_budget_sample_bucket_width_invariance(ray_session):
+    """The two-level prefix sum must give the SAME kept set for any
+    coarse-range width — hb_bits=2 (4 buckets, fat boundary slices) and
+    hb_bits=6 (64 buckets) are different decompositions of one cumsum."""
+    a = corpus.token_budget_sample(SF, hb_bits=2)
+    b = corpus.token_budget_sample(SF, hb_bits=6)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_budget_sample_monotone_in_budget(ray_session):
+    """Raising the budget only ever ADDS documents (hash order is a fixed
+    walk): kept(200) ⊂ kept(400), and every source stays under budget+max
+    single-doc overshoot."""
+    small = corpus.token_budget_sample(SF, budget=200)
+    big = corpus.token_budget_sample(SF, budget=400)
+    assert set(small["doc_id"]) < set(big["doc_id"])
+    # each kept doc STARTS before the budget, so total ≤ budget + last doc
+    tot = big.groupby("source")["n_tokens"].sum()
+    assert (tot - big.groupby("source")["n_tokens"].max() < 400).all()
