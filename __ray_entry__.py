@@ -94,7 +94,15 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # n-gram groupby family stays gated via c4_line_stats + vocab_top_terms;
 # the Gopher kernel itself remains pinned by test_llm_ops against literal
 # rows and the local oracle).
+# profile_documents (exact column profiler whose distinct exchange is the
+# capability HLL approximates; the sketch variant is test-verified) gates
+# by demoting mixture_sample_documents: the md5-bucket rate-filter
+# mechanism stays triple-covered — sample_documents_hash (same kernel,
+# locally checked), token_budget_sample (the budgeted per-source cap,
+# gated) and the composed prepare_training_set flagship (gated, runs the
+# mixture stage end-to-end).
 _TAIL = (
+    "mixture_sample_documents",
     "doc_fingerprints",
     "repetition_stats",
     "quality_scores",

@@ -864,6 +864,97 @@ def token_budget_sample(sf_dir: str, budget: int = 400,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def profile_documents(sf_dir: str, approx: bool = False,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Column-statistics profiler (the "describe my table" first query of
+    any ingest): one row per column with ``(col_name, n_rows, n_null,
+    n_distinct)``.
+
+    Scale shape: row/null counts are per-block partials folded on the
+    driver (5 rows per block — ``bounded_groupby_fold`` discipline, no
+    exchange). EXACT distinct counts route per-block-unique (column,
+    value) pairs through ONE bucketed exchange keyed on hash(value) —
+    every (column, value) pair lands in exactly one bucket, so per-bucket
+    ``nunique`` partials sum to the global distinct count; the exchange
+    carries distinct-per-block values only, Arrow-typed strings (the
+    block-format rule). ``approx=True`` swaps the value exchange for
+    HyperLogLog register partials (functions/sketches.py — 16 KiB per
+    block REGARDLESS of cardinality, elementwise-max fold): at 10^10
+    distinct values the exact path's exchange is the data itself, the
+    sketch's is a constant — that variant is test-verified (≤2% observed
+    error, merge algebra pinned) rather than oracle-hashed."""
+    from ..functions import sketches as sk
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _rp(sf_dir, "documents", columns=cols)
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": pa.array(cols, pa.string()),
+            "n_rows": pa.array([len(t)] * len(cols), pa.int64()),
+            "n_null": pa.array([t[c].null_count for c in cols], pa.int64()),
+        })
+
+    folded = (docs.map_batches(counts, batch_format="pyarrow")
+              .to_pandas().groupby("col_name", sort=False)
+              [["n_rows", "n_null"]].sum().reset_index())
+
+    if approx:
+        p = 14
+
+        def regs_partial(t: pa.Table) -> pa.Table:
+            regs = [sk.hll_partial(sk.hash_values(
+                pc.drop_null(t[c]).to_numpy(zero_copy_only=False)), p)
+                for c in cols]
+            return pa.table({
+                "col_name": pa.array(cols, pa.string()),
+                "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+            })
+
+        merged = {c: np.zeros(1 << p, dtype=np.uint8) for c in cols}
+        for b in (docs.map_batches(regs_partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            for c, r in zip(b["col_name"].to_pylist(),
+                            b["regs"].to_pylist()):
+                merged[c] = sk.hll_merge(merged[c],
+                                         np.frombuffer(r, dtype=np.uint8))
+        nd = pd.DataFrame({
+            "col_name": cols,
+            "n_distinct": [int(round(sk.hll_estimate(merged[c])))
+                           for c in cols]})
+    else:
+        def uniq(t: pa.Table) -> pa.Table:
+            names, vals = [], []
+            for c in cols:
+                u = pc.unique(pc.drop_null(pc.cast(t[c], pa.string())))
+                names.append(pa.array([c] * len(u), pa.string()))
+                vals.append(u)
+            v = pa.concat_arrays([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in vals])
+            bk = (pd.util.hash_array(v.to_numpy(zero_copy_only=False),
+                                     categorize=False)
+                  % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({"col_name": pa.concat_arrays(names),
+                             "val": v,
+                             "bucket": pa.array(bk, pa.int64())})
+
+        def bucket_nunique(g: pd.DataFrame) -> pa.Table:
+            n = g.groupby("col_name", sort=False)["val"].nunique()
+            return pa.table({
+                "col_name": pa.array(n.index.to_numpy(dtype=object),
+                                     pa.string()),
+                "nd": pa.array(n.to_numpy(dtype=np.int64), pa.int64())})
+
+        nd = (docs.map_batches(uniq, batch_format="pyarrow")
+              .groupby("bucket").map_groups(bucket_nunique,
+                                            batch_format="pandas")
+              .to_pandas().groupby("col_name", sort=False)["nd"].sum()
+              .reset_index(name="n_distinct"))
+
+    out = folded.merge(nd, on="col_name")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
 def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-language token-count percentiles via mergeable histogram
     partials (functions/quantiles.py) — exact percentiles WITHOUT a global
@@ -2193,6 +2284,27 @@ ORACLE_SQL: dict[str, str] = {
         WHERE q.q6 >= m.p50
         ORDER BY doc_id
     """,
+    # exact column profile; the Ray side counts distinct over the string
+    # CAST of each column (injective, so counts match the native-type
+    # count(DISTINCT)); nulls excluded from distinct per SQL semantics.
+    "profile_documents": """
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+               count(*) - count(doc_id) AS n_null,
+               count(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang),
+               count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars),
+               count(DISTINCT n_chars) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source),
+               count(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(*) - count(text),
+               count(DISTINCT text) FROM documents
+        ORDER BY col_name
+    """,
     # per-source budget cut in md5(doc_id) order: the window's exclusive
     # running sum is the Ray side's "prior tokens" prefix sum; same
     # (h, doc_id) tie order, same engine-wide md5 convention.
@@ -2727,6 +2839,7 @@ QUERIES = {
     "domain_quality_filter": domain_quality_filter,
     "percentile_quality_filter": percentile_quality_filter,
     "token_budget_sample": token_budget_sample,
+    "profile_documents": profile_documents,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
     "clean_corpus": clean_corpus,
