@@ -253,6 +253,10 @@ BENCH_QUERIES = [
     "domain_quality_filter",
     "consolidate_repoint_links",
     "year_expansion_mart",
+    # round-4 session-4 additions
+    "percentile_quality_filter",
+    "token_budget_sample",
+    "profile_documents",
 ]
 
 
