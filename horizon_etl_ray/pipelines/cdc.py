@@ -602,7 +602,9 @@ def apply_epoch(
         # only partition content digests, cdc.manifest_digest)
         "seconds": round(_time.time() - t_start, 3),
     }
-    store.commit_epoch(epoch, partition_rows, metrics=metrics, schema_version=schema_version)
+    store.commit_epoch(epoch, partition_rows, metrics=metrics,
+                       schema_version=schema_version,
+                       num_partitions=cfg.num_partitions)
     return {"epoch": epoch, "skipped": False, **metrics}
 
 
@@ -784,6 +786,98 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     return ds
 
 
+def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
+                   include_tombstones: bool = False):
+    """Key-routed point read: the committed state of SPECIFIC keys, opening
+    ONLY the partitions that own them.
+
+    The lake is hash-partitioned (functions/hashing.py:partition_ids), so a
+    key's owner is computable from the manifest's recorded routing width —
+    a lookup touches O(|keys|) partitions instead of scanning the lake (at
+    10^4 partitions a 3-key lookup reads 3 files, not the 100 TB). Inside a
+    partition the scan is a parquet read with a first-key-column
+    ``isin`` row-group predicate (a cheap superset), then an exact
+    composite-key join; delta partitions merge-on-read exactly like
+    ``read_lake`` before the join, so point reads see the same LWW /
+    merge-policy semantics as full reads (digest-parity tested).
+
+    ``keys``: iterable of scalars (single key column) or tuples in
+    ``cfg.key_columns`` order. Returns a Dataset (one block per touched
+    partition). Lakes whose manifest predates the recorded width fall back
+    to ``cfg.num_partitions`` — correct only if the caller knows the width
+    the lake was written with (every writer path now records it)."""
+    import ray
+    import ray.data as rd
+
+    cfg_eff = cfg or CdcConfig()
+    kcols = list(cfg_eff.key_columns)
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if not m.partitions:
+        raise FileNotFoundError(f"no committed partitions in {lake_dir}")
+    nparts = m.num_partitions or cfg_eff.num_partitions
+
+    rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+    rows = list(dict.fromkeys(rows))  # dedupe, keep caller order
+    if len(rows) == 0:
+        raise ValueError("read_lake_keys needs at least one key")
+    if any(len(r) != len(kcols) for r in rows):
+        raise ValueError(f"keys must have {len(kcols)} parts ({kcols})")
+    ktab = pa.table({c: pa.array([r[i] for r in rows])
+                     for i, c in enumerate(kcols)})
+    pids = partition_ids(ktab, kcols, nparts)
+    by_pid: dict[int, list[tuple]] = {}
+    for r, pid in zip(rows, pids):
+        by_pid.setdefault(int(pid), []).append(r)
+
+    script, version = cfg_eff.schema_script, m.schema_version
+    op_col = cfg_eff.op_column
+    policy = cfg_eff.merge_policy
+
+    @ray.remote(num_cpus=1)
+    def point_read(pid: int, files: list[str], want: list[tuple],
+                   has_deltas: bool) -> pa.Table:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        pred = pads.field(kcols[0]).isin([w[0] for w in want])
+        t = pa.concat_tables(
+            [pq.read_table(f, filters=pred) for f in files],
+            promote_options="permissive")
+        # part_id is a hive directory column — per-file reads don't see it;
+        # restore it for schema parity with read_lake's cow path
+        if "part_id" not in t.column_names:
+            t = t.append_column("part_id",
+                                pa.array([pid] * len(t), pa.int32()))
+        if script is not None:
+            t = conform_table(t, script, version)
+        if has_deltas:  # merge-on-read, same kernel as read_lake
+            ev = state_to_events(t, op_col)
+            if policy is not None:
+                t = policy.reduce(ev)
+            else:
+                t = lww_resolve_table(ev, kcols, cfg_eff.seq_column,
+                                      op_col, keep_tombstones=True)
+            t = flag_deleted(t, op_col)
+        wt = pa.table({c: pa.array([w[i] for w in want]).cast(
+            t.schema.field(c).type) for i, c in enumerate(kcols)})
+        return t.join(wt, keys=kcols, join_type="inner")
+
+    refs = [point_read.remote(pid,
+                              store.partition_data_files(m.partitions[pid]),
+                              want, bool(m.partitions[pid].delta_epochs))
+            for pid, want in sorted(by_pid.items()) if pid in m.partitions]
+    if not refs:  # every requested key routes to a never-written partition
+        return read_lake(lake_dir, include_tombstones, cfg).limit(0)
+    ds = rd.from_arrow_refs(refs)
+    if not include_tombstones:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
 def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,
                        max_rows: int = 20_000_000,
                        cfg: CdcConfig | None = None) -> str:
@@ -897,6 +991,8 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
     results = ray.get(refs)
     dropped = sum(r.pop("dropped") for r in results)
     rows = carried + [PartitionState(**r) for r in results]
+    # num_partitions omitted: compaction rewrites files in place per
+    # partition and never re-routes keys, so the recorded width carries
     store.commit_epoch(new_epoch, rows,
                        metrics={"mode": "compaction",
                                 "tombstones_dropped": int(dropped),

@@ -378,6 +378,7 @@ class StreamingUpserter:
             metrics={"applied_winners": int(applied), "mode": "streaming",
                      "partitions_promoted": len(promoted)},
             schema_version=schema_version,
+            num_partitions=self.cfg.num_partitions,
         )
         # manifest is durable → let the actors promote their staged
         # bookkeeping (see UpserterShard.snapshot/confirm two-phase note)

@@ -139,21 +139,31 @@ class Manifest:
     schema_version: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
     partition_hash: str | None = None
+    # key → partition routing width the lake was written with. Same failure
+    # class as partition_hash: a writer using a different width places the
+    # same key in a different partition (splitting its history past the seq
+    # fence), and a key-routed point read would look in the wrong partition.
+    # None on pre-existing manifests: unknown, first commit records it.
+    num_partitions: int | None = None
 
     def to_json(self) -> dict:
         from ..functions.hashing import PARTITION_HASH_SCHEME
 
-        return {
+        out = {
             "epoch": self.epoch,
             "schema_version": self.schema_version,
             "partition_hash": self.partition_hash or PARTITION_HASH_SCHEME,
             "partitions": {str(pid): asdict(ps) for pid, ps in self.partitions.items()},
         }
+        if self.num_partitions is not None:
+            out["num_partitions"] = self.num_partitions
+        return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "Manifest":
         m = cls(epoch=obj.get("epoch", -1), schema_version=obj.get("schema_version", 0),
-                partition_hash=obj.get("partition_hash"))
+                partition_hash=obj.get("partition_hash"),
+                num_partitions=obj.get("num_partitions"))
         for pid, ps in obj.get("partitions", {}).items():
             m.partitions[int(pid)] = PartitionState(**ps)
         return m
@@ -203,6 +213,7 @@ class ManifestStore:
         partition_rows: list[PartitionState],
         metrics: dict[str, Any] | None = None,
         schema_version: int | None = None,
+        num_partitions: int | None = None,
     ) -> Manifest:
         """Merge updated partitions into current.json, atomically, with
         epoch fencing and the never-empty-over-nonempty guard."""
@@ -224,6 +235,15 @@ class ManifestStore:
                 "under the current scheme first"
             )
         m.partition_hash = PARTITION_HASH_SCHEME
+        if num_partitions is not None:
+            if (m.partitions and m.num_partitions is not None
+                    and m.num_partitions != num_partitions):
+                raise RuntimeError(
+                    f"partition-count mismatch: lake routed over "
+                    f"{m.num_partitions} partitions, writer uses "
+                    f"{num_partitions}; appending would split key histories "
+                    "— re-replay or compact under the new width first")
+            m.num_partitions = num_partitions
         for ps in partition_rows:
             prev = m.partitions.get(ps.part_id)
             if prev is not None and ps.epoch < prev.epoch:
