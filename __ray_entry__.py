@@ -101,7 +101,12 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # locally checked), token_budget_sample (the budgeted per-source cap,
 # gated) and the composed prepare_training_set flagship (gated, runs the
 # mixture stage end-to-end).
+# cdc_point_read_lineitem (session 4: the key-routed serving read) rides
+# the tail — oracle-checked locally; the four engine rows inside the cap
+# already gate the replay machinery it builds on, and the point-read
+# mechanics are pinned by tests/test_point_read.py.
 _TAIL = (
+    "cdc_point_read_lineitem",
     "mixture_sample_documents",
     "doc_fingerprints",
     "repetition_stats",

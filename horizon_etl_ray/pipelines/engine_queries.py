@@ -226,6 +226,35 @@ def cdc_replay_lineitem_evolved(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_point_read_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Full-engine replay, then a KEY-ROUTED POINT READ (cdc.read_lake_keys)
+    of a deterministic key slice (l_partkey % 50 == 7): the serving-side
+    lookup path — manifest width → owning partitions only → row-group
+    predicate → exact key join — oracle-checked against the LWW window twin
+    filtered to the same slice. Tombstoned keys must NOT reappear."""
+    from .cdc import read_lake_keys
+
+    base = _run_base("ptread")
+    try:
+        lake_dir, cfg = _replay_lineitem(sf_dir, base)
+
+        def pick(t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((pk % 50) == 7))
+
+        kt = (_rp(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+              .map_batches(pick, batch_format="pyarrow")
+              .to_pandas().drop_duplicates())
+        keys = [tuple(r) for r in kt.itertuples(index=False)]
+        out = (read_lake_keys(lake_dir, keys, cfg=cfg)
+               .select_columns(["l_partkey", "l_suppkey", "seq",
+                                "content_sha256"])
+               .to_pandas())
+    finally:
+        _cleanup(base)
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
 def cdc_epoch_lineage_lineitem(sf_dir: str) -> pd.DataFrame:
     """Per-epoch lineage readback: cumulative live rows + tombstones after
     each committed epoch, reconstructed from the manifest's append-only
@@ -355,6 +384,19 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT epoch, live_rows, tombstones FROM per ORDER BY epoch
     """,
+    # the key-level slice predicate commutes with the per-key LWW window
+    # (all rows of a key share l_partkey), so WHERE-before-QUALIFY is the
+    # exact semantics of point-reading those keys from the committed lake
+    "cdc_point_read_lineitem": f"""
+        WITH ev AS ({_EV_SQL})
+        SELECT l_partkey, l_suppkey, seq, sha256(content) AS content_sha256
+        FROM ev
+        WHERE l_partkey % 50 = 7
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                   ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
 }
 
 QUERIES = {
@@ -362,4 +404,5 @@ QUERIES = {
     "cdc_replay_lineitem_epochs": cdc_replay_lineitem_epochs,
     "cdc_replay_lineitem_evolved": cdc_replay_lineitem_evolved,
     "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,
+    "cdc_point_read_lineitem": cdc_point_read_lineitem,
 }
