@@ -113,3 +113,150 @@ def approx_distinct(ds, column: str, p: int = 14) -> float:
         for r in batch["regs"].to_pylist():
             merged = hll_merge(merged, np.asarray(r, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin–Lang–Liberty, FOCS 2016) — mergeable rank
+# estimation for FLOAT domains. The engine's exact quantile path
+# (functions/quantiles.py) is exact BECAUSE it histograms an integer
+# domain; continuous values (quality scores, latencies, losses) have no
+# finite histogram, so the scale path is a sketch: O(k·log(n/k)) space,
+# mergeable (concatenate levels, re-compact), rank error O(1/k)·n.
+# Randomized odd/even compaction uses a seeded Generator so a given input
+# order reproduces exactly; merges of differently-split streams agree to
+# within the error bound (pinned by tests), not bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+class KllSketch:
+    """Levels of buffers; level i items each stand for 2^i input values.
+    ``k`` bounds the top-level buffer (total space ~2k·... geometric)."""
+
+    def __init__(self, k: int = 200, seed: int = 0x5EED):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._rng = np.random.default_rng(seed)
+
+    def _capacity(self, level: int, num_levels: int) -> int:
+        # higher levels get the full k; lower (older) levels shrink by 2/3
+        c = self.k * (2.0 / 3.0) ** (num_levels - 1 - level)
+        return max(2, int(np.ceil(c)))
+
+    def update_many(self, values: np.ndarray) -> "KllSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        while True:
+            num = len(self.levels)
+            for i, buf in enumerate(self.levels):
+                if len(buf) > self._capacity(i, num):
+                    srt = np.sort(buf)
+                    off = int(self._rng.integers(0, 2))
+                    promoted = srt[off::2]
+                    self.levels[i] = np.empty(0, dtype=np.float64)
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], promoted])
+                    break  # level count may have changed: recompute caps
+            else:
+                return
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([b for b in self.levels]) if any(
+            len(b) for b in self.levels) else np.empty(0)
+        wts = np.concatenate([
+            np.full(len(b), 1 << i, dtype=np.int64)
+            for i, b in enumerate(self.levels)]) if len(vals) else np.empty(
+                0, dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        """Value whose estimated rank is max(ceil(q·n), 1) — the same lower
+        discrete-quantile convention as functions/quantiles.py."""
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        vals, wts = self._weighted()
+        cum = np.cumsum(wts)
+        rank = max(int(np.ceil(q * self.n)), 1)
+        return float(vals[min(int(np.searchsorted(cum, rank)),
+                              len(vals) - 1)])
+
+    # -- (de)serialization for crossing task boundaries as plain bytes ----
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n,
+                             [b.tobytes() for b in self.levels]))
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "KllSketch":
+        import pickle
+
+        k, n, bufs = pickle.loads(raw)
+        s = cls(k=k)
+        s.n = n
+        s.levels = [np.frombuffer(b, dtype=np.float64).copy() for b in bufs]
+        return s
+
+
+def approx_quantiles(ds, value_column: str, qs: dict[str, float],
+                     group_column: str | None = None, k: int = 200):
+    """Distributed approximate quantiles of a FLOAT column: one KLL partial
+    per block (per group when ``group_column`` is given), folded on the
+    driver — the exchange carries O(k·log) sketch bytes per block, never
+    the values. Returns {group: {name: value}} (group None when ungrouped).
+    Partial seeds derive from content so retries reproduce exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_g, out_s = [], []
+        if group_column is None:
+            groups = {None: np.arange(len(t))}
+            vals = t[value_column].to_numpy(zero_copy_only=False)
+        else:
+            gv = t[group_column].to_numpy(zero_copy_only=False)
+            vals = t[value_column].to_numpy(zero_copy_only=False)
+            groups = {g: np.flatnonzero(gv == g) for g in pd.unique(gv)}
+        for g, ix in groups.items():
+            v = vals[ix].astype(np.float64)
+            seed = (len(v) * 0x9E3779B1 + int(abs(float(v[0]) * 1e6))
+                    if len(v) else 1) & 0x7FFFFFFF
+            sk = KllSketch(k=k, seed=seed).update_many(v)
+            out_g.append("" if g is None else str(g))
+            out_s.append(sk.to_bytes())
+        return pa.table({"g": pa.array(out_g, pa.string()),
+                         "sk": pa.array(out_s, pa.binary())})
+
+    merged: dict[str, KllSketch] = {}
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for g, raw in zip(b["g"].to_pylist(), b["sk"].to_pylist()):
+            s = KllSketch.from_bytes(raw)
+            if g in merged:
+                merged[g].merge(s)
+            else:
+                merged[g] = s
+    return {(None if g == "" else g):
+            {name: s.quantile(q) for name, q in qs.items()}
+            for g, s in merged.items()}
