@@ -722,6 +722,24 @@ def committed_files(lake_dir: str) -> list[str]:
     return out
 
 
+def _resolve_state_table(t: pa.Table, cfg_eff: "CdcConfig", script,
+                         version: int) -> pa.Table:
+    """Shared merge-on-read kernel: conform → state-as-events → LWW or
+    merge-policy reduce → tombstone flag. One partition's base+delta
+    concat in, its resolved state out — used by read_lake, read_lake_keys
+    and read_lake_at so all three see identical semantics."""
+    if script is not None:
+        t = conform_table(t, script, version)
+    ev = state_to_events(t, cfg_eff.op_column)
+    if cfg_eff.merge_policy is not None:
+        winners = cfg_eff.merge_policy.reduce(ev)
+    else:
+        winners = lww_resolve_table(
+            ev, list(cfg_eff.key_columns), cfg_eff.seq_column,
+            cfg_eff.op_column, keep_tombstones=True)
+    return flag_deleted(winners, cfg_eff.op_column)
+
+
 def read_lake(lake_dir: str, include_tombstones: bool = False,
               cfg: CdcConfig | None = None):
     """The committed view as a Dataset (manifest-selected files only —
@@ -757,16 +775,7 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
 
             t = pa.concat_tables([pq.read_table(f) for f in files],
                                  promote_options="permissive")
-            if script is not None:
-                t = conform_table(t, script, version)
-            ev = state_to_events(t, cfg_eff.op_column)
-            if cfg_eff.merge_policy is not None:
-                winners = cfg_eff.merge_policy.reduce(ev)
-            else:
-                winners = lww_resolve_table(
-                    ev, list(cfg_eff.key_columns), cfg_eff.seq_column,
-                    cfg_eff.op_column, keep_tombstones=True)
-            return flag_deleted(winners, cfg_eff.op_column)
+            return _resolve_state_table(t, cfg_eff, script, version)
 
         refs = [merge_read.remote(store.partition_data_files(ps))
                 for _, ps in sorted(m.partitions.items())]
@@ -831,8 +840,6 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
         by_pid.setdefault(int(pid), []).append(r)
 
     script, version = cfg_eff.schema_script, m.schema_version
-    op_col = cfg_eff.op_column
-    policy = cfg_eff.merge_policy
 
     @ray.remote(num_cpus=1)
     def point_read(pid: int, files: list[str], want: list[tuple],
@@ -852,13 +859,9 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
         if script is not None:
             t = conform_table(t, script, version)
         if has_deltas:  # merge-on-read, same kernel as read_lake
-            ev = state_to_events(t, op_col)
-            if policy is not None:
-                t = policy.reduce(ev)
-            else:
-                t = lww_resolve_table(ev, kcols, cfg_eff.seq_column,
-                                      op_col, keep_tombstones=True)
-            t = flag_deleted(t, op_col)
+            # (conform already ran above, so script=None here; part_id is a
+            # per-partition constant and rides the reduce like in apply)
+            t = _resolve_state_table(t, cfg_eff, None, version)
         wt = pa.table({c: pa.array([w[i] for w in want]).cast(
             t.schema.field(c).type) for i, c in enumerate(kcols)})
         return t.join(wt, keys=kcols, join_type="inner")
@@ -869,6 +872,66 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
             for pid, want in sorted(by_pid.items()) if pid in m.partitions]
     if not refs:  # every requested key routes to a never-written partition
         return read_lake(lake_dir, include_tombstones, cfg).limit(0)
+    ds = rd.from_arrow_refs(refs)
+    if not include_tombstones:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
+                 include_tombstones: bool = False):
+    """TIME TRAVEL: the lake AS OF ``epoch`` — the state a reader would have
+    seen right after that epoch's commit.
+
+    The manifest's append-only per-epoch lineage records (K6/T8,
+    ``_manifest/epoch=<e>.json``) each carry the partition rows that commit
+    produced; folding records ≤ epoch in order reconstructs the historical
+    partition table, and the referenced base/delta files are still on disk
+    because writers never overwrite (cow writes a NEW epoch file, delta
+    appends) — history only disappears when ``ManifestStore.gc()`` reclaims
+    it, in which case this raises naming the reclaimed file rather than
+    silently serving a mixed state. Reads go through the same per-partition
+    merge-on-read kernel as ``read_lake`` (prefix-replay digest parity is
+    the test), conformed to the CURRENT schema version like any
+    older-schema partition."""
+    import ray
+    import ray.data as rd
+
+    cfg_eff = cfg or CdcConfig()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    recs = [r for r in store.epoch_records() if r["epoch"] <= epoch]
+    if not recs:
+        raise ValueError(f"no epoch ≤ {epoch} committed in {lake_dir}")
+    parts: dict[int, PartitionState] = {}
+    for rec in sorted(recs, key=lambda r: r["epoch"]):
+        for d in rec["partitions"]:
+            parts[int(d["part_id"])] = PartitionState(**d)
+    if not parts:
+        raise FileNotFoundError(f"no partitions as of epoch {epoch}")
+    missing = [f for ps in parts.values()
+               for f in store.partition_data_files(ps)
+               if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"time travel to epoch {epoch} needs {missing[0]} (+"
+            f"{len(missing) - 1} more), reclaimed by gc(); rerun gc with "
+            "keep_epochs covering the travel window")
+    script, version = cfg_eff.schema_script, m.schema_version
+
+    @ray.remote(num_cpus=1)
+    def merge_read(files: list[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables([pq.read_table(f) for f in files],
+                             promote_options="permissive")
+        return _resolve_state_table(t, cfg_eff, script, version)
+
+    refs = [merge_read.remote(store.partition_data_files(ps))
+            for _, ps in sorted(parts.items())]
     ds = rd.from_arrow_refs(refs)
     if not include_tombstones:
         ds = ds.map_batches(
