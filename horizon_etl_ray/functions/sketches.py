@@ -260,3 +260,89 @@ def approx_quantiles(ds, value_column: str, qs: dict[str, float],
     return {(None if g == "" else g):
             {name: s.quantile(q) for name, q in qs.items()}
             for g, s in merged.items()}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent-items sketch (heavy hitters) — the scale path where
+# the exact top-K vocabulary (pipelines/corpus.py:vocab_top_terms) would
+# exchange every distinct term: k counters per block, mergeable by
+# pointwise sum + prune (Agarwal et al., "Mergeable Summaries", PODS'12),
+# DETERMINISTIC error ≤ n/(k+1): every item with true count above that is
+# guaranteed present, and every reported count is a lower bound within
+# that error of the truth. Public algorithm; plain dict/numpy.
+# ---------------------------------------------------------------------------
+
+
+def mg_partial(values, k: int = 256) -> tuple[dict, int, int]:
+    """MG summary of one block: exact value counts pruned to ≤ k counters.
+    Returns (counters, n, err) — ``err`` is the total weight subtracted by
+    prunes so far (the summary-wide error bound: true count ∈
+    [counters[x], counters[x] + err])."""
+    counts = pd.Series(values).value_counts()
+    n = int(counts.sum())
+    counters, err = _mg_prune(dict(counts.items()), k)
+    return counters, n, err
+
+
+def _mg_prune(counters: dict, k: int) -> tuple[dict, int]:
+    """Subtract the (k+1)-th largest count from every counter and drop the
+    non-positive — the smallest uniform subtraction leaving ≤ k counters."""
+    if len(counters) <= k:
+        return counters, 0
+    vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))[::-1]
+    s = int(vals[k])  # (k+1)-th largest
+    out = {key: c - s for key, c in counters.items() if c - s > 0}
+    return out, s
+
+
+def mg_merge(a: tuple[dict, int, int], b: tuple[dict, int, int],
+             k: int = 256) -> tuple[dict, int, int]:
+    """Pointwise-sum the counters, then one prune back to k. Error bounds
+    add: the merged summary still satisfies err ≤ (n_a + n_b)/(k+1)."""
+    ca, na, ea = a
+    cb, nb, eb = b
+    merged = dict(ca)
+    for key, c in cb.items():
+        merged[key] = merged.get(key, 0) + c
+    merged, s = _mg_prune(merged, k)
+    return merged, na + nb, ea + eb + s
+
+
+def approx_heavy_hitters(ds, column: str, k: int = 256,
+                         explode=None) -> pd.DataFrame:
+    """Distributed frequent items of a Dataset column: one MG partial per
+    block (optionally ``explode``-ing each value into items first, e.g. a
+    tokenizer), folded on the driver — the exchange carries ≤ k counters
+    per block regardless of the distinct universe. Returns a DataFrame
+    (item, count_min, count_max) sorted by count_min desc: true count is
+    GUARANTEED inside [count_min, count_max], and anything with true count
+    > total/(k+1) is guaranteed present."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pickle
+
+        vals = t[column].to_numpy(zero_copy_only=False)
+        if explode is not None:
+            vals = explode(vals)
+        return pa.table({"mg": pa.array(
+            [pickle.dumps(mg_partial(vals, k))], pa.binary())})
+
+    import pickle
+
+    acc: tuple[dict, int, int] | None = None
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for raw in b["mg"].to_pylist():
+            part = pickle.loads(raw)
+            acc = part if acc is None else mg_merge(acc, part, k)
+    if acc is None:
+        return pd.DataFrame({"item": [], "count_min": [], "count_max": []})
+    counters, n, err = acc
+    out = pd.DataFrame({"item": list(counters.keys()),
+                        "count_min": np.fromiter(counters.values(),
+                                                 dtype=np.int64)})
+    out["count_max"] = out["count_min"] + err
+    return (out.sort_values(["count_min", "item"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

@@ -178,3 +178,70 @@ def test_approx_quantiles_grouped_dataset(ray_session):
         srt = np.sort(g["quality"].to_numpy())
         for name, frac in (("p50", 0.5), ("p90", 0.9)):
             assert _rank_err(srt, got[lang][name], frac) <= 0.05, (lang, name)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+from horizon_etl_ray.functions.sketches import (approx_heavy_hitters,
+                                                mg_merge, mg_partial)
+
+
+def _zipf_stream(n, rng):
+    """Skewed item stream: a handful of heavy items over a long tail."""
+    return np.where(rng.random(n) < 0.5,
+                    rng.integers(0, 10, n),          # heavy items
+                    rng.integers(10, 20_000, n))     # long tail
+
+
+def test_mg_guarantees_on_merged_partials():
+    """Deterministic MG bounds after an arbitrary 17-way merge: every item
+    with true count > n/(k+1) is present, every reported count is a lower
+    bound, and the truth sits inside [count, count + err]."""
+    rng = np.random.default_rng(3)
+    data = _zipf_stream(200_000, rng)
+    k = 64
+    acc = None
+    for chunk in np.array_split(data, 17):
+        p = mg_partial(chunk, k)
+        acc = p if acc is None else mg_merge(acc, p, k)
+    counters, n, err = acc
+    assert n == len(data) and err <= n // (k + 1) + k  # prune budget
+    true = pd.Series(data).value_counts()
+    for item, c in counters.items():
+        t = int(true.get(item, 0))
+        assert c <= t <= c + err, (item, c, t, err)
+    for item, t in true.items():
+        if t > n / (k + 1):
+            assert item in counters, (item, t)
+
+
+def test_mg_partial_exact_when_under_k():
+    """A block with ≤ k distinct items is summarized EXACTLY (err 0)."""
+    counters, n, err = mg_partial(np.array([1, 1, 2, 3, 3, 3]), k=8)
+    assert err == 0 and n == 6
+    assert counters == {1: 2, 2: 1, 3: 3}
+
+
+def test_approx_heavy_hitters_dataset_tokens(ray_session):
+    """Distributed heavy hitters over exploded document tokens: the
+    guaranteed-present set covers every token the exact count ranks above
+    n/(k+1), and all reported intervals contain the exact counts."""
+    import ray.data as rd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+
+    def explode(texts):
+        return np.concatenate([t.split(" ") for t in texts])
+
+    out = approx_heavy_hitters(
+        rd.from_pandas(docs).repartition(7), "text", k=128, explode=explode)
+    exact = pd.Series(explode(docs["text"].to_numpy())).value_counts()
+    n = int(exact.sum())
+    got = dict(zip(out["item"], zip(out["count_min"], out["count_max"])))
+    for tok, t in exact.items():
+        if t > n / 129:
+            assert tok in got, tok
+    for tok, (lo, hi) in got.items():
+        assert lo <= int(exact.get(tok, 0)) <= hi, tok
