@@ -107,6 +107,7 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # mechanics are pinned by tests/test_point_read.py.
 _TAIL = (
     "cdc_point_read_lineitem",
+    "split_documents",
     "mixture_sample_documents",
     "doc_fingerprints",
     "repetition_stats",

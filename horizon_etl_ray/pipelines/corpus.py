@@ -955,6 +955,37 @@ def profile_documents(sf_dir: str, approx: bool = False,
     return out.sort_values("col_name").reset_index(drop=True)
 
 
+def split_documents(sf_dir: str, test_pct: int = 10,
+                    val_pct: int = 10) -> pd.DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    run needs pinned BEFORE any curation: content-addressed md5 buckets
+    (the engine convention DuckDB reproduces), so membership is a pure
+    function of doc_id — stable across runs, machines and corpus growth
+    (new docs never move old ones between splits). Returns the per-
+    (lang, split) census, the stratification-balance audit: hash
+    uniformity keeps each language's split ratios at the global ones
+    without a per-group pass. Map-only, no shuffle; per-block partials
+    collapse in-task so the driver folds only blocks × (lang × 3) partial
+    rows (functions/bucketed.py:bounded_groupby_fold), never per-doc
+    rows."""
+    from ..functions.bucketed import bounded_groupby_fold
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+    cut_test, cut_val = test_pct, test_pct + val_pct
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _md5_bucket(t["doc_id"].to_numpy(zero_copy_only=False), 100)
+        split = np.where(b < cut_test, "test",
+                         np.where(b < cut_val, "val", "train"))
+        return pa.table({"lang": t["lang"],
+                         "split": pa.array(split, pa.string())})
+
+    out = bounded_groupby_fold(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["lang", "split"], [], count_col="n_docs")
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
 def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-language token-count percentiles via mergeable histogram
     partials (functions/quantiles.py) — exact percentiles WITHOUT a global
@@ -2284,6 +2315,22 @@ ORACLE_SQL: dict[str, str] = {
         WHERE q.q6 >= m.p50
         ORDER BY doc_id
     """,
+    # same md5 convention as the Ray side; split boundaries are integer
+    # bucket comparisons so no float boundary can flip membership
+    "split_documents": """
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < 10 THEN 'test'
+                    WHEN bucket < 20 THEN 'val'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs
+        FROM b GROUP BY 1, 2 ORDER BY lang, split
+    """,
     # exact column profile; the Ray side counts distinct over the string
     # CAST of each column (injective, so counts match the native-type
     # count(DISTINCT)); nulls excluded from distinct per SQL semantics.
@@ -2840,6 +2887,7 @@ QUERIES = {
     "percentile_quality_filter": percentile_quality_filter,
     "token_budget_sample": token_budget_sample,
     "profile_documents": profile_documents,
+    "split_documents": split_documents,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "lang_id_confusion": lang_id_confusion,
     "clean_corpus": clean_corpus,
