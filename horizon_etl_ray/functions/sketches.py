@@ -229,21 +229,26 @@ def approx_quantiles(ds, value_column: str, qs: dict[str, float],
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    _UNGROUPED = "\x00all"  # cannot collide: real group keys are stringified
+
     def partial(t: pa.Table) -> pa.Table:
         out_g, out_s = [], []
         if group_column is None:
-            groups = {None: np.arange(len(t))}
+            groups = {_UNGROUPED: np.arange(len(t))}
             vals = t[value_column].to_numpy(zero_copy_only=False)
         else:
             gv = t[group_column].to_numpy(zero_copy_only=False)
             vals = t[value_column].to_numpy(zero_copy_only=False)
-            groups = {g: np.flatnonzero(gv == g) for g in pd.unique(gv)}
+            groups = {str(g): np.flatnonzero(gv == g) for g in pd.unique(gv)}
         for g, ix in groups.items():
             v = vals[ix].astype(np.float64)
-            seed = (len(v) * 0x9E3779B1 + int(abs(float(v[0]) * 1e6))
-                    if len(v) else 1) & 0x7FFFFFFF
+            v = v[np.isfinite(v)]  # NaN/inf: dropped BEFORE seed derivation
+            if len(v) == 0:  # all-null group slice: contributes nothing
+                continue
+            seed = (len(v) * 0x9E3779B1
+                    + int(abs(float(v[0]) * 1e6))) & 0x7FFFFFFF
             sk = KllSketch(k=k, seed=seed).update_many(v)
-            out_g.append("" if g is None else str(g))
+            out_g.append(g)
             out_s.append(sk.to_bytes())
         return pa.table({"g": pa.array(out_g, pa.string()),
                          "sk": pa.array(out_s, pa.binary())})
@@ -257,7 +262,7 @@ def approx_quantiles(ds, value_column: str, qs: dict[str, float],
                 merged[g].merge(s)
             else:
                 merged[g] = s
-    return {(None if g == "" else g):
+    return {(None if g == _UNGROUPED else g):
             {name: s.quantile(q) for name, q in qs.items()}
             for g, s in merged.items()}
 
@@ -323,8 +328,8 @@ def approx_heavy_hitters(ds, column: str, k: int = 256,
         import pickle
 
         vals = t[column].to_numpy(zero_copy_only=False)
-        if explode is not None:
-            vals = explode(vals)
+        if explode is not None and len(vals):  # sized reads can hand out
+            vals = explode(vals)               # empty blocks on tiny files
         return pa.table({"mg": pa.array(
             [pickle.dumps(mg_partial(vals, k))], pa.binary())})
 

@@ -903,7 +903,13 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
     cfg_eff = cfg or CdcConfig()
     store = ManifestStore(lake_dir)
     m = store.load()
-    recs = [r for r in store.epoch_records() if r["epoch"] <= epoch]
+    # clamp at the manifest's committed epoch: commit_epoch writes the
+    # lineage record FIRST and current.json last, so a writer crashing
+    # between the two leaves an orphan epoch=N.json that was never
+    # committed — folding it would serve exactly the mixed state this
+    # function promises never to serve (current.json is the commit point)
+    recs = [r for r in store.epoch_records()
+            if r["epoch"] <= min(epoch, m.epoch)]
     if not recs:
         raise ValueError(f"no epoch ≤ {epoch} committed in {lake_dir}")
     parts: dict[int, PartitionState] = {}

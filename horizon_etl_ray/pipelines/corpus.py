@@ -888,70 +888,97 @@ def profile_documents(sf_dir: str, approx: bool = False,
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     docs = _rp(sf_dir, "documents", columns=cols)
 
-    def counts(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "col_name": pa.array(cols, pa.string()),
-            "n_rows": pa.array([len(t)] * len(cols), pa.int64()),
-            "n_null": pa.array([t[c].null_count for c in cols], pa.int64()),
-        })
-
-    folded = (docs.map_batches(counts, batch_format="pyarrow")
-              .to_pandas().groupby("col_name", sort=False)
-              [["n_rows", "n_null"]].sum().reset_index())
-
     if approx:
         p = 14
 
         def regs_partial(t: pa.Table) -> pa.Table:
+            # ONE pass: row/null counts ride alongside the HLL registers
             regs = [sk.hll_partial(sk.hash_values(
                 pc.drop_null(t[c]).to_numpy(zero_copy_only=False)), p)
                 for c in cols]
             return pa.table({
                 "col_name": pa.array(cols, pa.string()),
                 "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+                "n_rows": pa.array([len(t)] * len(cols), pa.int64()),
+                "n_null": pa.array([t[c].null_count for c in cols],
+                                   pa.int64()),
             })
 
         merged = {c: np.zeros(1 << p, dtype=np.uint8) for c in cols}
+        counts = {c: [0, 0] for c in cols}
         for b in (docs.map_batches(regs_partial, batch_format="pyarrow")
                   .iter_batches(batch_format="pyarrow")):
-            for c, r in zip(b["col_name"].to_pylist(),
-                            b["regs"].to_pylist()):
+            for c, r, nr, nn in zip(b["col_name"].to_pylist(),
+                                    b["regs"].to_pylist(),
+                                    b["n_rows"].to_pylist(),
+                                    b["n_null"].to_pylist()):
                 merged[c] = sk.hll_merge(merged[c],
                                          np.frombuffer(r, dtype=np.uint8))
-        nd = pd.DataFrame({
+                counts[c][0] += nr
+                counts[c][1] += nn
+        out = pd.DataFrame({
             "col_name": cols,
-            "n_distinct": [int(round(sk.hll_estimate(merged[c])))
+            "n_rows": [np.int64(counts[c][0]) for c in cols],
+            "n_null": [np.int64(counts[c][1]) for c in cols],
+            "n_distinct": [np.int64(round(sk.hll_estimate(merged[c])))
                            for c in cols]})
     else:
-        def uniq(t: pa.Table) -> pa.Table:
-            names, vals = [], []
+        def partial(t: pa.Table) -> pa.Table:
+            # ONE pass: per-block-unique value rows for the distinct
+            # exchange, plus one count row per column on the reserved
+            # bucket -1 (5 tiny rows per block riding the same exchange —
+            # a second counts scan would double the read I/O of what is,
+            # for a profiler, the dominant cost)
+            names = [pa.array(cols, pa.string())]
+            vals = [pa.nulls(len(cols), pa.string())]
+            bks = [pa.array([-1] * len(cols), pa.int64())]
+            nrs = [pa.array([len(t)] * len(cols), pa.int64())]
+            nns = [pa.array([t[c].null_count for c in cols], pa.int64())]
             for c in cols:
                 u = pc.unique(pc.drop_null(pc.cast(t[c], pa.string())))
+                if isinstance(u, pa.ChunkedArray):
+                    u = u.combine_chunks()
                 names.append(pa.array([c] * len(u), pa.string()))
                 vals.append(u)
-            v = pa.concat_arrays([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in vals])
-            bk = (pd.util.hash_array(v.to_numpy(zero_copy_only=False),
-                                     categorize=False)
-                  % np.uint64(num_buckets)).astype(np.int64)
+                bk = (pd.util.hash_array(u.to_numpy(zero_copy_only=False),
+                                         categorize=False)
+                      % np.uint64(num_buckets)).astype(np.int64)
+                bks.append(pa.array(bk, pa.int64()))
+                nrs.append(pa.array(np.zeros(len(u), np.int64), pa.int64()))
+                nns.append(pa.array(np.zeros(len(u), np.int64), pa.int64()))
             return pa.table({"col_name": pa.concat_arrays(names),
-                             "val": v,
-                             "bucket": pa.array(bk, pa.int64())})
+                             "val": pa.concat_arrays(vals),
+                             "bucket": pa.concat_arrays(bks),
+                             "n_rows": pa.concat_arrays(nrs),
+                             "n_null": pa.concat_arrays(nns)})
 
-        def bucket_nunique(g: pd.DataFrame) -> pa.Table:
+        def bucket_fold(g: pd.DataFrame) -> pa.Table:
+            if int(g["bucket"].iloc[0]) == -1:  # the count-partial group
+                s = g.groupby("col_name", sort=False)[
+                    ["n_rows", "n_null"]].sum()
+                return pa.table({
+                    "col_name": pa.array(s.index.to_numpy(dtype=object),
+                                         pa.string()),
+                    "n_rows": pa.array(s["n_rows"].to_numpy(np.int64)),
+                    "n_null": pa.array(s["n_null"].to_numpy(np.int64)),
+                    "nd": pa.array(np.zeros(len(s), np.int64))})
             n = g.groupby("col_name", sort=False)["val"].nunique()
+            z = np.zeros(len(n), np.int64)
             return pa.table({
                 "col_name": pa.array(n.index.to_numpy(dtype=object),
                                      pa.string()),
+                "n_rows": pa.array(z), "n_null": pa.array(z),
                 "nd": pa.array(n.to_numpy(dtype=np.int64), pa.int64())})
 
-        nd = (docs.map_batches(uniq, batch_format="pyarrow")
-              .groupby("bucket").map_groups(bucket_nunique,
-                                            batch_format="pandas")
-              .to_pandas().groupby("col_name", sort=False)["nd"].sum()
-              .reset_index(name="n_distinct"))
+        out = (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby("bucket").map_groups(bucket_fold,
+                                             batch_format="pandas")
+               .to_pandas().groupby("col_name", sort=False)
+               [["n_rows", "n_null", "nd"]].sum().reset_index()
+               .rename(columns={"nd": "n_distinct"}))
+        for c in ("n_rows", "n_null", "n_distinct"):
+            out[c] = out[c].astype(np.int64)
 
-    out = folded.merge(nd, on="col_name")
     return out.sort_values("col_name").reset_index(drop=True)
 
 

@@ -243,7 +243,14 @@ class ManifestStore:
                     f"{m.num_partitions} partitions, writer uses "
                     f"{num_partitions}; appending would split key histories "
                     "— re-replay or compact under the new width first")
-            m.num_partitions = num_partitions
+            if not m.partitions or m.num_partitions is not None:
+                # record only when verifiable: on a NON-empty legacy
+                # manifest (width unknown) the writer's claim can't be
+                # checked against anything — recording it would launder a
+                # misconfigured width into lake truth that read_lake_keys
+                # then silently trusts. Unknown stays unknown (point
+                # readers fall back to the caller's cfg).
+                m.num_partitions = num_partitions
         for ps in partition_rows:
             prev = m.partitions.get(ps.part_id)
             if prev is not None and ps.epoch < prev.epoch:

@@ -111,3 +111,21 @@ def test_point_read_all_absent_keys(ray_session, tmp_path):
     lake, cfg = _build(tmp_path, "cow")
     out = read_lake_keys(lake, [("ghost", "ghost/path")], cfg=cfg)
     assert len(out.to_pandas()) == 0
+
+
+def test_legacy_manifest_width_stays_unverified(ray_session, tmp_path):
+    """On a NON-empty manifest that predates the recorded width, a writer's
+    claimed num_partitions must NOT be laundered into lake truth (it can't
+    be checked against anything) — it stays None and the commit proceeds."""
+    import json
+
+    lake, cfg = _build(tmp_path, "cow")
+    store = ManifestStore(lake)
+    cur = store.load()
+    raw = cur.to_json()
+    del raw["num_partitions"]  # simulate a pre-width manifest
+    with open(store.current_path, "w") as f:
+        json.dump(raw, f)
+    assert store.load().num_partitions is None
+    store.commit_epoch(cur.epoch + 1, [], num_partitions=32)  # no fence hit
+    assert store.load().num_partitions is None  # and no laundering

@@ -245,3 +245,19 @@ def test_approx_heavy_hitters_dataset_tokens(ray_session):
             assert tok in got, tok
     for tok, (lo, hi) in got.items():
         assert lo <= int(exact.get(tok, 0)) <= hi, tok
+
+
+def test_approx_distinct_wrapper(ray_session):
+    """The single-column distributed wrapper tracks exact nunique within
+    2% on int and string columns (and tolerates empty blocks)."""
+    import ray.data as rd
+
+    from horizon_etl_ray.functions.sketches import approx_distinct
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    ds = rd.from_pandas(docs).repartition(11)
+    for col in ("doc_id", "source"):
+        est = approx_distinct(ds, col)
+        exact = docs[col].nunique()
+        assert abs(est - exact) / exact <= 0.02, (col, est, exact)

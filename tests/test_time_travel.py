@@ -90,3 +90,29 @@ def test_time_travel_after_gc_raises(ray_session, tmp_path, events):
     got = read_lake_at(lake, cur, cfg=cfg).to_pandas()
     pd.testing.assert_frame_equal(
         _canon(got), _canon(read_lake(lake, cfg=cfg).to_pandas()))
+
+
+def test_orphan_epoch_record_is_not_served(ray_session, tmp_path, events):
+    """commit_epoch writes the lineage record first and current.json last —
+    a writer crashing between the two leaves an orphan epoch=N.json.
+    read_lake_at must clamp at the COMMITTED epoch and never fold it."""
+    import json
+    import os
+
+    cfg = CdcConfig(num_partitions=8)
+    lake = str(tmp_path / "lake")
+    replay(events, lake, cfg, mode="incremental")
+    store = ManifestStore(lake)
+    cur = store.load().epoch
+    recs = store.epoch_records()
+    orphan = dict(recs[-1])
+    orphan["epoch"] = cur + 1
+    # fabricate a never-committed record claiming an empty partition 0
+    orphan["partitions"] = [dict(recs[-1]["partitions"][0],
+                                 row_count=0, tombstones=0)]
+    with open(os.path.join(lake, "_manifest",
+                           f"epoch={cur + 1}.json"), "w") as f:
+        json.dump(orphan, f)
+    got = read_lake_at(lake, cur + 1, cfg=cfg).to_pandas()
+    exp = read_lake(lake, cfg=cfg).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
