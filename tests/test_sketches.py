@@ -261,3 +261,51 @@ def test_approx_distinct_wrapper(ray_session):
         est = approx_distinct(ds, col)
         exact = docs[col].nunique()
         assert abs(est - exact) / exact <= 0.02, (col, est, exact)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the sketch algebra under ARBITRARY stream splits
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+ids_strategy = st.lists(st.integers(-10_000, 10_000), min_size=1,
+                        max_size=400)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ids_strategy, st.integers(1, 7))
+def test_hll_split_invariance_property(ids, n_parts):
+    """For ANY id multiset and ANY split, merged HLL partials equal the
+    whole-stream sketch exactly (registers are max)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    whole = _regs(ids)
+    merged = np.zeros_like(whole)
+    for part in np.array_split(ids, n_parts):
+        merged = sk.hll_merge(merged, _regs(part))
+    np.testing.assert_array_equal(whole, merged)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=500),
+       st.integers(1, 4), st.sampled_from([2, 8, 64]))
+def test_mg_bounds_property(items, n_parts, k):
+    """For ANY item stream, ANY split and ANY k: counts are lower bounds,
+    truth ∈ [count, count+err], err within the prune budget, and every
+    item above n/(k+1) survives the merge."""
+    arr = np.asarray(items, dtype=np.int64)
+    acc = None
+    for part in np.array_split(arr, n_parts):
+        if len(part) == 0:
+            continue
+        p = mg_partial(part, k)
+        acc = p if acc is None else mg_merge(acc, p, k)
+    counters, n, err = acc
+    assert n == len(arr)
+    true = pd.Series(arr).value_counts()
+    for item, c in counters.items():
+        assert c <= int(true[item]) <= c + err
+    for item, t in true.items():
+        if t > n / (k + 1):
+            assert item in counters
