@@ -45,6 +45,15 @@ def main() -> int:
                     help="after the replay, render report.json + report.md "
                          "under <lake>/_reports from the manifest lineage "
                          "(pipelines/report.py)")
+    ap.add_argument("--read-key", action="append", default=None,
+                    metavar="REPO,PATH",
+                    help="after the replay, point-read these keys (repeat "
+                         "the flag; opens only the owning partitions) and "
+                         "print the rows as JSON")
+    ap.add_argument("--as-of", type=int, default=None, metavar="EPOCH",
+                    help="serve --read-key (or a row count) from the lake "
+                         "AS OF this epoch (time travel) instead of the "
+                         "latest commit")
     args = ap.parse_args()
 
     if "://" in args.lake or "://" in args.events:
@@ -92,6 +101,28 @@ def main() -> int:
         from horizon_etl_ray.pipelines.report import write_run_report
 
         out["report_json"], out["report_md"] = write_run_report(args.lake)
+    if args.read_key:
+        from horizon_etl_ray.pipelines.cdc import read_lake_at, read_lake_keys
+
+        keys = [tuple(k.split(",", 1)) for k in args.read_key]
+        if args.as_of is not None:
+            # time travel first, then filter (point reads route via the
+            # CURRENT manifest; historical partition files may differ)
+            df = read_lake_at(args.lake, args.as_of, cfg=cfg).to_pandas()
+            kc = list(cfg.key_columns)
+            import pandas as pd
+
+            df = df.merge(pd.DataFrame(keys, columns=kc), on=kc)
+        else:
+            df = read_lake_keys(args.lake, keys, cfg=cfg).to_pandas()
+        out["rows"] = json.loads(
+            df.drop(columns=["part_id"], errors="ignore")
+            .to_json(orient="records"))
+    elif args.as_of is not None:
+        from horizon_etl_ray.pipelines.cdc import read_lake_at
+
+        out["rows_as_of"] = int(
+            read_lake_at(args.lake, args.as_of, cfg=cfg).count())
     print(json.dumps(out))
     ray.shutdown()
     return 0
