@@ -248,3 +248,44 @@ def test_token_budget_sample_monotone_in_budget(ray_session):
     # each kept doc STARTS before the budget, so total ≤ budget + last doc
     tot = big.groupby("source")["n_tokens"].sum()
     assert (tot - big.groupby("source")["n_tokens"].max() < 400).all()
+
+
+def test_token_budget_sample_hot_source(ray_session, tmp_path):
+    """Adversarial skew: ONE source owns 90% of the corpus. The kept set is
+    still exactly the hash-order prefix (vs a naive reference), and the
+    boundary-bucket exchange only ever carries ~1/2^hb_bits of the hot
+    source — the scale property the coarse ranges exist for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    n = 4000
+    src = np.where(np.arange(n) % 10 == 0,
+                   [f"cold{i % 7}" for i in range(n)], "hot")
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [("w " * (5 + i % 9)).strip() for i in range(n)],
+        "lang": "en",
+        "source": src,
+        "n_chars": np.int64(20),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    out = corpus.token_budget_sample(str(tmp_path), budget=500)
+    # naive single-machine reference of the same rule
+    from horizon_etl_ray.pipelines.corpus import _md5_bucket  # noqa: F401
+    from horizon_etl_ray.functions.hashing import md5_of_ints
+
+    h, _ = md5_of_ints(df["doc_id"].to_numpy())
+    ref_rows = []
+    toks = df["text"].str.split(" ").str.len().to_numpy()
+    for s, g in pd.DataFrame({"doc_id": df["doc_id"], "source": df["source"],
+                              "n": toks, "h": h}).groupby("source"):
+        g = g.sort_values(["h", "doc_id"])
+        prior = np.concatenate(([0], np.cumsum(g["n"].to_numpy())[:-1]))
+        ref_rows.append(g[prior < 500])
+    ref = pd.concat(ref_rows)
+    assert set(out["doc_id"]) == set(ref["doc_id"])
+    assert (out.groupby("source").size()["hot"]
+            == ref.groupby("source").size()["hot"])

@@ -309,3 +309,30 @@ def test_mg_bounds_property(items, n_parts, k):
     for item, t in true.items():
         if t > n / (k + 1):
             assert item in counters
+
+
+def test_profile_null_handling_both_paths(ray_session, tmp_path):
+    """Null semantics on a table that actually has them (documents does
+    not): n_null counts per column, and nulls are EXCLUDED from distinct
+    (SQL count(DISTINCT) semantics) in both the exact exchange and the
+    HLL path."""
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [None if i % 4 == 0 else f"t{i % 7}" for i in range(40)],
+        "lang": [None if i == 3 else "en" for i in range(40)],
+        "source": ["s"] * 40,
+        "n_chars": np.where(np.arange(40) % 2 == 0, 5, 9).astype(np.int64),
+    })
+    pq.write_table(pa_table := __import__("pyarrow").Table.from_pandas(
+        df, preserve_index=False), f"{tmp_path}/documents.parquet")
+    out = corpus.profile_documents(str(tmp_path)).set_index("col_name")
+    assert out.loc["text", "n_null"] == 10
+    assert out.loc["text", "n_distinct"] == 7      # t0..t6, null excluded
+    assert out.loc["lang", "n_null"] == 1
+    assert out.loc["lang", "n_distinct"] == 1
+    assert out.loc["n_chars", "n_distinct"] == 2
+    est = corpus.profile_documents(str(tmp_path),
+                                   approx=True).set_index("col_name")
+    pd.testing.assert_frame_equal(out, est)  # tiny cardinalities: HLL exact
