@@ -73,9 +73,19 @@ def add_content_hash(batch: pa.Table, text_column: str = "text",
     return batch.append_column(out_column, sha256_column(batch[text_column]))
 
 
+# Measured crossover for the winner election (same warm session, round 5):
+# flat Dataset.groupby.min wins at toy cardinality (0.54 s vs 0.85 s at 5k
+# distinct, 0.70 vs 1.42 at 500) because the bucketed route pays a fixed
+# partial-pass + 64-bucket exchange; bucketed wins 7x at 1M distinct
+# (1.73 s vs 12.0 s — the ~35 us/group sort-agg overhead, see bucketed.py).
+# Breakeven ~= 35 us x N = bucketed's fixed ~1 s -> N* ~ 3e4..6e4.
+_FLAT_ELECTION_MAX_ROWS = 50_000
+
+
 def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
                 broadcast_threshold: int = 1_000_000, num_partitions: int = 32,
-                keep_hash: bool = False):
+                keep_hash: bool = False, election: str = "auto",
+                approx_rows: int | None = None):
     """Keep the minimum-id row per exact content hash.
 
     hash in map_batches → groupby(hash) shipping ONLY (hash, id) pairs (the
@@ -93,6 +103,15 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
         filter, so nothing ever materializes on the driver (at 10^10 docs the
         id set alone would be ~80 GB). Here the output pass re-hashes by
         construction (the join needs the key on both sides).
+
+    ``election`` picks the winner-election reduce: ``"bucketed"`` (the
+    two-level bucketed reduce — the scale default), ``"flat"`` (the builtin
+    ``groupby(hash).min``), or ``"auto"``: flat when ``approx_rows`` — a
+    caller-supplied upper bound on distinct hashes, e.g. the table's parquet
+    metadata row count — is ≤ ``_FLAT_ELECTION_MAX_ROWS``, else bucketed.
+    With no hint auto stays bucketed: guessing small and being wrong costs
+    ~35 µs/group (12 s at 1M groups); guessing big and being wrong costs a
+    fixed ~0.5 s.
     """
     import ray
     import ray.data as rd  # noqa: F401
@@ -100,19 +119,26 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id",
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_column), batch_format="pyarrow"
     )
-    # the exchange ships only (hash, id) pairs — via the TWO-LEVEL bucketed
-    # reduce (per-block partial mins routed by hash(content_hash) % B, one
-    # vectorized pandas min per physical bucket). The flat builtin
-    # groupby(content_hash).min pays per-group overhead when nearly every
-    # hash is its own group: measured 21.7 s vs 1.05 s at 1M distinct
-    # hashes (the round-4 dup_span finding; an earlier two-stage attempt
-    # lost because its partials rode pandas object-string blocks).
+    # the exchange ships only (hash, id) pairs — at scale via the TWO-LEVEL
+    # bucketed reduce (per-block partial mins routed by hash(content_hash)
+    # % B, one vectorized pandas min per physical bucket; flat builtin
+    # measured 21.7 s vs 1.05 s at 1M distinct hashes), at toy cardinality
+    # via the flat builtin (crossover note above _FLAT_ELECTION_MAX_ROWS).
     from .bucketed import bucketed_groupby_agg
 
+    if election not in ("auto", "flat", "bucketed"):
+        raise ValueError(f"unknown election strategy {election!r}")
+    use_flat = election == "flat" or (
+        election == "auto" and approx_rows is not None
+        and approx_rows <= _FLAT_ELECTION_MAX_ROWS)
+
     minname = f"min({id_column})"
-    winners = bucketed_groupby_agg(
-        hashed.select_columns(["content_hash", id_column]),
-        "content_hash", {minname: (id_column, "min")}).materialize()
+    pairs = hashed.select_columns(["content_hash", id_column])
+    if use_flat:
+        winners = pairs.groupby("content_hash").min(id_column).materialize()
+    else:
+        winners = bucketed_groupby_agg(
+            pairs, "content_hash", {minname: (id_column, "min")}).materialize()
 
     if winners.count() <= broadcast_threshold:
         keep_ids = set(r[minname] for r in winners.take_all())

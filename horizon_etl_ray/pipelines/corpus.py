@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..functions import dedup as dd
 from ..functions import similarity as sim
@@ -135,7 +136,12 @@ def exact_dedup_documents(sf_dir: str) -> pd.DataFrame:
         )
 
     corpus = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
-    survivors = dd.exact_dedup(corpus, text_column="text", id_column="doc_id")
+    # distinct-hash upper bound from parquet footer metadata (free): the
+    # planted-dup union doubles the rows — lets exact_dedup auto-pick the
+    # flat election at toy cardinality (functions/dedup.py crossover note)
+    n_meta = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    survivors = dd.exact_dedup(corpus, text_column="text", id_column="doc_id",
+                               approx_rows=2 * n_meta)
     out = survivors.select_columns(["doc_id", "n_chars"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1077,8 +1083,12 @@ def clean_corpus(sf_dir: str, quality_min: float = 0.5,
     kept = (docs.map_batches(tx.LangIdStage, batch_format="pandas",
                              concurrency=(1, 4))
             .map_batches(score_filter, batch_format="pandas")).materialize()
+    # kept is pinned, so count() is free metadata — it upper-bounds the
+    # distinct-hash cardinality and lets exact_dedup auto-pick the flat vs
+    # bucketed winner election (crossover note in functions/dedup.py)
     deduped = dd.exact_dedup(
-        kept, broadcast_threshold=broadcast_threshold).materialize()
+        kept, broadcast_threshold=broadcast_threshold,
+        approx_rows=kept.count()).materialize()
 
     pairs = dd.ngram_jaccard_pairs(deduped, threshold=jaccard_threshold,
                                    concurrency=(1, 4))

@@ -101,6 +101,23 @@ def test_exact_dedup_distributed_semi_join_matches_broadcast(docs_ds):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_exact_dedup_election_strategies_agree(docs_ds):
+    """flat / bucketed / auto(hinted-small) winner elections are the same
+    reduce expressed two ways — identical survivors and payload. The auto
+    rule (functions/dedup.py crossover note) picks flat under the hint and
+    bucketed without one; both must produce the same frame."""
+    flat = dd.exact_dedup(docs_ds, election="flat").to_pandas()
+    buck = dd.exact_dedup(docs_ds, election="bucketed").to_pandas()
+    auto = dd.exact_dedup(docs_ds, approx_rows=13).to_pandas()
+    nohint = dd.exact_dedup(docs_ds).to_pandas()  # auto, no hint -> bucketed
+    a = flat.sort_values("doc_id").reset_index(drop=True)
+    for other in (buck, auto, nohint):
+        b = other.sort_values("doc_id").reset_index(drop=True)[a.columns]
+        pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError):
+        dd.exact_dedup(docs_ds, election="fastest")
+
+
 def test_verify_pairs_never_broadcasts_corpus(docs_ds, monkeypatch):
     """The round-1 implementation ray.put() a dict of every doc text; the
     bucketed-join rewrite must never place a driver-side corpus collection
