@@ -105,7 +105,24 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # the tail — oracle-checked locally; the four engine rows inside the cap
 # already gate the replay machinery it builds on, and the point-read
 # mechanics are pinned by tests/test_point_read.py.
+# Round-5 demotions, one per new gated row (VERDICT r4 directives #3/#4):
+# - token_count_quantiles → kll_quantile_bounds: the new row returns the
+#   IDENTICAL exact per-lang percentile output (same histogram-partial
+#   exchange, same SQL twin) and additionally runs the distributed KLL
+#   sketch with a rank-error assert — the exact-quantile machinery stays
+#   gated, now alongside its sketch escape hatch.
+# - dup_audit → mg_heavy_hitters_bounds: A7's duplicate-count groupby
+#   mechanism stays gated via exact_dedup_documents (the same hash-group
+#   election) and profile_documents (exact per-column distinct counts);
+#   dup_audit remains oracle-checked locally.
+# - cdc_lww_lineitem → cdc_change_feed_lineitem: J1/LWW resolution is
+#   gated five other ways (all four full-engine replay rows use the same
+#   LWW window twin, and the change feed diffs TWO LWW states through the
+#   full engine); the standalone LWW op remains oracle-checked locally.
 _TAIL = (
+    "cdc_lww_lineitem",
+    "dup_audit",
+    "token_count_quantiles",
     "cdc_point_read_lineitem",
     "split_documents",
     "mixture_sample_documents",

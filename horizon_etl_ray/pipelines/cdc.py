@@ -947,6 +947,241 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
     return ds
 
 
+def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
+                 cfg: CdcConfig | None = None, json_payload: bool = False):
+    """CHANGE FEED: the per-key NET changes between two committed epochs —
+    what a downstream consumer (cache invalidation, incremental mart
+    refresh) must apply to move from the state as of ``from_epoch`` to the
+    state as of ``to_epoch`` (window ``(from_epoch, to_epoch]``; any
+    ``from_epoch`` before the lake's first committed epoch diffs against
+    the empty lake, ``to_epoch=None`` means the current committed epoch).
+
+    Reference parity: the per-entity change log — operation, before/after
+    payload, indexed by (entity, time) — of
+    /root/reference/src/tracking/entities/entity_change_log.py:8-40 (recorded
+    at src/tracking/recorder.py:132-279, exported at
+    canonical_exporter.py:1943-2001), re-expressed as a COLUMNAR diff of the
+    lake's own committed history instead of a row-store side table: the
+    manifest's append-only epoch records say which partitions each commit
+    touched, so the feed reads ONLY those partitions (untouched partitions
+    cost nothing), and each touched partition is diffed independently in one
+    Ray task (keys never change partitions — the width fence guarantees it).
+
+    Returns a Dataset with one row per key whose LIVENESS or PAYLOAD differs
+    between the two states:
+
+      - ``op``: ``insert`` (not live before, live after), ``delete`` (live
+        before, not live after), ``update`` (live at both, payload differs).
+        Keys whose resolved row changed only in ``seq`` (a later writer
+        re-asserting identical content) are NOT in the feed; neither are
+        keys created and deleted entirely inside the window (net zero).
+      - ``epoch``: the window epoch whose commit produced the after-state —
+        for an LWW lake this is exactly the epoch of the winning (max-seq)
+        event, computed as the last window epoch at which the key's resolved
+        row (including seq) changed.
+      - ``seq``: the after-state winner's seq (null when the key's tombstone
+        was itself compacted away inside the window).
+      - ``before_<col>`` / ``after_<col>`` for every payload column: the
+        reference stores before/after as JSON blobs; a columnar engine keeps
+        them typed and flat (null side for insert/delete). Pass
+        ``json_payload=True`` to get the reference-shaped ``before`` /
+        ``after`` JSON string columns instead (a serialization stage, off
+        the hot path).
+
+    Replayability: feeding ``read_changes(lake, -1)`` rows back through
+    ``apply_epoch`` onto an empty lake reproduces the live state digest
+    (tested) — the feed IS a minimal re-materialization recipe.
+
+    Cost: each touched partition resolves one state per window epoch that
+    rewrote it (cow: one base file each; delta: base + deltas ≤ that epoch),
+    so a feed over a W-epoch window reads ≤ W versions per partition. Long
+    windows on hot partitions approach W full scans — poll incrementally.
+    Raises FileNotFoundError when gc() has reclaimed a needed historical
+    file (never silently serves a mixed state), like ``read_lake_at``."""
+    import json as _json
+
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    cfg_eff = cfg or CdcConfig()
+    kcols = list(cfg_eff.key_columns)
+    seq_col = cfg_eff.seq_column
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m.epoch < 0:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    to_eff = m.epoch if to_epoch is None else min(to_epoch, m.epoch)
+    if from_epoch > to_eff:
+        raise ValueError(f"from_epoch {from_epoch} > to_epoch {to_eff}")
+    recs = sorted((r for r in store.epoch_records() if r["epoch"] <= to_eff),
+                  key=lambda r: r["epoch"])
+    from_ps: dict[int, PartitionState] = {}
+    window: dict[int, list[tuple[int, PartitionState]]] = {}
+    for rec in recs:
+        e = int(rec["epoch"])
+        for d in rec["partitions"]:
+            ps = PartitionState(**d)
+            if e <= from_epoch:
+                from_ps[ps.part_id] = ps
+            else:
+                window.setdefault(ps.part_id, []).append((e, ps))
+    script, version = cfg_eff.schema_script, m.schema_version
+
+    needed = [f for pid, evs in window.items()
+              for ps in ([from_ps[pid]] if pid in from_ps else [])
+              + [p for _, p in evs]
+              for f in store.partition_data_files(ps)]
+    missing = [f for f in needed if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"change feed ({from_epoch}, {to_eff}] needs {missing[0]} "
+            f"(+{len(missing) - 1} more), reclaimed by gc(); rerun gc with "
+            "keep_epochs covering the feed window")
+
+    @ray.remote(num_cpus=1)
+    def diff_partition(from_files: list[str] | None,
+                       epoch_files: list[tuple[int, list[str]]]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        def resolve(files: list[str]) -> pd.DataFrame:
+            t = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="permissive")
+            t = _resolve_state_table(t, cfg_eff, script, version)
+            if "part_id" in t.column_names:
+                t = t.drop_columns(["part_id"])
+            return t, t.to_pandas()
+
+        frames: list[tuple[int, pd.DataFrame]] = []
+        schema_t = None
+        if from_files:
+            schema_t, df = resolve(from_files)
+            frames.append((from_epoch, df))
+        for e, files in epoch_files:
+            schema_t, df = resolve(files)
+            frames.append((e, df))
+
+        payload_cols = [c for c in schema_t.column_names
+                        if c not in (*kcols, seq_col, "deleted")]
+        cmp_cols = [seq_col, "deleted", *payload_cols]
+
+        parts = []
+        for e, df in frames:
+            df = df.copy()
+            df["_epoch"] = np.int64(e)
+            parts.append(df)
+        big = pd.concat(parts, ignore_index=True)
+        big = big.sort_values([*kcols, "_epoch"],
+                              kind="mergesort").reset_index(drop=True)
+        prev = big.shift(1)
+
+        def _null_safe_eq(cols: list[str]) -> np.ndarray:
+            eq = np.ones(len(big), dtype=bool)
+            for c in cols:
+                a, b = big[c], prev[c]
+                both_null = a.isna().to_numpy() & b.isna().to_numpy()
+                eq &= (a == b).to_numpy(dtype=bool, na_value=False) | both_null
+            return eq
+
+        same_key = _null_safe_eq(kcols) if len(big) else np.array([], bool)
+        row_eq = _null_safe_eq(cmp_cols) if len(big) else np.array([], bool)
+        in_window = (big["_epoch"] > from_epoch).to_numpy()
+        changed = (~same_key | ~row_eq) & in_window
+        big["_chg"] = np.where(changed, big["_epoch"].to_numpy(),
+                               np.int64(-1))
+        last_chg = big.groupby(kcols, sort=False)["_chg"].max()
+
+        f_df = (frames[0][1] if from_files else big.iloc[0:0]
+                ).set_index(kcols)
+        t_df = frames[-1][1].set_index(kcols)
+        keys_all = f_df.index.union(t_df.index)
+        in_f = keys_all.isin(f_df.index)
+        in_t = keys_all.isin(t_df.index)
+
+        # absent = not live (a compacted-away tombstone is still dead)
+        dead_f = f_df["deleted"].reindex(keys_all).to_numpy(
+            dtype=object, na_value=True).astype(bool)
+        dead_t = t_df["deleted"].reindex(keys_all).to_numpy(
+            dtype=object, na_value=True).astype(bool)
+        live_f, live_t = in_f & ~dead_f, in_t & ~dead_t
+
+        pay_diff = np.zeros(len(keys_all), dtype=bool)
+        for c in payload_cols:
+            a = f_df[c].reindex(keys_all)
+            b = t_df[c].reindex(keys_all)
+            both_null = a.isna().to_numpy() & b.isna().to_numpy()
+            pay_diff |= ~((a == b).to_numpy(dtype=bool, na_value=False)
+                          | both_null)
+        feed = (live_f != live_t) | (live_f & live_t & pay_diff)
+        sel = keys_all[feed]
+        lf, lt = live_f[feed], live_t[feed]
+        op = np.where(~lf & lt, "insert", np.where(lf & ~lt, "delete",
+                                                   "update"))
+
+        chg = last_chg.reindex(sel).to_numpy()
+        seq_after = t_df[seq_col].reindex(sel)
+
+        cols: dict[str, pa.Array] = {}
+        if len(kcols) == 1:
+            key_vals = [(v,) for v in sel]
+        else:
+            key_vals = list(sel)
+        for i, k in enumerate(kcols):
+            ty = schema_t.schema.field(k).type
+            cols[k] = pa.array([kv[i] for kv in key_vals], type=ty)
+        cols["op"] = pa.array(op.tolist(), pa.string())
+        cols["epoch"] = pa.array(
+            [int(v) for v in chg], pa.int64())
+        cols[seq_col] = pa.array(
+            [None if pd.isna(v) else int(v) for v in seq_after], pa.int64())
+        for c in payload_cols:
+            ty = schema_t.schema.field(c).type
+            bvals = f_df[c].reindex(sel).where(pd.Series(lf, index=sel), None)
+            avals = t_df[c].reindex(sel).where(pd.Series(lt, index=sel), None)
+            cols[f"before_{c}"] = pa.array(
+                [None if pd.isna(v) else v for v in bvals], type=ty)
+            cols[f"after_{c}"] = pa.array(
+                [None if pd.isna(v) else v for v in avals], type=ty)
+        return pa.table(cols)
+
+    refs = [diff_partition.remote(
+        (store.partition_data_files(from_ps[pid])
+         if pid in from_ps else None),
+        [(e, store.partition_data_files(ps)) for e, ps in evs])
+        for pid, evs in sorted(window.items())]
+    if not refs:  # nothing committed in the window
+        raise ValueError(
+            f"no epochs committed in ({from_epoch}, {to_eff}] of {lake_dir}")
+    ds = rd.from_arrow_refs(refs)
+    if json_payload:
+        def to_json_cols(df: pd.DataFrame) -> pd.DataFrame:
+            bcols = [c for c in df.columns if c.startswith("before_")]
+            acols = [c for c in df.columns if c.startswith("after_")]
+            # per-row dict→dumps is a Python loop by construction — this is
+            # the opt-in reference-shaped serialization stage, not hot path
+            def dump(sub: pd.DataFrame, names: list[str], live) -> list:
+                recs = sub.to_dict("records")
+                return [
+                    _json.dumps({n: r[n] for n in names},
+                                sort_keys=True, separators=(",", ":"),
+                                default=str) if lv else None
+                    for r, lv in zip(recs, live)]
+            names_b = [c[len("before_"):] for c in bcols]
+            names_a = [c[len("after_"):] for c in acols]
+            out = df.drop(columns=bcols + acols).copy()
+            out["before"] = dump(
+                df[bcols].rename(columns=dict(zip(bcols, names_b))),
+                names_b, (df["op"] != "insert"))
+            out["after"] = dump(
+                df[acols].rename(columns=dict(zip(acols, names_a))),
+                names_a, (df["op"] != "delete"))
+            return out
+
+        ds = ds.map_batches(to_json_cols, batch_format="pandas")
+    return ds
+
+
 def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,
                        max_rows: int = 20_000_000,
                        cfg: CdcConfig | None = None) -> str:

@@ -1043,6 +1043,132 @@ def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def kll_quantile_bounds(sf_dir: str) -> pd.DataFrame:
+    """Driver-gated KLL evidence row (VERDICT r4 #4): runs the DISTRIBUTED
+    KLL quantile sketch (functions/sketches.py — one partial per block,
+    driver merge) over the global token-count distribution and asserts its
+    rank error ≤ 0.05 against the exact CDF (the same mergeable
+    value-count partials the exact path uses; test_sketches pins 3%
+    single-sketch / 5% corpus-merged, so a violation here means the sketch
+    machinery broke — the row turns red by raising). RETURNS the exact
+    per-language percentiles via the histogram path, so the SQL twin
+    value-hash-checks the exact-quantile rank arithmetic at the same time
+    (supersedes the demoted ``token_count_quantiles`` row — identical
+    output contract)."""
+    from ..functions import sketches as sk
+    from ..functions.bucketed import bounded_groupby_fold
+    from ..functions.quantiles import group_quantiles_histogram
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def with_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"].to_numpy(),
+            "n_tokens": tx.count_tokens_whitespace(batch["text"]),
+        })
+
+    # pinned: three consumers (sketch partials, exact value counts, exact
+    # per-lang quantiles) must not re-tokenize the corpus
+    tok = ds.map_batches(with_tokens, batch_format="pandas").materialize()
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    est = sk.approx_quantiles(tok, "n_tokens", qs)[None]
+
+    # exact CDF from domain-bounded value counts (token counts per doc are
+    # a small domain; the fold ships blocks × |domain| rows, no exchange)
+    vc = (bounded_groupby_fold(tok, "n_tokens", sum_cols=[], count_col="cnt")
+          .sort_values("n_tokens"))
+    vals = vc["n_tokens"].to_numpy(np.float64)
+    cum = np.cumsum(vc["cnt"].to_numpy(np.int64))
+    n = int(cum[-1])
+    for name, q in qs.items():
+        target = max(int(np.ceil(q * n)), 1)
+        ix = int(np.searchsorted(vals, est[name], side="right"))
+        true_rank = int(cum[ix - 1]) if ix > 0 else 0
+        err = abs(true_rank - target) / n
+        if err > 0.05:
+            raise ValueError(
+                f"KLL rank-error bound violated: {name} estimate "
+                f"{est[name]} has rank {true_rank}/{n}, target {target} "
+                f"(err {err:.4f} > 0.05)")
+
+    out = group_quantiles_histogram(
+        tok, value_column="n_tokens", group_column="lang", qs=qs).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+_MG_K = 256
+
+
+def mg_heavy_hitters_bounds(sf_dir: str) -> pd.DataFrame:
+    """Driver-gated Misra-Gries evidence row (VERDICT r4 #4): runs the
+    DISTRIBUTED MG frequent-items sketch (≤ k counters per block, driver
+    fold) over the exploded token stream of the corpus and asserts its two
+    DETERMINISTIC guarantees against exact counts from the bucketed
+    reduce: (1) every reported item's true count sits inside
+    [count_min, count_max]; (2) every token with true count > n/(k+1) is
+    present in the sketch. A violation raises — the row turns red.
+    RETURNS the exact counts of the guaranteed-present heavy hitters
+    (count·(k+1) > n), which the SQL twin reproduces."""
+    from ..functions import sketches as sk
+    from ..functions.bucketed import bucketed_groupby_agg
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def explode(vals: np.ndarray) -> np.ndarray:
+        # split on the literal single space to match the SQL twin's
+        # string_split(text, ' ') exactly (the corpus is single-spaced)
+        return pd.Series(vals).str.split(" ").explode().to_numpy()
+
+    mg = sk.approx_heavy_hitters(ds, "text", k=_MG_K, explode=explode)
+
+    def tok(t: pa.Table) -> pa.Table:
+        s = (pd.Series(t["text"].to_numpy(zero_copy_only=False))
+             .str.split(" ").explode())
+        return pa.table({"item": pa.array(s.to_numpy(), pa.string())})
+
+    counts = bucketed_groupby_agg(
+        ds.map_batches(tok, batch_format="pyarrow"),
+        "item", {"cnt": ("item", "count")}).materialize()
+    n = sum(r["cnt"] for r in
+            counts.map_batches(
+                lambda t: pa.table(
+                    {"cnt": pa.array([pc.sum(t["cnt"]).as_py() or 0],
+                                     pa.int64())}),
+                batch_format="pyarrow").take_all())
+
+    # exact counts for the sketch's items (≤ k rows) and for everything
+    # above the guarantee threshold — both tiny, both filtered distributed
+    mg_items = set(mg["item"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        items = t["item"].to_pylist()
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        in_mg = np.fromiter((i in mg_items for i in items), bool,
+                            count=len(items))
+        heavy = cnt * (_MG_K + 1) > n
+        return t.filter(pa.array(in_mg | heavy))
+
+    sub = counts.map_batches(pick, batch_format="pyarrow").to_pandas()
+    exact = dict(zip(sub["item"], sub["cnt"].astype(np.int64)))
+    for _, row in mg.iterrows():
+        e = exact.get(row["item"], 0)
+        if not (row["count_min"] <= e <= row["count_max"]):
+            raise ValueError(
+                f"MG bound violated for {row['item']!r}: exact {e} outside "
+                f"[{row['count_min']}, {row['count_max']}]")
+    heavy = sub[sub["cnt"].to_numpy() * (_MG_K + 1) > n]
+    missing = [i for i in heavy["item"] if i not in mg_items]
+    if missing:
+        raise ValueError(
+            f"MG guarantee violated: {missing[:5]} exceed n/(k+1)="
+            f"{n / (_MG_K + 1):.1f} but are absent from the sketch")
+
+    out = heavy.rename(columns={"cnt": "count"})[["item", "count"]]
+    out["count"] = out["count"].astype(np.int64)
+    return (out.sort_values(["count", "item"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def clean_corpus(sf_dir: str, quality_min: float = 0.5,
                  jaccard_threshold: float = 0.5,
                  broadcast_threshold: int = 1_000_000) -> pd.DataFrame:
@@ -2536,6 +2662,49 @@ ORACLE_SQL: dict[str, str] = {
     # smallest) spelled out with row_number so the double multiply q*n is
     # the same IEEE operation on both sides (quantile_disc agrees on the
     # probed cases but its internals are not contractual).
+    # exact heavy hitters above the MG guarantee threshold n/(k+1); the
+    # engine row additionally asserts the sketch's deterministic bounds
+    # against these exact counts before returning them
+    "mg_heavy_hitters_bounds": f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS item FROM documents
+        ), tot AS (
+            SELECT count(*) AS n FROM toks
+        ), c AS (
+            SELECT item, count(*) AS count FROM toks GROUP BY item
+        )
+        SELECT item, count FROM c, tot
+        WHERE count * {_MG_K + 1} > n
+        ORDER BY count DESC, item
+    """,
+    # identical output contract to the demoted token_count_quantiles row
+    # (exact per-lang rank arithmetic); the engine row additionally runs
+    # the distributed KLL sketch and asserts its rank-error bound
+    "kll_quantile_bounds": """
+        WITH t AS (
+            SELECT lang, array_length(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT lang, count(*) AS n FROM t GROUP BY lang
+        ), r AS (
+            SELECT lang, n_tokens,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_tokens) AS rk
+            FROM t
+        )
+        SELECT c.lang, any_value(c.n) AS n,
+               max(CASE WHEN rk = greatest(
+                   CAST(ceil(0.5 * c.n) AS BIGINT), 1)
+                   THEN n_tokens END) AS p50,
+               max(CASE WHEN rk = greatest(
+                   CAST(ceil(0.9 * c.n) AS BIGINT), 1)
+                   THEN n_tokens END) AS p90,
+               max(CASE WHEN rk = greatest(
+                   CAST(ceil(0.99 * c.n) AS BIGINT), 1)
+                   THEN n_tokens END) AS p99
+        FROM r JOIN c USING (lang)
+        GROUP BY c.lang ORDER BY c.lang
+    """,
     "token_count_quantiles": """
         WITH t AS (
             SELECT lang, array_length(string_split(text, ' ')) AS n_tokens
@@ -2912,6 +3081,8 @@ QUERIES = {
     "sample_documents_hash": sample_documents_hash,
     "token_counts": token_counts,
     "token_count_quantiles": token_count_quantiles,
+    "kll_quantile_bounds": kll_quantile_bounds,
+    "mg_heavy_hitters_bounds": mg_heavy_hitters_bounds,
     "token_counts_bpeish": token_counts_bpeish,
     "quality_stats": quality_stats,
     "exact_dedup_documents": exact_dedup_documents,

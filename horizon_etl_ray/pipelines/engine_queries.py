@@ -316,7 +316,75 @@ def cdc_widen_merge_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_change_feed_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Change-feed read API (VERDICT r4 missing #1) through the FULL engine:
+    4-epoch incremental replay, then ``cdc.read_changes(lake, 2, 4)`` — the
+    per-key net diff a downstream consumer applies to move a cache/mart from
+    the epoch-2 state to the epoch-4 state. op ∈ {insert, update, delete},
+    ``epoch`` = the window epoch whose commit produced the after-state (for
+    LWW: the winning event's epoch), before/after payload typed and flat.
+    Oracle: DuckDB computes both epoch-states from the raw events (LWW
+    window) and diffs them."""
+    from .cdc import read_changes
+
+    base = _run_base("chfeed")
+    try:
+        lake_dir, cfg = _replay_lineitem(sf_dir, base)
+        out = (
+            read_changes(lake_dir, 2, 4, cfg=cfg)
+            .select_columns(["l_partkey", "l_suppkey", "op", "epoch", "seq",
+                             "before_content", "after_content"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    # both epoch-states via the LWW window over the raw events, then a
+    # liveness/payload diff: w_to ⊇ w_from keys (epoch ≤2 ⊆ ≤4), so a LEFT
+    # JOIN from w_to covers the union; the winner-at-to's epoch is the
+    # change-attribution epoch (matches read_changes' last-row-change walk)
+    "cdc_change_feed_lineitem": f"""
+        WITH ev0 AS ({_EV_SQL}),
+        b AS (SELECT max(seq) AS max_seq FROM ev0),
+        ev AS (
+            SELECT ev0.*, least(1 + (seq * {_EPOCHS}) // (max_seq + 1),
+                                {_EPOCHS}) AS epoch
+            FROM ev0, b
+        ),
+        w_from AS (
+            SELECT * FROM ev WHERE epoch <= 2
+            QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                       ORDER BY seq DESC) = 1
+        ),
+        w_to AS (
+            SELECT * FROM ev WHERE epoch <= {_EPOCHS}
+            QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                       ORDER BY seq DESC) = 1
+        ),
+        j AS (
+            SELECT t.l_partkey, t.l_suppkey,
+                   f.content AS f_content, t.content AS t_content,
+                   t.seq AS t_seq, t.epoch AS t_epoch,
+                   (f.op IS NOT NULL AND f.op <> 'delete') AS live_f,
+                   (t.op <> 'delete') AS live_t
+            FROM w_to t LEFT JOIN w_from f
+              ON f.l_partkey = t.l_partkey AND f.l_suppkey = t.l_suppkey
+        )
+        SELECT l_partkey, l_suppkey,
+               CASE WHEN NOT live_f AND live_t THEN 'insert'
+                    WHEN live_f AND NOT live_t THEN 'delete'
+                    ELSE 'update' END AS op,
+               t_epoch AS epoch, t_seq AS seq,
+               CASE WHEN live_f THEN f_content END AS before_content,
+               CASE WHEN live_t THEN t_content END AS after_content
+        FROM j
+        WHERE (live_f <> live_t)
+           OR (live_f AND live_t AND f_content <> t_content)
+        ORDER BY l_partkey, l_suppkey
+    """,
     "cdc_widen_merge_lineitem": f"""
         WITH ev AS ({_EV_SQL.replace("FROM lineitem",
                     ", CAST(l_quantity AS BIGINT) AS qty FROM lineitem")})
@@ -405,4 +473,5 @@ QUERIES = {
     "cdc_replay_lineitem_evolved": cdc_replay_lineitem_evolved,
     "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,
     "cdc_point_read_lineitem": cdc_point_read_lineitem,
+    "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
 }

@@ -1,0 +1,215 @@
+"""Change-feed read API (cdc.read_changes): op/before/after/epoch semantics,
+replayability (feed(0→E) re-materializes the live state digest), partition
+pruning (untouched partitions are never opened), cow/delta agreement,
+compaction and gc edges. Reference analog: the per-entity change log of
+/root/reference/src/tracking/entities/entity_change_log.py:8-40."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from horizon_etl_ray.pipelines.cdc import (
+    CdcConfig,
+    apply_epoch,
+    compact,
+    lake_global_digest,
+    read_changes,
+    replay,
+)
+from horizon_etl_ray.sources.generator import EventGenConfig, write_events
+from horizon_etl_ray.state.manifest import ManifestStore
+
+
+def _ev(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _row(repo, path, seq, op, content):
+    return {"repo": repo, "path": path, "seq": seq, "op": op,
+            "content": content}
+
+
+CFG = dict(num_partitions=4, payload_columns=("repo", "path", "content"))
+
+
+@pytest.fixture()
+def two_epoch_lake(tmp_path):
+    """Epoch 1: A,B,D,E inserted. Epoch 2: A updated, B deleted, C inserted,
+    E re-asserted with identical content at a higher seq (seq-only change —
+    must NOT appear in the feed), D untouched."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([
+        _row("r", "A", 1, "update", "a1"),
+        _row("r", "B", 2, "update", "b1"),
+        _row("r", "D", 3, "update", "d1"),
+        _row("r", "E", 4, "update", "e1"),
+    ]), lake, 1, cfg)
+    apply_epoch(_ev([
+        _row("r", "A", 10, "update", "a2"),
+        _row("r", "B", 11, "delete", None),
+        _row("r", "C", 12, "update", "c1"),
+        _row("r", "E", 13, "update", "e1"),
+    ]), lake, 2, cfg)
+    return lake, cfg
+
+
+def test_ops_epoch_seq_and_exclusions(two_epoch_lake):
+    lake, cfg = two_epoch_lake
+    df = (read_changes(lake, 1, 2, cfg=cfg).to_pandas()
+          .sort_values("path").reset_index(drop=True))
+    assert list(df["path"]) == ["A", "B", "C"]  # D unchanged, E seq-only
+    by = df.set_index("path")
+    assert by.loc["A", "op"] == "update"
+    assert by.loc["A", "before_content"] == "a1"
+    assert by.loc["A", "after_content"] == "a2"
+    assert by.loc["B", "op"] == "delete"
+    assert by.loc["B", "before_content"] == "b1"
+    assert by.loc["B", "after_content"] is None
+    assert by.loc["C", "op"] == "insert"
+    assert by.loc["C", "before_content"] is None
+    assert by.loc["C", "after_content"] == "c1"
+    assert (df["epoch"] == 2).all()
+    assert list(by["seq"]) == [10, 11, 12]
+
+
+def test_from_zero_is_all_inserts_and_net_change_only(two_epoch_lake):
+    lake, cfg = two_epoch_lake
+    df = read_changes(lake, 0, cfg=cfg).to_pandas()
+    # B was inserted then deleted inside the window: net zero, absent
+    assert sorted(df["path"]) == ["A", "C", "D", "E"]
+    assert (df["op"] == "insert").all()
+    assert df["before_content"].isna().all()
+
+
+def test_json_payload_shape(two_epoch_lake):
+    lake, cfg = two_epoch_lake
+    df = (read_changes(lake, 1, 2, cfg=cfg, json_payload=True).to_pandas()
+          .sort_values("path").reset_index(drop=True))
+    assert {"before", "after"} <= set(df.columns)
+    assert not any(c.startswith(("before_", "after_")) for c in df.columns)
+    a = df.set_index("path")
+    after_a = json.loads(a.loc["A", "after"])
+    assert after_a["content"] == "a2" and "content_sha256" in after_a
+    assert a.loc["B", "after"] is None
+    assert a.loc["C", "before"] is None
+
+
+def test_feed_replayed_onto_empty_lake_reproduces_digest(tmp_path):
+    """VERDICT r4 #3's done-bar: the feed IS a minimal re-materialization
+    recipe. Two-stage replay exercises insert, update AND delete rows:
+    feed(empty→mid) applied as epoch 1, then feed(mid→E) applied as epoch
+    2 (the generator's epochs start at 0, so 'empty' is from_epoch=-1)."""
+    gen = EventGenConfig(n_keys=150, n_events=2400, seed=23, epoch_size=600,
+                         p_delete=0.2, content_mean_bytes=64)
+    events_dir, lake_dir = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_events(gen, events_dir)
+    cfg = CdcConfig(num_partitions=8)
+    replay(events_dir, lake_dir, cfg, mode="incremental")
+    mid = 1
+    final = ManifestStore(lake_dir).committed_epoch()
+    assert final > mid
+
+    def feed_to_events(df: pd.DataFrame) -> pa.Table:
+        pay = [c[len("after_"):] for c in df.columns
+               if c.startswith("after_") and c != "after_content_sha256"]
+        rows = []
+        for r in df.to_dict("records"):
+            side = "before_" if r["op"] == "delete" else "after_"
+            ev = {c: r[side + c] for c in pay}  # tombstone payload may be null
+            ev["repo"], ev["path"] = r["repo"], r["path"]
+            ev["seq"] = r["seq"]
+            ev["op"] = "delete" if r["op"] == "delete" else "update"
+            rows.append(ev)
+        return pa.Table.from_pylist(rows)
+
+    replayed = str(tmp_path / "replayed")
+    f1 = read_changes(lake_dir, -1, mid, cfg=cfg).to_pandas()
+    assert (f1["op"] == "insert").all()
+    apply_epoch(rd.from_arrow(feed_to_events(f1)), replayed, 1, cfg)
+    f2 = read_changes(lake_dir, mid, final, cfg=cfg).to_pandas()
+    assert set(f2["op"]) >= {"update"}  # the window carries real updates
+    apply_epoch(rd.from_arrow(feed_to_events(f2)), replayed, 2, cfg)
+    assert lake_global_digest(replayed) == lake_global_digest(lake_dir)
+
+
+def test_untouched_partitions_never_opened(tmp_path):
+    """Epoch 2 touches ONE key → one partition; every other partition's
+    data files are corrupted on disk, and the feed must still succeed
+    (the manifest's epoch records say which partitions the window touched)."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("r", f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(40)]), lake, 1, cfg)
+    apply_epoch(_ev([_row("r", "k0", 100, "update", "v0-new")]), lake, 2, cfg)
+
+    store = ManifestStore(lake)
+    m = store.load()
+    rec2 = [r for r in store.epoch_records() if r["epoch"] == 2]
+    touched = {p["part_id"] for p in rec2[0]["partitions"]}
+    assert len(touched) == 1
+    for pid, ps in m.partitions.items():
+        if pid in touched:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "wb") as fh:
+                fh.write(b"corrupted")
+    df = read_changes(lake, 1, 2, cfg=cfg).to_pandas()
+    assert list(df["path"]) == ["k0"]
+    assert df.loc[0, "op"] == "update"
+    assert df.loc[0, "before_content"] == "v0"
+    assert df.loc[0, "after_content"] == "v0-new"
+
+
+def test_delta_mode_matches_cow(tmp_path):
+    epochs = [
+        [_row("r", "A", 1, "update", "a1"), _row("r", "B", 2, "update", "b1")],
+        [_row("r", "A", 10, "update", "a2"), _row("r", "C", 11, "update", "c1")],
+        [_row("r", "B", 20, "delete", None), _row("r", "A", 21, "update", "a3")],
+    ]
+    frames = {}
+    for mode in ("cow", "delta"):
+        lake = str(tmp_path / mode)
+        cfg = CdcConfig(write_mode=mode, **CFG)
+        for e, rows in enumerate(epochs, start=1):
+            apply_epoch(_ev(rows), lake, e, cfg)
+        frames[mode] = (read_changes(lake, 1, 3, cfg=cfg).to_pandas()
+                        .sort_values("path").reset_index(drop=True))
+    cols = sorted(frames["cow"].columns)
+    pd.testing.assert_frame_equal(frames["cow"][cols], frames["delta"][cols])
+    assert list(frames["cow"]["op"]) == ["update", "delete", "insert"]
+    # A changed at 2 AND 3 → attributed to its winner's epoch, 3
+    assert frames["cow"].set_index("path").loc["A", "epoch"] == 3
+
+
+def test_compacted_tombstone_reads_as_delete_with_null_seq(tmp_path):
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("r", "A", 1, "update", "a1"),
+                     _row("r", "B", 2, "update", "b1")]), lake, 1, cfg)
+    apply_epoch(_ev([_row("r", "A", 10, "delete", None)]), lake, 2, cfg)
+    compact(lake, cfg, drop_tombstones=True, gc_old_epochs=False)
+    df = read_changes(lake, 1, cfg=cfg).to_pandas()
+    assert list(df["path"]) == ["A"]
+    assert df.loc[0, "op"] == "delete"
+    assert df.loc[0, "epoch"] == 2  # the delete, not the compaction commit
+    assert pd.isna(df.loc[0, "seq"])  # tombstone row itself was compacted
+
+
+def test_gc_reclaimed_history_raises(tmp_path, two_epoch_lake):
+    lake, cfg = two_epoch_lake
+    ManifestStore(lake).gc(keep_epochs=0)
+    with pytest.raises(FileNotFoundError, match="reclaimed"):
+        read_changes(lake, 1, 2, cfg=cfg)
+
+
+def test_bad_windows_raise(two_epoch_lake):
+    lake, cfg = two_epoch_lake
+    with pytest.raises(ValueError, match="from_epoch"):
+        read_changes(lake, 3, 2, cfg=cfg)
+    with pytest.raises(ValueError, match="no epochs committed"):
+        read_changes(lake, 2, 2, cfg=cfg)
