@@ -218,7 +218,12 @@ class MergeWritePartition:
 
     def _stats_row(self, pid: int, lake_like: pa.Table) -> pa.Table:
         """Manifest row from a table carrying (keys, seq, content_sha256,
-        deleted) sorted by key ascending (lww output order)."""
+        deleted) sorted by key ascending (lww output order). Includes the
+        partition ZONE MAP (per-column min/max over whatever columns the
+        caller hands in: the full payload in cow mode, the narrow index in
+        delta mode — see PartitionState.zone)."""
+        import json as _json
+
         cfg = self.cfg
         deleted = lake_like["deleted"]
         if isinstance(deleted, pa.ChunkedArray):
@@ -241,6 +246,7 @@ class MergeWritePartition:
                 "tombstones": pa.array([int(tomb_count)], type=pa.int64()),
                 "content_digest": pa.array([digest]),
                 "schema_version": pa.array([self.schema_version], type=pa.int64()),
+                "zone_json": pa.array([_json.dumps(compute_zone(lake_like))]),
             }
         )
 
@@ -582,6 +588,8 @@ def apply_epoch(
             base_epoch = (ps_prev["epoch"] if ps_prev.get("base_epoch", -1) < 0
                           else ps_prev["base_epoch"])
             delta_epochs = list(ps_prev.get("delta_epochs", [])) + [epoch]
+        import json as _json
+
         partition_rows.append(PartitionState(
             part_id=pid,
             epoch=int(r["epoch"]),
@@ -592,6 +600,7 @@ def apply_epoch(
             schema_version=int(r["schema_version"]),
             base_epoch=base_epoch,
             delta_epochs=delta_epochs,
+            zone=_json.loads(r["zone_json"]) if r.get("zone_json") else None,
         ))
     metrics = {
         "partitions_updated": len(partition_rows),
@@ -712,6 +721,90 @@ def _epoch_files(events_dir: str, epoch: int) -> list[str]:
 # --------------------------------------------------------------------------
 
 
+def compute_zone(t: pa.Table) -> dict:
+    """Per-column [min, max] for a partition's committed rows — the zone
+    map recorded in its manifest row. Only JSON-safe scalar types
+    (int/float/string/bool); all-null and non-scalar columns are omitted,
+    which readers must treat as 'may match'."""
+    zone: dict[str, list] = {}
+    for name in t.column_names:
+        if name in ("part_id", "deleted"):
+            continue
+        ty = t.schema.field(name).type
+        if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                or pa.types.is_string(ty) or pa.types.is_large_string(ty)
+                or pa.types.is_boolean(ty)):
+            continue
+        mm = pc.min_max(t[name])
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:  # empty / all-null
+            continue
+        zone[name] = [lo, hi]
+    return zone
+
+
+# filter ops accepted by read_lake(filter=...): (col, op, value) or
+# (col, "between", lo, hi)
+_ZONE_OPS = ("==", "<", "<=", ">", ">=", "between")
+
+
+def _zone_admits(zone: dict | None, filt: tuple) -> bool:
+    """False only when the partition's zone PROVES no row can satisfy the
+    filter; missing zone / missing column / unknown shape = may match."""
+    if not zone or filt[0] not in zone:
+        return True
+    lo, hi = zone[filt[0]]
+    op = filt[1]
+    try:
+        if op == "==":
+            return lo <= filt[2] <= hi
+        if op == "<":
+            return lo < filt[2]
+        if op == "<=":
+            return lo <= filt[2]
+        if op == ">":
+            return hi > filt[2]
+        if op == ">=":
+            return hi >= filt[2]
+        if op == "between":
+            return not (filt[3] < lo or filt[2] > hi)
+    except TypeError:  # cross-type comparison: can't prove exclusion
+        return True
+    return True
+
+
+def _filter_batch(t: pa.Table, filt: tuple) -> pa.Table:
+    """Exact row-level application of a read_lake filter (pruning is only
+    the partition-skip optimization; every surviving row is re-checked)."""
+    col, op = filt[0], filt[1]
+    c = t[col]
+    if op == "==":
+        mask = pc.equal(c, filt[2])
+    elif op == "<":
+        mask = pc.less(c, filt[2])
+    elif op == "<=":
+        mask = pc.less_equal(c, filt[2])
+    elif op == ">":
+        mask = pc.greater(c, filt[2])
+    elif op == ">=":
+        mask = pc.greater_equal(c, filt[2])
+    elif op == "between":
+        mask = pc.and_(pc.greater_equal(c, filt[2]),
+                       pc.less_equal(c, filt[3]))
+    else:
+        raise ValueError(f"unknown filter op {op!r} (want one of {_ZONE_OPS})")
+    return t.filter(pc.fill_null(mask, False))
+
+
+def _validate_filter(filt: tuple) -> None:
+    if (not isinstance(filt, (tuple, list)) or len(filt) < 3
+            or filt[1] not in _ZONE_OPS
+            or (filt[1] == "between") != (len(filt) == 4)):
+        raise ValueError(
+            f"filter must be (col, op, value) with op in {_ZONE_OPS} or "
+            f"(col, 'between', lo, hi); got {filt!r}")
+
+
 def committed_files(lake_dir: str) -> list[str]:
     """All committed data files (base + deltas, manifest-selected)."""
     store = ManifestStore(lake_dir)
@@ -741,7 +834,7 @@ def _resolve_state_table(t: pa.Table, cfg_eff: "CdcConfig", script,
 
 
 def read_lake(lake_dir: str, include_tombstones: bool = False,
-              cfg: CdcConfig | None = None):
+              cfg: CdcConfig | None = None, filter: tuple | None = None):
     """The committed view as a Dataset (manifest-selected files only —
     orphans from crashed epochs are invisible).
 
@@ -749,6 +842,15 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     partitions are MERGED ON READ: one Ray task per partition LWW-resolves
     base + deltas (Hudi merge-on-read semantics; block granularity = one
     partition, so the read stays streaming and parallel).
+
+    ``filter``: ``(col, op, value)`` with op in ``== < <= > >=``, or
+    ``(col, "between", lo, hi)``. Partitions whose manifest ZONE MAP
+    (PartitionState.zone — per-column min/max recorded at write time)
+    proves the predicate can't match are SKIPPED without opening their
+    files (the non-key serving-scan pruning the key-routed
+    ``read_lake_keys`` can't give you); surviving partitions re-check
+    every row, so the result is exact. Partitions whose zone predates the
+    field or lacks the column are conservatively read.
 
     Schema-version-aware: partitions last rewritten under an OLDER schema
     version are conformed to the manifest's current version in flight (the
@@ -764,7 +866,32 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     script = cfg.schema_script if cfg is not None else None
     version = m.schema_version
 
-    if any(ps.delta_epochs for ps in m.partitions.values()):
+    parts = sorted(m.partitions.items())
+    if filter is not None:
+        _validate_filter(filter)
+        parts = [(pid, ps) for pid, ps in parts
+                 if _zone_admits(ps.zone, filter)]
+        if not parts:
+            # every partition pruned: an empty Dataset with the lake schema,
+            # from footers only (never a full read plan — the read_lake_keys
+            # ADVICE lesson); corrupt/reclaimed pruned files are tolerated
+            import pyarrow.parquet as pq
+
+            for _, ps in sorted(m.partitions.items()):
+                for f in store.partition_data_files(ps):
+                    try:
+                        schema = pq.read_schema(f)
+                    except Exception:
+                        continue
+                    empty = schema.empty_table()
+                    if script is not None:
+                        empty = conform_table(empty, script, version)
+                    return rd.from_arrow(empty)
+            raise FileNotFoundError(
+                f"no readable partition footer in {lake_dir} to type the "
+                "empty filtered result")
+
+    if any(ps.delta_epochs for _, ps in parts):
         import ray
 
         cfg_eff = cfg or CdcConfig()
@@ -778,15 +905,20 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
             return _resolve_state_table(t, cfg_eff, script, version)
 
         refs = [merge_read.remote(store.partition_data_files(ps))
-                for _, ps in sorted(m.partitions.items())]
+                for _, ps in parts]
         ds = rd.from_arrow_refs(refs)
     else:
-        ds = rd.read_parquet(committed_files(lake_dir))
+        ds = rd.read_parquet(
+            [f for _, ps in parts for f in store.partition_data_files(ps)])
         if script is not None:
             ds = ds.map_batches(
                 lambda t: conform_table(t, script, version),
                 batch_format="pyarrow",
             )
+    if filter is not None:
+        filt = filter
+        ds = ds.map_batches(lambda t: _filter_batch(t, filt),
+                            batch_format="pyarrow")
     if not include_tombstones:
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),
@@ -1270,6 +1402,9 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
             content_digest=ps_dict["content_digest"],
             schema_version=ps_dict["schema_version"], dropped=int(d),
             base_epoch=new_epoch, delta_epochs=[],
+            # compaction sees the full reconciled payload, so even a delta
+            # lake's zones widen to every payload column here
+            zone=compute_zone(t),
         )
 
     from dataclasses import asdict

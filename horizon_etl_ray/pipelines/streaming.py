@@ -191,11 +191,16 @@ class UpserterShard:
                                  f"epoch={epoch}.parquet"),
                     lake,
                 )
+            from .cdc import compute_zone
+
             rows.append(
                 dict(part_id=pid, epoch=epoch, offset=int(offset),
                      row_count=int(live), tombstones=int(len(lake) - live),
                      content_digest=digest, schema_version=schema_version,
-                     wrote_delta=wrote_delta)
+                     wrote_delta=wrote_delta,
+                     # the actor IS the merged view, so even delta shards
+                     # record full-payload zones (cdc.read_lake pruning)
+                     zone=compute_zone(lake))
             )
         # two-phase: bookkeeping (on_disk/dirty/pending) moves ONLY after the
         # coordinator's manifest commit succeeds (confirm). A failed commit +

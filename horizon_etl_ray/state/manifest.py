@@ -117,6 +117,18 @@ class PartitionState:
     schema_version: int = 0
     base_epoch: int = -1  # -1 ⇒ base is epoch (pure copy-on-write row)
     delta_epochs: list = field(default_factory=list)
+    # ZONE MAP: {column: [min, max]} over the partition's committed rows
+    # (tombstones included — a superset is always prune-safe), for
+    # int/float/string/bool columns only. Consumed by
+    # ``cdc.read_lake(filter=...)`` to skip partitions a non-key predicate
+    # can't match without opening their files (the serving-scan analog of
+    # the reference's hardened indexes,
+    # /root/reference/src/scripts/maintenance/harden_db_indices.py:8-19).
+    # Cow rows carry zones for every payload column; delta rows only for
+    # the narrow index columns (keys, seq, content_sha256, policy
+    # aggregates) — readers treat a missing column as "may match".
+    # None on manifests predating this field.
+    zone: dict | None = None
 
     def resolved_base_epoch(self) -> int:
         return self.epoch if self.base_epoch < 0 else self.base_epoch
