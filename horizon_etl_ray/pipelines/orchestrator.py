@@ -25,14 +25,18 @@ from the reference, on purpose:
 - **Phases are callables or argv lists.** Callable phases run in-process
   (they typically drive Ray Data pipelines that share the caller's Ray
   session) on a watchdog thread — a timeout is *recorded* and the run moves
-  on, but the straggler thread cannot be preempted (documented limitation;
-  Python threads are not killable). Argv phases run in their own subprocess
-  like every reference phase and ARE killed on timeout — use them for
-  phases needing hard isolation (`scripts/run_replay_job.py` is the
-  ready-made CDC phase entry). Argv phases start in their own process
-  GROUP and the whole group is SIGKILLed on timeout — a phase that spawns
-  children (``bash -c``, a replay forking Ray workers) cannot leave
-  grandchildren racing the next phase.
+  on, but the straggler thread cannot be preempted (Python threads are not
+  killable). ``PhaseSpec(isolate=True)`` closes that gap: the callable is
+  cloudpickled and argv-wrapped via ``pipelines/phase_runner`` so it runs
+  in its own subprocess with real kill-on-timeout and retry semantics, at
+  the cost of not sharing the caller's Ray session. Argv phases run in
+  their own subprocess like every reference phase and ARE killed on
+  timeout — use them for phases needing hard isolation
+  (`scripts/run_replay_job.py` is the ready-made CDC phase entry). Argv
+  phases (and isolated callables) start in their own process GROUP and the
+  whole group is SIGKILLed on timeout — a phase that spawns children
+  (``bash -c``, a replay forking Ray workers) cannot leave grandchildren
+  racing the next phase.
 
 Notification hooks mirror the reference's flow-state handlers
 (`/root/reference/src/notifications/telegram.py`, wired at
@@ -48,6 +52,7 @@ import json
 import os
 import signal
 import subprocess
+import sys
 import threading
 import time
 from dataclasses import dataclass
@@ -80,6 +85,13 @@ class PhaseSpec:
     timeout_sec: float = 3600.0
     critical: bool = False
     retries: int = 0
+    # isolate=True argv-wraps a CALLABLE phase via pipelines/phase_runner
+    # (cloudpickle → subprocess in its own process group), giving it the
+    # same kill-on-timeout + retry semantics as an argv phase — closing the
+    # documented watchdog gap (in-process threads can't be preempted). The
+    # isolated callable must own its Ray usage; it does not share the
+    # caller's session. Ignored for argv phases (already isolated).
+    isolate: bool = False
 
 
 @dataclass
@@ -216,6 +228,37 @@ class Orchestrator:
         attempts = 0
         t0 = time.time()
         status, rc, err = "failed", None, None
+        pickle_path = None
+        if callable(spec.run) and spec.isolate:
+            # argv-wrap the callable (PhaseSpec.isolate): cloudpickle to a
+            # temp file + the phase_runner module entry. One file for all
+            # attempts; removed in the finally below.
+            import tempfile
+
+            from ray import cloudpickle
+
+            fd, pickle_path = tempfile.mkstemp(prefix="horizon_phase_",
+                                               suffix=".pkl")
+            with os.fdopen(fd, "wb") as f:
+                cloudpickle.dump(spec.run, f)
+            runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "phase_runner.py")
+            spec = PhaseSpec(
+                name=spec.name,
+                run=[sys.executable, runner, pickle_path],
+                timeout_sec=spec.timeout_sec, critical=spec.critical,
+                retries=spec.retries)
+        try:
+            return self._run_attempts(spec, attempts, t0, status, rc, err)
+        finally:
+            if pickle_path:
+                try:
+                    os.unlink(pickle_path)
+                except OSError:
+                    pass
+
+    def _run_attempts(self, spec: PhaseSpec, attempts: int, t0: float,
+                      status: str, rc, err) -> PhaseResult:
         while attempts <= spec.retries:
             attempts += 1
             if callable(spec.run):

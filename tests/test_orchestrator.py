@@ -252,3 +252,67 @@ def test_subprocess_timeout_kills_whole_process_tree(tmp_path):
 def test_duplicate_phase_names_rejected():
     with pytest.raises(ValueError):
         Orchestrator([_spec("x", lambda: None), _spec("x", lambda: None)])
+
+
+def test_isolated_callable_killed_on_timeout(tmp_path):
+    """PhaseSpec(isolate=True): a hanging CALLABLE is argv-wrapped through
+    phase_runner and killed for real on timeout (the watchdog path can only
+    record it) — the run degrades/halts per criticality and returns fast."""
+    import time as _time
+
+    marker = tmp_path / "started"
+
+    def hang():
+        open(str(marker), "w").write("x")
+        _time.sleep(60)
+
+    t0 = _time.time()
+    rc, results = run_phases([
+        PhaseSpec("hang", hang, timeout_sec=1.5, critical=True,
+                  isolate=True),
+        PhaseSpec("after", lambda: None),
+    ])
+    assert _time.time() - t0 < 20  # killed, not joined for 60s
+    assert rc == 1
+    assert results[0].status == "timeout" and not results[0].ok
+    assert results[1].status == "halted"
+    assert marker.exists()  # the child really started before the kill
+
+
+def test_isolated_callable_success_and_error_capture(tmp_path):
+    out = tmp_path / "out.txt"
+
+    def ok():
+        open(str(out), "w").write("done")
+
+    def boom():
+        raise RuntimeError("isolated kaboom")
+
+    rc, results = run_phases([
+        PhaseSpec("ok", ok, timeout_sec=30, isolate=True),
+        PhaseSpec("boom", boom, timeout_sec=30, isolate=True),
+    ])
+    assert rc == 0  # boom is non-critical → degraded run
+    assert results[0].ok and out.read_text() == "done"
+    assert not results[1].ok and "isolated kaboom" in (results[1].error or "")
+
+
+def test_isolated_timeout_is_retryable(tmp_path):
+    """Unlike the watchdog path (straggler thread → no retry), an isolated
+    timeout killed the work for real, so retries re-attempt; a marker file
+    makes the second attempt succeed fast."""
+    import time as _time
+
+    marker = tmp_path / "attempt"
+
+    def flaky():
+        if marker.exists():
+            return
+        open(str(marker), "w").write("x")
+        _time.sleep(60)
+
+    rc, results = run_phases([
+        PhaseSpec("flaky", flaky, timeout_sec=2.0, retries=1, isolate=True),
+    ])
+    assert rc == 0
+    assert results[0].ok and results[0].attempts == 2
