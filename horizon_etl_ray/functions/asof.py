@@ -96,8 +96,8 @@ def asof_join(
 
         return fn
 
-    left = left_ds.map_batches(tag(0), batch_format="pandas")
-    right = right_ds.map_batches(tag(1), batch_format="pandas")
+    left = left_ds.map_batches(tag(0), batch_format="pandas")  # pandas: tagged-union frame for the as-of co-shuffle
+    right = right_ds.map_batches(tag(1), batch_format="pandas")  # pandas: tagged-union frame for the as-of co-shuffle
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lf = (g[g["_side"] == 0][[by, on, *left_value_columns]]
@@ -118,5 +118,5 @@ def asof_join(
         return out
 
     return left.union(right).groupby("_bucket").map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pandas"  # pandas: per-key-range as-of merge
     )

@@ -55,7 +55,7 @@ def dedup_pairs(pairs_ds, num_buckets: int = 32):
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"])
 
-    return (pairs_ds.map_batches(route, batch_format="pandas")
+    return (pairs_ds.map_batches(route, batch_format="pandas")  # pandas: bucket-route column attach
             .groupby("_pb").map_groups(uniq, batch_format="pandas"))
 
 # --------------------------------------------------------------------------
@@ -277,7 +277,7 @@ def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
             num_perm=num_perm, bands=bands, seed=seed, k_shingle=k_shingle,
             text_column=text_column, id_column=id_column,
         ),
-        batch_format="pandas",
+        batch_format="pandas",  # pandas: band explode emits new frame
         concurrency=concurrency,
     )
 
@@ -300,7 +300,7 @@ def minhash_lsh_groups(ds, text_column="text", id_column="doc_id",
                                  "id_b": pd.Series([], dtype="int64")})
         return pd.concat(frames, ignore_index=True)
 
-    pairs = (exploded.map_batches(route, batch_format="pandas")
+    pairs = (exploded.map_batches(route, batch_format="pandas")  # pandas: bucket-route column attach
              .groupby("_cb")
              .map_groups(pairs_in_buckets, batch_format="pandas"))
     return dedup_pairs(pairs, num_buckets=num_buckets)
@@ -375,8 +375,8 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
                                   num_buckets)
         return out
 
-    left = pairs_ds.map_batches(tag_pairs, batch_format="pandas")
-    right = docs_ds.map_batches(tag_docs, batch_format="pandas")
+    left = pairs_ds.map_batches(tag_pairs, batch_format="pandas")  # pandas: tagged-union frame for the bucketed co-shuffle
+    right = docs_ds.map_batches(tag_docs, batch_format="pandas")  # pandas: tagged-union frame for the bucketed co-shuffle
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lp = g[g["_side"] == 0][carry_cols + ["_k"]]
@@ -393,7 +393,7 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, carry_cols: list[str],
         return out
 
     return left.union(right).groupby("_jb").map_groups(
-        merge, batch_format="pandas")
+        merge, batch_format="pandas")  # pandas: per-bucket vectorized merge
 
 
 def anti_filter(ds, bad_ids_ds, id_column: str = "doc_id",
@@ -450,8 +450,8 @@ def anti_filter(ds, bad_ids_ds, id_column: str = "doc_id",
                                   num_buckets)
         return out
 
-    keep = ds.map_batches(tag_keep, batch_format="pandas")
-    bad = bad_ids_ds.map_batches(tag_bad, batch_format="pandas")
+    keep = ds.map_batches(tag_keep, batch_format="pandas")  # pandas: tagged-union frame for the bucketed anti-join
+    bad = bad_ids_ds.map_batches(tag_bad, batch_format="pandas")  # pandas: tagged-union frame for the bucketed anti-join
 
     def drop_bad(g: pd.DataFrame) -> pd.DataFrame:
         bad_ids = g.loc[g["_side"] == 1, id_column].unique()
@@ -459,7 +459,7 @@ def anti_filter(ds, bad_ids_ds, id_column: str = "doc_id",
         return kept.drop(columns=["_side", "_ab"])
 
     return keep.union(bad).groupby("_ab").map_groups(
-        drop_bad, batch_format="pandas")
+        drop_bad, batch_format="pandas")  # pandas: per-bucket anti-join reduce
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
@@ -492,7 +492,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.8, text_column="text",
         out["jaccard"] = np.array(sims, dtype=np.float64)
         return out[out["jaccard"] >= threshold]
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")  # pandas: pair-verify str kernel
 
 
 # --------------------------------------------------------------------------
@@ -580,7 +580,7 @@ def ngram_jaccard_pairs(ds, text_column="text", id_column="doc_id",
         fn_constructor_kwargs=dict(
             threshold=threshold, k_shingle=k_shingle,
             text_column=text_column, id_column=id_column),
-        batch_format="pandas",
+        batch_format="pandas",  # pandas: prefix explode emits new frame
         concurrency=concurrency,
     )
 
@@ -625,7 +625,7 @@ def ngram_jaccard_pairs(ds, text_column="text", id_column="doc_id",
         return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx]})
 
     cands = dedup_pairs(
-        (prefixes.map_batches(route, batch_format="pandas")
+        (prefixes.map_batches(route, batch_format="pandas")  # pandas: bucket-route column attach
          .groupby("_cb").map_groups(pairs_in_buckets, batch_format="pandas")),
         num_buckets=num_buckets)
     return verify_pairs_jaccard(cands, ds, threshold=threshold,
@@ -728,7 +728,7 @@ def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
     sigs = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
-        batch_format="pandas",
+        batch_format="pandas",  # pandas: chunk-LSH explode emits new frame
         concurrency=concurrency,
     )
 
@@ -748,7 +748,7 @@ def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
                                   out["value"].to_numpy(), num_buckets)
         return out
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    exploded = sigs.map_batches(explode, batch_format="pandas")  # pandas: signature explode emits new frame
 
     def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -772,7 +772,7 @@ def simhash_candidates(ds, text_column="text", id_column="doc_id", chunks=4,
         return pd.concat(frames, ignore_index=True)
 
     pairs = exploded.groupby("_cb").map_groups(
-        pairs_in_buckets, batch_format="pandas"
+        pairs_in_buckets, batch_format="pandas"  # pandas: per-bucket pair expansion
     )
     return dedup_pairs(pairs, num_buckets=num_buckets)
 
@@ -860,8 +860,8 @@ def _attach_vec(pairs_ds, vecs_ds, key_col: str, carry_int: list[str],
                                   np.zeros(n, dtype=np.int64), num_buckets)
         return out
 
-    left = pairs_ds.map_batches(tag_pairs, batch_format="pandas")
-    right = vecs_ds.map_batches(tag_vecs, batch_format="pandas")
+    left = pairs_ds.map_batches(tag_pairs, batch_format="pandas")  # pandas: tagged-union frame for the vector co-shuffle
+    right = vecs_ds.map_batches(tag_vecs, batch_format="pandas")  # pandas: tagged-union frame for the vector co-shuffle
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lp = g[g["_side"] == 0][carry_int + carry_vec + ["_k"]]
@@ -878,7 +878,7 @@ def _attach_vec(pairs_ds, vecs_ds, key_col: str, carry_int: list[str],
         return out
 
     return left.union(right).groupby("_jb").map_groups(
-        merge, batch_format="pandas")
+        merge, batch_format="pandas")  # pandas: per-bucket vectorized merge
 
 
 def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
@@ -902,7 +902,7 @@ def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
         SignLshStage,
         fn_constructor_kwargs=dict(bands=bands, band_bits=band_bits, seed=seed,
                                    id_column=id_column, vec_column=vec_column),
-        batch_format="pandas",
+        batch_format="pandas",  # pandas: sign-bit LSH explode
         concurrency=concurrency,
     )
 
@@ -926,7 +926,7 @@ def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
         return pd.concat(frames, ignore_index=True)
 
     cands = dedup_pairs(
-        (exploded.map_batches(route, batch_format="pandas")
+        (exploded.map_batches(route, batch_format="pandas")  # pandas: bucket-route column attach
          .groupby("_cb")
          .map_groups(pairs_in_buckets, batch_format="pandas")),
         num_buckets=num_buckets)
@@ -957,4 +957,4 @@ def embedding_near_dups(ds, id_column="vec_id", vec_column="embedding",
         out["cosine"] = cos
         return out[out["cosine"] >= threshold]
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")  # pandas: pair-verify cosine kernel

@@ -238,7 +238,7 @@ def _resolve_claims(claims_ds, num_buckets: int = 16):
         out["won"] = won.to_numpy()
         return out
 
-    return claims_ds.map_batches(route, batch_format="pandas").groupby(
+    return claims_ds.map_batches(route, batch_format="pandas").groupby(  # pandas: claim-route column attach
         "_cb").map_groups(pick, batch_format="pandas")
 
 
@@ -277,7 +277,7 @@ def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
             fn_constructor_kwargs=dict(index_ref=ref, id_column=incoming_id,
                                        name_column=incoming_name,
                                        fuzzy_threshold=fuzzy_threshold),
-            batch_format="pandas",
+            batch_format="pandas",  # pandas: per-bucket claim dedup
             concurrency=concurrency,
         )
         return _resolve_claims(claims, num_buckets)
@@ -301,9 +301,9 @@ def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
         out["_bb"] = _block_bucket(df[registry_name].fillna(""), num_buckets)
         return out
 
-    both = (incoming_ds.map_batches(tag_incoming, batch_format="pandas")
+    both = (incoming_ds.map_batches(tag_incoming, batch_format="pandas")  # pandas: tagged-union frame for matcher state
             .union(registry_ds.map_batches(tag_registry,
-                                           batch_format="pandas")))
+                                           batch_format="pandas")))  # pandas: tagged-union frame for matcher state
 
     def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
         inc = g[g["_side"] == 0]
@@ -321,5 +321,5 @@ def resolve_entities(incoming_ds, registry_ds, *, incoming_id="id",
                              idx, fuzzy_threshold)
 
     claims = both.groupby("_bb").map_groups(match_bucket,
-                                            batch_format="pandas")
+                                            batch_format="pandas")  # pandas: per-bucket cascade merge
     return _resolve_claims(claims, num_buckets)

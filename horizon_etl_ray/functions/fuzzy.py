@@ -77,7 +77,7 @@ def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
 
     blocked = ds.map_batches(
         FuzzyBlocker, fn_constructor_kwargs=dict(name_column=name_column),
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", concurrency=concurrency,  # pandas: actor-pool banded-Levenshtein stage
     )
 
     minimum = 100 if strict else threshold
@@ -102,6 +102,6 @@ def fuzzy_match_pairs(ds, name_column: str = "name", id_column: str = "id",
         return pd.DataFrame(rows, columns=["id_a", "id_b", "ratio"])
 
     nonempty = blocked.map_batches(
-        lambda b: b[b["block"] != ""], batch_format="pandas"
+        lambda b: b[b["block"] != ""], batch_format="pandas"  # pandas: trivial block filter on tiny blocked frame
     )
     return nonempty.groupby("block").map_groups(pairs, batch_format="pandas")

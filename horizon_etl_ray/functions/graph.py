@@ -100,14 +100,14 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
         return pd.DataFrame({"a": np.concatenate([a, b]),
                              "b": np.concatenate([b, a])})
 
-    edges = _snapshot(edges_ds.map_batches(sym, batch_format="pandas"))
+    edges = _snapshot(edges_ds.map_batches(sym, batch_format="pandas"))  # pandas: edge symmetrize frame build
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         n = df[node_col].to_numpy(dtype=np.int64)
         return pd.DataFrame({"node": n, "label": n})
 
     labels = _snapshot(nodes_ds.map_batches(init_labels,
-                                            batch_format="pandas"))
+                                            batch_format="pandas"))  # pandas: per-bucket min-label reduce
 
     _EMPTY_M = pd.DataFrame({"cnode": pd.Series([], dtype="int64"),
                              "mlabel": pd.Series([], dtype="int64")})
@@ -181,10 +181,10 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
                 out_cols[0]: q["_c0"].to_numpy(dtype=np.int64),
                 out_cols[1]: mapped})
 
-        tagged = (ds.map_batches(tag_rows, batch_format="pandas")
-                  .union(m.map_batches(_tag_m, batch_format="pandas")))
+        tagged = (ds.map_batches(tag_rows, batch_format="pandas")  # pandas: tagged-union frame for broadcast relabel
+                  .union(m.map_batches(_tag_m, batch_format="pandas")))  # pandas: tagged-union frame for broadcast relabel
         return tagged.groupby("_b").map_groups(
-            lambda g: apply(g.drop(columns=["_b"])), batch_format="pandas")
+            lambda g: apply(g.drop(columns=["_b"])), batch_format="pandas")  # pandas: per-bucket apply reduce
 
     converged = False
     for _round in range(max_rounds):
@@ -202,10 +202,10 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
                                 num_buckets)
             return out
 
-        raw_m = (edges.map_batches(add_eb, batch_format="pandas")
+        raw_m = (edges.map_batches(add_eb, batch_format="pandas")  # pandas: bucket attach on edge frame
                  .groupby("_b")
                  .map_groups(lambda g: closure(g.drop(columns=["_b"])),
-                             batch_format="pandas"))
+                             batch_format="pandas"))  # pandas: per-bucket min reduce
 
         def add_mb(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
@@ -214,10 +214,10 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
             return out
 
         m = _snapshot(
-            raw_m.map_batches(add_mb, batch_format="pandas")
+            raw_m.map_batches(add_mb, batch_format="pandas")  # pandas: bucket attach on message frame
             .groupby("_b")
             .map_groups(lambda g: reduce_min_m(g.drop(columns=["_b"])),
-                        batch_format="pandas"))
+                        batch_format="pandas"))  # pandas: per-bucket min reduce
 
         if m.count() <= broadcast_m_threshold:
             # hybrid fast path: broadcast m once, relabel map-only
@@ -252,9 +252,9 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
                 return out.drop_duplicates(["a", "b"])  # per-block only
 
             labels = _snapshot(labels.map_batches(relabel_labels,
-                                                  batch_format="pandas"))
+                                                  batch_format="pandas"))  # pandas: per-bucket reduce (label-prop round)
             edges = _snapshot(edges.map_batches(relabel_edges,
-                                                batch_format="pandas"))
+                                                batch_format="pandas"))  # pandas: per-bucket reduce (label-prop round)
         else:
             # 2. relabel the full label table: label ← m[label]
             labels = _snapshot(
@@ -271,7 +271,7 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
                 return df.drop_duplicates(["a", "b"])
 
             edges = _snapshot(contracted.map_batches(finish_edges,
-                                                     batch_format="pandas"))
+                                                     batch_format="pandas"))  # pandas: per-bucket reduce (label-prop round)
         if _dbg:
             print(f"[graph.cc] round {_round}: {_time.time() - _t0:.1f}s "
                   f"edges {n_edges} -> {edges.count()}", flush=True)
@@ -287,7 +287,7 @@ def connected_components(edges_ds, nodes_ds, *, src="s1", dst="s2",
     def rename(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"label": "component"})
 
-    return labels.map_batches(rename, batch_format="pandas")
+    return labels.map_batches(rename, batch_format="pandas")  # pandas: label rename frame
 
 
 def node_degrees(edges_ds, nodes_ds, *, src="s1", dst="s2", node_col="node",
@@ -306,8 +306,8 @@ def node_degrees(edges_ds, nodes_ds, *, src="s1", dst="s2", node_col="node",
         out["d"] = np.int64(0)
         return out
 
-    both = (edges_ds.map_batches(explode, batch_format="pandas")
-            .union(nodes_ds.map_batches(zero, batch_format="pandas")))
+    both = (edges_ds.map_batches(explode, batch_format="pandas")  # pandas: degree explode frame
+            .union(nodes_ds.map_batches(zero, batch_format="pandas")))  # pandas: zero-degree union frame
 
     def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby("node", sort=False)["d"].sum().reset_index()
@@ -317,7 +317,7 @@ def node_degrees(edges_ds, nodes_ds, *, src="s1", dst="s2", node_col="node",
 
     return (both.map_batches(
         lambda df: df.assign(_b=_bucket(df["node"].to_numpy(), num_buckets)),
-        batch_format="pandas")
+        batch_format="pandas")  # pandas: per-bucket degree reduce
         .groupby("_b")
         .map_groups(lambda g: reduce_sum(g.drop(columns=["_b"])),
-                    batch_format="pandas"))
+                    batch_format="pandas"))  # pandas: per-bucket degree reduce

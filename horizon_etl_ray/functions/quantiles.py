@@ -70,8 +70,8 @@ def group_quantiles_histogram(ds, value_column: str, group_column: str,
             row[name] = values[int(np.searchsorted(cum, rank))]
         return pd.DataFrame([row])
 
-    merged = (ds.map_batches(partial, batch_format="pandas")
+    merged = (ds.map_batches(partial, batch_format="pandas")  # pandas: per-block value-count partial
               .groupby("_qb").map_groups(merge_counts,
-                                         batch_format="pandas"))
+                                         batch_format="pandas"))  # pandas: per-bucket count merge
     return merged.groupby(group_column).map_groups(
-        finish, batch_format="pandas")
+        finish, batch_format="pandas")  # pandas: rank-arithmetic finish

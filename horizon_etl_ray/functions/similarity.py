@@ -59,11 +59,11 @@ def brute_force_topk(
         }
         return pd.DataFrame(rows)
 
-    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)  # pandas: per-block numpy matmul top-k partial
 
     # global merge: Q×k per block → driver-side heap (tiny)
     best: dict[int, list] = {}
-    for b in local.iter_batches(batch_format="pandas", batch_size=65536):
+    for b in local.iter_batches(batch_format="pandas", batch_size=65536):  # pandas: driver k-way merge of tiny top-k partials
         for q, v, s in zip(b["query_id"], b["vec_id"], b["cosine"]):
             h = best.setdefault(int(q), [])
             item = (float(s), -int(v))  # tiebreak: smaller vec_id wins
@@ -159,7 +159,7 @@ class IvfIndexParams:
                 return pd.DataFrame(rows)
 
             parts = ds.map_batches(partial,
-                                   batch_format="pandas").to_pandas()
+                                   batch_format="pandas").to_pandas()  # pandas: IVF assign partial
             sums = np.zeros((k, dim))
             cnts = np.zeros(k, dtype=np.int64)
             for j, n, s in zip(parts["j"], parts["n"], parts["s"]):
@@ -220,9 +220,9 @@ def ivf_topk(
             return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         return pd.concat(frames, ignore_index=True)
 
-    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)  # pandas: per-block numpy matmul top-k partial
     best: dict[int, list] = {}
-    for b in local.iter_batches(batch_format="pandas", batch_size=65536):
+    for b in local.iter_batches(batch_format="pandas", batch_size=65536):  # pandas: driver k-way merge of tiny top-k partials
         for q, v, s in zip(b["query_id"], b["vec_id"], b["cosine"]):
             h = best.setdefault(int(q), [])
             item = (float(s), -int(v))

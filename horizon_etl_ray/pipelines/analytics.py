@@ -492,7 +492,7 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
         })
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas")  # pandas: per-block pandas-groupby partial
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
         .to_pandas()
@@ -535,7 +535,7 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
         })
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas")  # pandas: tiny column-attach on partial rows
         .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
@@ -563,7 +563,7 @@ def topk_per_group(sf_dir: str) -> pd.DataFrame:
         return out[["o_custkey", "rank", "o_orderkey", "o_totalprice"]]
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas")  # pandas: tiny column-attach on partial rows
         .groupby("bucket")
         .map_groups(top3, batch_format="pandas")
         .to_pandas()
@@ -757,7 +757,8 @@ def _part_cograph(sf_dir: str):
     Edges are materialized once; both downstream labelers reuse them."""
     li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     edges = _cooccurrence_edges(li, "l_orderkey", "l_partkey").map_batches(
-        lambda df: df[df["w"] >= 2], batch_format="pandas").materialize()
+        lambda t: t.filter(pc.greater_equal(t["w"], 2)),
+        batch_format="pyarrow").materialize()
     nodes = _rp(sf_dir, "part", columns=["p_partkey"]).map_batches(
         lambda t: pa.table({"node": t["p_partkey"]}), batch_format="pyarrow")
     return edges, nodes
@@ -871,7 +872,7 @@ def classify_customers(sf_dir: str) -> pd.DataFrame:
     agg = agg.materialize()
     if agg.count() <= 1_000_000:
         at = pd.concat(
-            [b for b in agg.iter_batches(batch_format="pandas")]
+            [b for b in agg.iter_batches(batch_format="pandas")]  # pandas: bounded driver fold (thresholded above)
             or [pd.DataFrame({"o_custkey": pd.Series([], dtype=np.int64),
                               "n_orders": pd.Series([], dtype=np.int64),
                               "max_price": pd.Series([], dtype=np.float64),
@@ -887,7 +888,7 @@ def classify_customers(sf_dir: str) -> pd.DataFrame:
                 df[c] = j[c].to_numpy()
             return df
 
-        joined = cust.map_batches(attach, batch_format="pandas")
+        joined = cust.map_batches(attach, batch_format="pandas")  # pandas: broadcast small-dim pandas merge
     else:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         joined = cust.join(agg, join_type="left_outer",
@@ -918,7 +919,7 @@ def classify_customers(sf_dir: str) -> pd.DataFrame:
             "category": category, "confidence": confidence, "note": note,
         })
 
-    out = joined.map_batches(ladder, batch_format="pandas").to_pandas()
+    out = joined.map_batches(ladder, batch_format="pandas").to_pandas()  # pandas: np.select ladder over broadcast dims
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -1011,8 +1012,8 @@ def range_join_ship_activity(sf_dir: str) -> pd.DataFrame:
         return agg
 
     out = (
-        orders.map_batches(tag_orders, batch_format="pandas")
-        .union(items.map_batches(tag_items, batch_format="pandas"))
+        orders.map_batches(tag_orders, batch_format="pandas")  # pandas: tagged-union frame build
+        .union(items.map_batches(tag_items, batch_format="pandas"))  # pandas: tagged-union frame build
         .groupby("_bin")
         .map_groups(probe, batch_format="pandas")
         .groupby("bucket")
@@ -1092,7 +1093,7 @@ def graph_degree_stats(sf_dir: str) -> pd.DataFrame:
         edges.map_batches(explode, batch_format="pyarrow")
         .map_batches(
             lambda g: g.assign(bucket=_hash_bucket(g["node"].to_numpy(), 16)),
-            batch_format="pandas")
+            batch_format="pandas")  # pandas: bucket attach inside relabel round
         .groupby("bucket")
         .map_groups(degrees, batch_format="pandas")
         .sort(["weighted_degree", "node"], descending=[True, False])
@@ -1287,7 +1288,7 @@ def evidence_flags(sf_dir: str) -> pd.DataFrame:
                 .reset_index())
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas")  # pandas: per-block pandas-groupby partial
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
         .to_pandas()
@@ -1339,7 +1340,7 @@ def entity_resolution_cascade(sf_dir: str) -> pd.DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     reg_ds = cust.map_batches(registry, batch_format="pyarrow")
-    inc_ds = cust.map_batches(incoming, batch_format="pandas")
+    inc_ds = cust.map_batches(incoming, batch_format="pandas")  # pandas: tagged-union frame build
     out = resolve_entities(
         inc_ds, reg_ds, incoming_id="id", incoming_name="name",
         registry_id="rid", registry_name="name", fuzzy_threshold=90,
@@ -1379,7 +1380,7 @@ def nested_customer_mart(sf_dir: str) -> pd.DataFrame:
                                            "segments", "top_customers"])
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas")  # pandas: tiny column-attach on partial rows
         .groupby("bucket")
         .map_groups(mart, batch_format="pandas")
         .to_pandas()
@@ -1425,7 +1426,7 @@ def year_expansion_mart(sf_dir: str) -> pd.DataFrame:
         u, c = np.unique(years, return_counts=True)
         return pd.DataFrame({"year": u, "cnt": c.astype(np.int64)})
 
-    parts = spans.map_batches(expand_counts, batch_format="pandas").to_pandas()
+    parts = spans.map_batches(expand_counts, batch_format="pandas").to_pandas()  # pandas: repeat/cumsum year-expansion partial
     out = (parts.groupby("year", sort=False)["cnt"].sum()
            .rename("active_customers").reset_index())
     out["active_customers"] = out["active_customers"].astype(np.int64)
@@ -1458,7 +1459,7 @@ def disambiguate_titles(sf_dir: str) -> pd.DataFrame:
                              "title": title})
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas")  # pandas: tiny column-attach on partial rows
         .groupby("bucket")
         .map_groups(rewrite, batch_format="pandas")
         .to_pandas()

@@ -1310,7 +1310,7 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                 names_a, (df["op"] != "delete"))
             return out
 
-        ds = ds.map_batches(to_json_cols, batch_format="pandas")
+        ds = ds.map_batches(to_json_cols, batch_format="pandas")  # pandas: opt-in JSON serialization stage, per-row by design
     return ds
 
 

@@ -489,7 +489,7 @@ def dup_span_documents(sf_dir: str, w: int = 8,
                     dtype=np.int64),
             })
 
-        out = corpus.map_batches(finish, batch_format="pandas").to_pandas()
+        out = corpus.map_batches(finish, batch_format="pandas").to_pandas()  # pandas: vectorized str line-kernel emits new frame
     else:  # co-shuffle fallback: correct at ANY dup-set size
         def mark(g: pd.DataFrame) -> pd.DataFrame:
             # rows are distinct (doc, window): group size == distinct docs
@@ -573,7 +573,7 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     pred = ds.map_batches(
-        tx.LangIdStage, batch_format="pandas", concurrency=(1, 4)
+        tx.LangIdStage, batch_format="pandas", concurrency=(1, 4)  # pandas: actor-pool str inference stage
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -584,7 +584,7 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
 
     out = (
         pred.select_columns(["lang", "lang_pred"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pandas")  # pandas: crosstab partial (pandas groupby)
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("_n", alias_name="n"))
         .to_pandas()
@@ -601,7 +601,7 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     asserted against the data)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = (
-        ds.map_batches(tx.FingerprintStage, batch_format="pandas", concurrency=(1, 4))
+        ds.map_batches(tx.FingerprintStage, batch_format="pandas", concurrency=(1, 4))  # pandas: actor-pool per-string winnowing kernel
         .select_columns(["doc_id", "fingerprint"])
         .to_pandas()
     )
@@ -621,7 +621,7 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
         )
 
     return (
-        ds.map_batches(score, batch_format="pandas")
+        ds.map_batches(score, batch_format="pandas")  # pandas: vectorized str quality kernel
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -978,7 +978,7 @@ def profile_documents(sf_dir: str, approx: bool = False,
 
         out = (docs.map_batches(partial, batch_format="pyarrow")
                .groupby("bucket").map_groups(bucket_fold,
-                                             batch_format="pandas")
+                                             batch_format="pandas")  # pandas: per-bucket pandas reduce
                .to_pandas().groupby("col_name", sort=False)
                [["n_rows", "n_null", "nd"]].sum().reset_index()
                .rename(columns={"nd": "n_distinct"}))
@@ -1036,7 +1036,7 @@ def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
         })
 
     out = group_quantiles_histogram(
-        ds.map_batches(with_tokens, batch_format="pandas"),
+        ds.map_batches(with_tokens, batch_format="pandas"),  # pandas: str tokenize kernel emits (lang, n_tokens)
         value_column="n_tokens", group_column="lang",
         qs={"p50": 0.5, "p90": 0.9, "p99": 0.99},
     ).to_pandas()
@@ -1069,7 +1069,7 @@ def kll_quantile_bounds(sf_dir: str) -> pd.DataFrame:
 
     # pinned: three consumers (sketch partials, exact value counts, exact
     # per-lang quantiles) must not re-tokenize the corpus
-    tok = ds.map_batches(with_tokens, batch_format="pandas").materialize()
+    tok = ds.map_batches(with_tokens, batch_format="pandas").materialize()  # pandas: str tokenize kernel emits (lang, n_tokens)
     qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     est = sk.approx_quantiles(tok, "n_tokens", qs)[None]
 
@@ -1206,9 +1206,9 @@ def clean_corpus(sf_dir: str, quality_min: float = 0.5,
     # and the quality kernel would re-execute for the second pass (at
     # 100 TB: a duplicated model-inference sweep; like the survivor set
     # below, at that scale this pin is a partitioned lake write read twice)
-    kept = (docs.map_batches(tx.LangIdStage, batch_format="pandas",
+    kept = (docs.map_batches(tx.LangIdStage, batch_format="pandas",  # pandas: actor-pool str inference stage
                              concurrency=(1, 4))
-            .map_batches(score_filter, batch_format="pandas")).materialize()
+            .map_batches(score_filter, batch_format="pandas")).materialize()  # pandas: str quality kernel + row filter
     # kept is pinned, so count() is free metadata — it upper-bounds the
     # distinct-hash cardinality and lets exact_dedup auto-pick the flat vs
     # bucketed winner election (crossover note in functions/dedup.py)
@@ -1424,7 +1424,7 @@ def doc_sections(sf_dir: str) -> pd.DataFrame:
         })
 
     out = (
-        ds.map_batches(to_json, batch_format="pandas")
+        ds.map_batches(to_json, batch_format="pandas")  # pandas: serialization stage, per-row JSON by design
         .map_batches(ParseDocSections, batch_format="pyarrow",
                      concurrency=(1, 4))
         .to_pandas()
@@ -1445,11 +1445,12 @@ def sample_documents_hash(sf_dir: str, pct: int = 10) -> pd.DataFrame:
     reproduces the exact same sample: ``('0x' || substr(md5(CAST(doc_id AS
     VARCHAR)),1,16))::UBIGINT % 100`` — same convention as the simhash
     word hash (functions/dedup.py)."""
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[_md5_bucket(batch["doc_id"].to_numpy(), 100) < pct]
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_md5_bucket(ids, 100) < pct))
 
     out = (_rp(sf_dir, "documents", columns=["doc_id", "lang"])
-           .map_batches(keep, batch_format="pandas")
+           .map_batches(keep, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1472,13 +1473,14 @@ def _tag_bench(docs, bench_mod: int = 20):
     single source of the benchmark-slice convention shared by
     decontaminate / LM scoring / the composed flagship."""
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["bench"] = _md5_bucket(batch["doc_id"].to_numpy(),
-                                     bench_mod) == 0
-        return batch
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        flag = pa.array(_md5_bucket(ids, bench_mod) == 0)
+        if "bench" in t.column_names:
+            t = t.drop_columns(["bench"])
+        return t.append_column("bench", flag)
 
-    return docs.map_batches(tag, batch_format="pandas")
+    return docs.map_batches(tag, batch_format="pyarrow")
 
 
 def _bench_ngram_set(tagged, n: int = 8) -> tuple[np.ndarray, frozenset]:
@@ -1495,7 +1497,7 @@ def _bench_ngram_set(tagged, n: int = 8) -> tuple[np.ndarray, frozenset]:
                                           rows["text"], n)
         return pd.DataFrame({"ng": pd.unique(grams)})
 
-    vals = pd.unique(tagged.map_batches(bench_ngrams, batch_format="pandas")
+    vals = pd.unique(tagged.map_batches(bench_ngrams, batch_format="pandas")  # pandas: per-block distinct n-gram explode (str.split)
                      .to_pandas()["ng"].to_numpy())
     return np.sort(tx.hash_ngram_strings(vals, n)), frozenset(vals)
 
@@ -1536,7 +1538,7 @@ def decontaminate_documents(sf_dir: str, n: int = 8,
         rows["bench"] = False
         return pd.concat([batch, rows], ignore_index=True)
 
-    corpus_side = tagged.map_batches(with_planted, batch_format="pandas")
+    corpus_side = tagged.map_batches(with_planted, batch_format="pandas")  # pandas: pd.concat planted-row append
 
     def hits(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized membership (VERDICT r3 #2): every window is hashed with
@@ -1565,7 +1567,7 @@ def decontaminate_documents(sf_dir: str, n: int = 8,
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "n_hits": pd.Series([], dtype=np.int64)})
 
-    out = corpus_side.map_batches(hits, batch_format="pandas").to_pandas()
+    out = corpus_side.map_batches(hits, batch_format="pandas").to_pandas()  # pandas: n-gram membership str kernel
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1591,7 +1593,7 @@ def pack_sequences(sf_dir: str, window: int = 256,
             "n": tx.count_tokens_whitespace(batch["text"]),
         })
 
-    return pack_token_stream(docs.map_batches(counts, batch_format="pandas"),
+    return pack_token_stream(docs.map_batches(counts, batch_format="pandas"),  # pandas: str token-count kernel
                              window=window, bucket_size=bucket_size)
 
 
@@ -1612,7 +1614,7 @@ def pack_token_stream(toks, window: int = 256,
     # inference + n-gram scans over every doc — runs once, not twice. It is
     # three int64 columns, ~24 B/doc (doc-level, never token-level), so it
     # spills through the object store long before it pressures heap.
-    toks = toks.map_batches(bucketize, batch_format="pandas").materialize()
+    toks = toks.map_batches(bucketize, batch_format="pandas").materialize()  # pandas: prefix-sum partial frame
     per_bucket = (
         toks.groupby("bucket")
         .aggregate(Sum("n", alias_name="bucket_tokens"))
@@ -1646,7 +1648,7 @@ def pack_token_stream(toks, window: int = 256,
         )
 
     partial = toks.groupby("bucket").map_groups(pack_group,
-                                                batch_format="pandas")
+                                                batch_format="pandas")  # pandas: per-bucket pack reduce
     out = (
         partial.groupby("window_id")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
@@ -1671,7 +1673,7 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
         return tx.repetition_features(batch["doc_id"].to_numpy(),
                                       batch["text"])
 
-    out = docs.map_batches(feats, batch_format="pandas").to_pandas()
+    out = docs.map_batches(feats, batch_format="pandas").to_pandas()  # pandas: vectorized str feature kernel
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1823,7 +1825,7 @@ def _fit_bigram_lm(tagged) -> np.ndarray:
             "ch": np.concatenate([np.full(len(nz), -1), ch]),
         })
 
-    model_rows = (tagged.map_batches(partial_counts, batch_format="pandas")
+    model_rows = (tagged.map_batches(partial_counts, batch_format="pandas")  # pandas: bincount partial frame
                   .to_pandas())
     return _reduce_lm(model_rows)
 
@@ -1876,7 +1878,7 @@ def _fit_lm_and_ngrams(tagged, n: int = 8) -> tuple:
             "ng": [None] * m + ng_list,
         })
 
-    rows = tagged.map_batches(partials, batch_format="pandas").to_pandas()
+    rows = tagged.map_batches(partials, batch_format="pandas").to_pandas()  # pandas: per-block count partials
     logp = _reduce_lm(rows)
     vals = pd.unique(rows.loc[rows["ng"].notna(), "ng"].to_numpy())
     return logp, np.sort(tx.hash_ngram_strings(vals, n)), frozenset(vals)
@@ -1917,7 +1919,7 @@ def bigram_lm_scores(sf_dir: str, bench_mod: int = 20) -> pd.DataFrame:
         return tx.byte_bigram_scores(rows["doc_id"].to_numpy(),
                                      rows["text"], lp)
 
-    out = tagged.map_batches(score, batch_format="pandas").to_pandas()
+    out = tagged.map_batches(score, batch_format="pandas").to_pandas()  # pandas: vectorized str log-prob kernel
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1995,7 +1997,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
             "score": out["score"].to_numpy(np.float64),
         })
 
-    out = docs.map_batches(topk, batch_format="pandas").to_pandas()
+    out = docs.map_batches(topk, batch_format="pandas").to_pandas()  # pandas: per-doc TF-IDF top-k explode
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
@@ -2022,7 +2024,7 @@ def chunk_documents(sf_dir: str, window: int = 200,
         return pd.DataFrame({"doc_id": ids, "chunk_idx": idx,
                              "start": start, "chunk_len": length})
 
-    out = docs.map_batches(chunks, batch_format="pandas").to_pandas()
+    out = docs.map_batches(chunks, batch_format="pandas").to_pandas()  # pandas: 1-to-N chunk explode
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
@@ -2077,7 +2079,7 @@ def prepare_training_set(sf_dir: str, lm_min: float = -1.8,
             "n": tx.count_tokens_whitespace(rows["text"]),
         })
 
-    return pack_token_stream(tagged.map_batches(keep, batch_format="pandas"),
+    return pack_token_stream(tagged.map_batches(keep, batch_format="pandas"),  # pandas: mixture keep + str token kernel
                              window=window)
 
 

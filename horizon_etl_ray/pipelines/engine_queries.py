@@ -207,7 +207,7 @@ def cdc_replay_lineitem_evolved(sf_dir: str) -> pd.DataFrame:
 
     try:
         _lineitem_events(sf_dir).map_batches(
-            add_evolved_cols, batch_format="pandas"
+            add_evolved_cols, batch_format="pandas"  # pandas: str kernel derives evolved cols
         ).write_parquet(events_dir, partition_cols=["epoch"])
         cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"),
                         num_partitions=16, schema_script=script)

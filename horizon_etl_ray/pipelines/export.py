@@ -32,7 +32,7 @@ def _json_default(o: Any):
 def export_json(ds, out_path: str, allow_empty: bool = False) -> int:
     """Write a Dataset as one JSON array file. Returns row count."""
     rows: list[dict] = []
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pandas"):
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pandas"):  # pandas: JSON sink row iteration by design
         rows.extend(batch.to_dict("records"))
     if not rows and not allow_empty and os.path.exists(out_path):
         with open(out_path) as f:
@@ -164,8 +164,8 @@ def _edge_checksum(edges_ds) -> str:
             np.add.reduce(acc, dtype=np.uint64), np.uint64(0xFFFFFFFFFFFFFFFF))]})
 
     total = np.uint64(0)
-    for b in (edges_ds.map_batches(row_hash, batch_format="pandas")
-              .iter_batches(batch_format="pandas")):
+    for b in (edges_ds.map_batches(row_hash, batch_format="pandas")  # pandas: row-hash fold on tiny edge frames
+              .iter_batches(batch_format="pandas")):  # pandas: driver fold of tiny hash partials
         for v in b["h"].to_numpy(dtype=np.uint64):
             total = np.uint64((int(total) + int(v)) % (1 << 64))
     return f"{int(total):016x}"

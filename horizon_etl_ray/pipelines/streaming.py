@@ -358,7 +358,7 @@ class StreamingUpserter:
 
         apply_refs = [
             r for b in (ds.map_batches(route, batch_format="pyarrow")
-                        .iter_batches(batch_format="pandas"))
+                        .iter_batches(batch_format="pandas"))  # pandas: object-dtype ObjectRef column (Arrow cannot hold refs)
             for r in b["ref"].tolist()
         ]
         applied = int(sum(ray.get(apply_refs)))
