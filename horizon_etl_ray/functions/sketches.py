@@ -203,19 +203,32 @@ class KllSketch:
 
     # -- (de)serialization for crossing task boundaries as plain bytes ----
     def to_bytes(self) -> bytes:
+        """Includes the RNG's bit-generator state (ADVICE r4): a sketch that
+        round-trips and is then further updated/merged must compress with
+        the SAME random stream the originating sketch would have — the
+        module's 'a given input order reproduces exactly' claim holds
+        across the to_bytes/from_bytes task boundary."""
         import pickle
 
         return pickle.dumps((self.k, self.n,
-                             [b.tobytes() for b in self.levels]))
+                             [b.tobytes() for b in self.levels],
+                             self._rng.bit_generator.state))
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "KllSketch":
         import pickle
 
-        k, n, bufs = pickle.loads(raw)
+        payload = pickle.loads(raw)
+        if len(payload) == 3:  # pre-r5 bytes: no RNG state recorded
+            k, n, bufs = payload
+            state = None
+        else:
+            k, n, bufs, state = payload
         s = cls(k=k)
         s.n = n
         s.levels = [np.frombuffer(b, dtype=np.float64).copy() for b in bufs]
+        if state is not None:
+            s._rng.bit_generator.state = state
         return s
 
 
@@ -245,8 +258,11 @@ def approx_quantiles(ds, value_column: str, qs: dict[str, float],
             v = v[np.isfinite(v)]  # NaN/inf: dropped BEFORE seed derivation
             if len(v) == 0:  # all-null group slice: contributes nothing
                 continue
-            seed = (len(v) * 0x9E3779B1
-                    + int(abs(float(v[0]) * 1e6))) & 0x7FFFFFFF
+            # content-derived seed via a bounded integer hash (ADVICE r4:
+            # the old float(v[0])*1e6 int cast overflowed to inf for
+            # |v[0]| ≳ 1.8e302 and collided for blocks sharing length +
+            # first value); retries still reproduce exactly
+            seed = int(pd.util.hash_array(v).sum()) & 0x7FFFFFFF
             sk = KllSketch(k=k, seed=seed).update_many(v)
             out_g.append(g)
             out_s.append(sk.to_bytes())

@@ -805,6 +805,53 @@ def _validate_filter(filt: tuple) -> None:
             f"(col, 'between', lo, hi); got {filt!r}")
 
 
+def _empty_lake_dataset(store: ManifestStore, m, script, version):
+    """A zero-row Dataset with the lake's reader schema, built from parquet
+    FOOTERS only — never a full read plan (ADVICE r4: the old
+    ``read_lake(...).limit(0)`` fallback instantiated a merge-on-read task
+    per partition just to produce nothing, and failed outright on lakes
+    with unreadable non-owning partitions). Unreadable footers are skipped;
+    raises only when NO partition footer is readable. ``part_id`` is
+    appended for parity with every populated read path."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    for _, ps in sorted(m.partitions.items()):
+        for f in store.partition_data_files(ps):
+            try:
+                schema = pq.read_schema(f)
+            except Exception:
+                continue
+            empty = schema.empty_table()
+            if script is not None:
+                empty = conform_table(empty, script, version)
+            if "part_id" not in empty.column_names:
+                empty = empty.append_column(
+                    "part_id", pa.array([], pa.int32()))
+            return rd.from_arrow(empty)
+    raise FileNotFoundError(
+        f"no readable partition footer in {store.lake_dir} to type the "
+        "empty result")
+
+
+_TYPE_GROUPS = (
+    ("string", lambda ty: pa.types.is_string(ty)
+     or pa.types.is_large_string(ty)),
+    ("binary", lambda ty: pa.types.is_binary(ty)
+     or pa.types.is_large_binary(ty)),
+    ("integer", pa.types.is_integer),
+    ("floating", pa.types.is_floating),
+    ("boolean", pa.types.is_boolean),
+)
+
+
+def _type_group(ty) -> str:
+    for name, pred in _TYPE_GROUPS:
+        if pred(ty):
+            return name
+    return str(ty)
+
+
 def committed_files(lake_dir: str) -> list[str]:
     """All committed data files (base + deltas, manifest-selected)."""
     store = ManifestStore(lake_dir)
@@ -875,21 +922,7 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
             # every partition pruned: an empty Dataset with the lake schema,
             # from footers only (never a full read plan — the read_lake_keys
             # ADVICE lesson); corrupt/reclaimed pruned files are tolerated
-            import pyarrow.parquet as pq
-
-            for _, ps in sorted(m.partitions.items()):
-                for f in store.partition_data_files(ps):
-                    try:
-                        schema = pq.read_schema(f)
-                    except Exception:
-                        continue
-                    empty = schema.empty_table()
-                    if script is not None:
-                        empty = conform_table(empty, script, version)
-                    return rd.from_arrow(empty)
-            raise FileNotFoundError(
-                f"no readable partition footer in {lake_dir} to type the "
-                "empty filtered result")
+            return _empty_lake_dataset(store, m, script, version)
 
     if any(ps.delta_epochs for _, ps in parts):
         import ray
@@ -897,15 +930,20 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
         cfg_eff = cfg or CdcConfig()
 
         @ray.remote(num_cpus=1)
-        def merge_read(files: list[str]) -> pa.Table:
+        def merge_read(pid: int, files: list[str]) -> pa.Table:
             import pyarrow.parquet as pq
 
             t = pa.concat_tables([pq.read_table(f) for f in files],
                                  promote_options="permissive")
-            return _resolve_state_table(t, cfg_eff, script, version)
+            t = _resolve_state_table(t, cfg_eff, script, version)
+            # part_id parity with the hive-inferring cow scan and point
+            # reads (ADVICE r4: per-file delta reads don't see the hive
+            # directory column, so the two paths returned different schemas)
+            return t.append_column("part_id",
+                                   pa.array([pid] * len(t), pa.int32()))
 
-        refs = [merge_read.remote(store.partition_data_files(ps))
-                for _, ps in parts]
+        refs = [merge_read.remote(pid, store.partition_data_files(ps))
+                for pid, ps in parts]
         ds = rd.from_arrow_refs(refs)
     else:
         ds = rd.read_parquet(
@@ -966,6 +1004,32 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
         raise ValueError(f"keys must have {len(kcols)} parts ({kcols})")
     ktab = pa.table({c: pa.array([r[i] for r in rows])
                      for i, c in enumerate(kcols)})
+    # Route with the LAKE's key column types, not pa.array-inferred ones
+    # (ADVICE r4): a caller passing e.g. an int for a string key would hash
+    # differently in key_hash_pair, route to the wrong partition and come
+    # back silently empty. Same-group mismatches (int32 vs int64) are cast;
+    # cross-group mismatches (int vs string — a caller bug) raise.
+    lake_schema = None
+    for _, ps in sorted(m.partitions.items()):
+        try:
+            import pyarrow.parquet as pq
+
+            lake_schema = pq.read_schema(
+                store.partition_file(ps.part_id, ps.resolved_base_epoch()))
+            break
+        except Exception:
+            continue
+    if lake_schema is not None:
+        cast_cols = {}
+        for c in kcols:
+            have, want = ktab[c].type, lake_schema.field(c).type
+            if _type_group(have) != _type_group(want):
+                raise TypeError(
+                    f"key column {c!r}: caller passed {have} but the lake "
+                    f"stores {want} — routing would silently miss; pass "
+                    "keys with the stored types")
+            cast_cols[c] = ktab[c].cast(want)
+        ktab = pa.table(cast_cols)
     pids = partition_ids(ktab, kcols, nparts)
     by_pid: dict[int, list[tuple]] = {}
     for r, pid in zip(rows, pids):
@@ -1002,8 +1066,11 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
                               store.partition_data_files(m.partitions[pid]),
                               want, bool(m.partitions[pid].delta_epochs))
             for pid, want in sorted(by_pid.items()) if pid in m.partitions]
-    if not refs:  # every requested key routes to a never-written partition
-        return read_lake(lake_dir, include_tombstones, cfg).limit(0)
+    if not refs:  # every requested key routes to a never-written partition:
+        # a typed empty from footers only (ADVICE r4 — the old
+        # read_lake().limit(0) launched a merge task per partition and died
+        # on lakes with unreadable non-owning partitions)
+        return _empty_lake_dataset(store, m, script, version)
     ds = rd.from_arrow_refs(refs)
     if not include_tombstones:
         ds = ds.map_batches(
@@ -1061,15 +1128,18 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
     script, version = cfg_eff.schema_script, m.schema_version
 
     @ray.remote(num_cpus=1)
-    def merge_read(files: list[str]) -> pa.Table:
+    def merge_read(pid: int, files: list[str]) -> pa.Table:
         import pyarrow.parquet as pq
 
         t = pa.concat_tables([pq.read_table(f) for f in files],
                              promote_options="permissive")
-        return _resolve_state_table(t, cfg_eff, script, version)
+        t = _resolve_state_table(t, cfg_eff, script, version)
+        # part_id parity with read_lake / point reads (ADVICE r4)
+        return t.append_column("part_id",
+                               pa.array([pid] * len(t), pa.int32()))
 
-    refs = [merge_read.remote(store.partition_data_files(ps))
-            for _, ps in sorted(parts.items())]
+    refs = [merge_read.remote(pid, store.partition_data_files(ps))
+            for pid, ps in sorted(parts.items())]
     ds = rd.from_arrow_refs(refs)
     if not include_tombstones:
         ds = ds.map_batches(

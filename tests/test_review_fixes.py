@@ -397,3 +397,128 @@ def test_gc_sweeps_manifest_dir_tmp_orphans(tmp_path):
     store.gc()
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # grace protects in-flight temps
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def _tiny_lake(tmp_path, mode="cow"):
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.cdc import apply_epoch
+
+    lake = str(tmp_path / f"lake_{mode}")
+    cfg = CdcConfig(num_partitions=8, write_mode=mode,
+                    payload_columns=("repo", "path", "content"))
+    rows = [{"repo": "r", "path": f"k{i}", "seq": i + 1, "op": "update",
+             "content": f"v{i}"} for i in range(40)]
+    apply_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), lake, 1, cfg)
+    return lake, cfg
+
+
+def test_absent_key_lookup_never_opens_partitions(tmp_path):
+    """ADVICE r5 #1: a lookup of keys routed to never-written / non-owning
+    partitions must come back as a typed EMPTY dataset without launching a
+    read plan over the lake — proven by corrupting EVERY partition file and
+    requiring the absent-key path to still answer (footers survive because
+    corruption here truncates data pages, so instead corrupt fully and
+    expect footer-skip + one readable partition to type the result)."""
+    from horizon_etl_ray.pipelines.cdc import read_lake_keys
+    from horizon_etl_ray.state.manifest import ManifestStore
+
+    lake, cfg = _tiny_lake(tmp_path)
+    store = ManifestStore(lake)
+    m = store.load()
+    # corrupt all but ONE partition; the absent-key fallback may open only
+    # footers and must tolerate unreadable ones
+    keep = sorted(m.partitions)[0]
+    for pid, ps in m.partitions.items():
+        if pid != keep:
+            for f in store.partition_data_files(ps):
+                with open(f, "wb") as fh:
+                    fh.write(b"corrupted")
+    # keys that exist nowhere: dict routing finds no committed partition
+    # only when the partition was never written; with all partitions
+    # committed, force the structural case by widening the key space until
+    # one routes to a partition id outside the manifest — simpler: ask for
+    # a key owned by the KEPT partition's absent twin via a fresh manifest
+    # with that partition dropped
+    del m.partitions[(keep + 1) % 8]
+    import json as _json
+
+    with open(store.current_path) as f:
+        doc = _json.load(f)
+    doc["partitions"].pop(str((keep + 1) % 8), None)
+    from horizon_etl_ray.state.manifest import atomic_write_json
+
+    atomic_write_json(store.current_path, doc)
+    # find a key routing to the dropped partition
+    target = (keep + 1) % 8
+    key = None
+    for i in range(2000):
+        kt = pa.table({"repo": ["r"], "path": [f"probe{i}"]})
+        if int(partition_ids(kt, ["repo", "path"], 8)[0]) == target:
+            key = ("r", f"probe{i}")
+            break
+    assert key is not None
+    out = read_lake_keys(lake, [key], cfg=cfg)
+    assert out.count() == 0
+    assert {"repo", "path", "seq", "deleted", "part_id"} <= set(
+        out.schema().names)
+
+
+def test_key_type_mismatch_raises_not_empty(tmp_path):
+    """ADVICE r5 #2: an int passed for a string key column must raise, not
+    route to the wrong partition and return silently empty."""
+    from horizon_etl_ray.pipelines.cdc import read_lake_keys
+
+    lake, cfg = _tiny_lake(tmp_path)
+    with pytest.raises(TypeError, match="key column"):
+        read_lake_keys(lake, [(b"r", 7)], cfg=cfg)
+    # same-group width mismatch is cast, not refused: string keys passed as
+    # plain python strings still hit
+    out = read_lake_keys(lake, [("r", "k3")], cfg=cfg).to_pandas()
+    assert list(out["path"]) == ["k3"]
+
+
+def test_delta_full_scan_and_point_read_share_schema(tmp_path):
+    """ADVICE r5 #5: read_lake on a delta lake now emits part_id like the
+    hive-inferring cow scan and the key-routed point read."""
+    from horizon_etl_ray.pipelines.cdc import read_lake_keys
+
+    lake, cfg = _tiny_lake(tmp_path, mode="delta")
+    full = read_lake(lake, cfg=cfg)
+    point = read_lake_keys(lake, [("r", "k1")], cfg=cfg)
+    assert set(full.schema().names) == set(point.schema().names)
+    assert "part_id" in full.schema().names
+
+
+def test_kll_roundtrip_preserves_rng_stream():
+    """ADVICE r5 #3: serialize → deserialize → keep updating must compact
+    with the same random stream as the never-serialized sketch."""
+    from horizon_etl_ray.functions.sketches import KllSketch
+
+    rng = np.random.default_rng(3)
+    a_vals = rng.normal(size=5000)
+    b_vals = rng.normal(size=5000)
+    s1 = KllSketch(k=64, seed=17).update_many(a_vals)
+    s2 = KllSketch.from_bytes(
+        KllSketch(k=64, seed=17).update_many(a_vals).to_bytes())
+    s1.update_many(b_vals)
+    s2.update_many(b_vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert s1.quantile(q) == s2.quantile(q), q
+
+
+def test_approx_quantiles_survives_extreme_floats():
+    """ADVICE r5 #4: |v[0]| ≳ 1.8e302 overflowed the old seed derivation."""
+    import ray.data as rd
+
+    from horizon_etl_ray.functions.sketches import approx_quantiles
+
+    vals = np.concatenate([[1.8e303, -2.5e305], np.arange(1000, dtype=float)])
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+    got = approx_quantiles(ds, "v", {"p50": 0.5})[None]
+    assert np.isfinite(got["p50"])
