@@ -257,6 +257,10 @@ BENCH_QUERIES = [
     "percentile_quality_filter",
     "token_budget_sample",
     "profile_documents",
+    # round-5 additions: change-feed read API + bounds-gated sketch rows
+    "cdc_change_feed_lineitem",
+    "kll_quantile_bounds",
+    "mg_heavy_hitters_bounds",
 ]
 
 
