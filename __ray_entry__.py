@@ -119,7 +119,11 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 #   gated five other ways (all four full-engine replay rows use the same
 #   LWW window twin, and the change feed diffs TWO LWW states through the
 #   full engine); the standalone LWW op remains oracle-checked locally.
+# cdc_zone_read_lineitem (round 5: the zone-map filtered serving scan)
+# rides the tail like cdc_point_read_lineitem — oracle-checked locally; the
+# pruning mechanics are pinned by tests/test_zone_maps.py.
 _TAIL = (
+    "cdc_zone_read_lineitem",
     "cdc_lww_lineitem",
     "dup_audit",
     "token_count_quantiles",

@@ -341,7 +341,40 @@ def cdc_change_feed_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_zone_read_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Zone-map filtered serving scan through the FULL engine (round 5):
+    replay, then ``read_lake(filter=("l_partkey", "<=", 50))`` — partitions
+    whose manifest zone refutes the predicate are skipped without opening
+    files, surviving rows re-checked exactly. Oracle: the LWW window twin
+    filtered to the same predicate (a key-column filter commutes with the
+    per-key window)."""
+    from .cdc import read_lake
+
+    base = _run_base("zone")
+    try:
+        lake_dir, cfg = _replay_lineitem(sf_dir, base)
+        out = (
+            read_lake(lake_dir, cfg=cfg, filter=("l_partkey", "<=", 50))
+            .select_columns(["l_partkey", "l_suppkey", "seq",
+                             "content_sha256"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "cdc_zone_read_lineitem": f"""
+        WITH ev AS ({_EV_SQL})
+        SELECT l_partkey, l_suppkey, seq, sha256(content) AS content_sha256
+        FROM ev
+        WHERE l_partkey <= 50
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                   ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
     # both epoch-states via the LWW window over the raw events, then a
     # liveness/payload diff: w_to ⊇ w_from keys (epoch ≤2 ⊆ ≤4), so a LEFT
     # JOIN from w_to covers the union; the winner-at-to's epoch is the
@@ -474,4 +507,5 @@ QUERIES = {
     "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,
     "cdc_point_read_lineitem": cdc_point_read_lineitem,
     "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
+    "cdc_zone_read_lineitem": cdc_zone_read_lineitem,
 }
