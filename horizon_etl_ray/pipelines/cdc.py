@@ -796,13 +796,23 @@ def _filter_batch(t: pa.Table, filt: tuple) -> pa.Table:
     return t.filter(pc.fill_null(mask, False))
 
 
-def _validate_filter(filt: tuple) -> None:
-    if (not isinstance(filt, (tuple, list)) or len(filt) < 3
-            or filt[1] not in _ZONE_OPS
-            or (filt[1] == "between") != (len(filt) == 4)):
-        raise ValueError(
-            f"filter must be (col, op, value) with op in {_ZONE_OPS} or "
-            f"(col, 'between', lo, hi); got {filt!r}")
+def _as_filter_list(filt) -> list[tuple]:
+    """Normalize read_lake's ``filter`` to a list of predicates (implicit
+    AND): a single (col, op, ...) tuple, or a list/tuple of them."""
+    if (isinstance(filt, (tuple, list)) and filt
+            and isinstance(filt[0], (tuple, list))):
+        preds = [tuple(p) for p in filt]
+    else:
+        preds = [tuple(filt) if isinstance(filt, (tuple, list)) else filt]
+    for p in preds:
+        if (not isinstance(p, tuple) or len(p) < 3
+                or p[1] not in _ZONE_OPS
+                or (p[1] == "between") != (len(p) == 4)):
+            raise ValueError(
+                f"filter must be (col, op, value) with op in {_ZONE_OPS}, "
+                f"(col, 'between', lo, hi), or a list of those (AND); "
+                f"got {p!r}")
+    return preds
 
 
 def _empty_lake_dataset(store: ManifestStore, m, script, version):
@@ -890,8 +900,10 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     base + deltas (Hudi merge-on-read semantics; block granularity = one
     partition, so the read stays streaming and parallel).
 
-    ``filter``: ``(col, op, value)`` with op in ``== < <= > >=``, or
-    ``(col, "between", lo, hi)``. Partitions whose manifest ZONE MAP
+    ``filter``: ``(col, op, value)`` with op in ``== < <= > >=``,
+    ``(col, "between", lo, hi)``, or a LIST of those (implicit AND — a
+    partition is skipped when any predicate's zone refutes it, rows must
+    satisfy all). Partitions whose manifest ZONE MAP
     (PartitionState.zone — per-column min/max recorded at write time)
     proves the predicate can't match are SKIPPED without opening their
     files (the non-key serving-scan pruning the key-routed
@@ -915,9 +927,11 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
 
     parts = sorted(m.partitions.items())
     if filter is not None:
-        _validate_filter(filter)
+        preds = _as_filter_list(filter)
+        # AND semantics: a partition is read only when EVERY predicate's
+        # zone check admits it (any refuting zone proves no row matches)
         parts = [(pid, ps) for pid, ps in parts
-                 if _zone_admits(ps.zone, filter)]
+                 if all(_zone_admits(ps.zone, p) for p in preds)]
         if not parts:
             # every partition pruned: an empty Dataset with the lake schema,
             # from footers only (never a full read plan — the read_lake_keys
@@ -954,9 +968,12 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
                 batch_format="pyarrow",
             )
     if filter is not None:
-        filt = filter
-        ds = ds.map_batches(lambda t: _filter_batch(t, filt),
-                            batch_format="pyarrow")
+        def apply_all(t: pa.Table) -> pa.Table:
+            for p in preds:
+                t = _filter_batch(t, p)
+            return t
+
+        ds = ds.map_batches(apply_all, batch_format="pyarrow")
     if not include_tombstones:
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.fill_null(t["deleted"], False))),

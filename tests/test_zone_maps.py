@@ -127,3 +127,18 @@ def test_filter_validation(tmp_path):
                 ("size", "==", 1, 2)):
         with pytest.raises(ValueError, match="filter"):
             read_lake(lake, filter=bad)
+
+
+def test_and_filter_list_prunes_and_is_exact(tmp_path):
+    """A list of predicates is implicit AND: pruning uses every zone (any
+    refuting predicate skips the partition), rows must satisfy all."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=P)
+    apply_epoch(rd.from_arrow(pa.Table.from_pylist(_events())), lake, 1, cfg)
+    _corrupt_except(lake, {4})
+    out = read_lake(lake, filter=[("size", ">=", 4), ("size", "<=", 4),
+                                  ("path", "<", "k900")]).to_pandas()
+    want = {r["path"] for r in _events() if r["size"] == 4}
+    assert set(out["path"]) == want
+    with pytest.raises(ValueError, match="filter"):
+        read_lake(lake, filter=[("size", ">=", 4), ("size", "~", 1)])
