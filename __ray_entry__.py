@@ -122,7 +122,14 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # cdc_zone_read_lineitem (round 5: the zone-map filtered serving scan)
 # rides the tail like cdc_point_read_lineitem — oracle-checked locally; the
 # pruning mechanics are pinned by tests/test_zone_maps.py.
+# - consolidate_winners → cdc_incremental_mart_lineitem (round 5): the
+#   ordered-group-winner election (O4/D4) stays gated inside
+#   consolidate_repoint_links, which RUNS the same winner stage and then
+#   repoints links through it; the mart row gates the change-feed's
+#   downstream consumer (bootstrap-at-epoch + signed-delta refresh ==
+#   direct SQL aggregate of the final state).
 _TAIL = (
+    "consolidate_winners",
     "cdc_zone_read_lineitem",
     "cdc_lww_lineitem",
     "dup_audit",

@@ -1167,7 +1167,8 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
 
 
 def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
-                 cfg: CdcConfig | None = None, json_payload: bool = False):
+                 cfg: CdcConfig | None = None, json_payload: bool = False,
+                 changed_fields: bool = False):
     """CHANGE FEED: the per-key NET changes between two committed epochs —
     what a downstream consumer (cache invalidation, incremental mart
     refresh) must apply to move from the state as of ``from_epoch`` to the
@@ -1206,6 +1207,13 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
         ``json_payload=True`` to get the reference-shaped ``before`` /
         ``after`` JSON string columns instead (a serialization stage, off
         the hot path).
+      - ``changed_fields=True`` adds a ``list<string>`` column naming the
+        payload fields each row touched, in schema order — the reference's
+        ``changed_fields_json`` (entity_change_log.py:35, populated at
+        recorder.py:252-275 and e.g. flows/lattes/projects.py:174-186):
+        updates list the fields whose value differs (null-safe), inserts
+        the populated (non-null) fields, deletes the fields the removed
+        row had populated.
 
     Replayability: feeding ``read_changes(lake, -1)`` rows back through
     ``apply_epoch`` onto an empty lake reproduces the live state digest
@@ -1354,14 +1362,27 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
             [int(v) for v in chg], pa.int64())
         cols[seq_col] = pa.array(
             [None if pd.isna(v) else int(v) for v in seq_after], pa.int64())
+        field_lists = ([[] for _ in range(len(sel))]
+                       if changed_fields else None)
         for c in payload_cols:
             ty = schema_t.schema.field(c).type
             bvals = f_df[c].reindex(sel).where(pd.Series(lf, index=sel), None)
             avals = t_df[c].reindex(sel).where(pd.Series(lt, index=sel), None)
+            if changed_fields and len(sel):
+                bn, an = pd.notna(bvals).to_numpy(), pd.notna(avals).to_numpy()
+                eq = ((bvals == avals).to_numpy(dtype=bool, na_value=False)
+                      | (~bn & ~an))
+                inc = np.where(op == "insert", an,
+                               np.where(op == "delete", bn, ~eq))
+                for i in np.flatnonzero(inc):
+                    field_lists[i].append(c)
             cols[f"before_{c}"] = pa.array(
                 [None if pd.isna(v) else v for v in bvals], type=ty)
             cols[f"after_{c}"] = pa.array(
                 [None if pd.isna(v) else v for v in avals], type=ty)
+        if changed_fields:
+            cols["changed_fields"] = pa.array(
+                field_lists, type=pa.list_(pa.string()))
         return pa.table(cols)
 
     refs = [diff_partition.remote(

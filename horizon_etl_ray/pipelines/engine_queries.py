@@ -66,9 +66,11 @@ _EV_SQL = """
 """
 
 
-def _lineitem_events(sf_dir: str, with_quantity: bool = False):
+def _lineitem_events(sf_dir: str, with_quantity: bool = False,
+                     with_flag: bool = False):
     """lineitem → (l_partkey, l_suppkey, seq, op, content, epoch) Dataset
-    (+ integer ``l_quantity`` payload when ``with_quantity``)."""
+    (+ integer ``l_quantity`` payload when ``with_quantity``, + the
+    ``l_returnflag`` dimension when ``with_flag``)."""
     ds = _rp(sf_dir, "lineitem",
              columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                       "l_returnflag", "l_quantity", "l_extendedprice"])
@@ -113,6 +115,8 @@ def _lineitem_events(sf_dir: str, with_quantity: bool = False):
         }
         if with_quantity:
             cols["l_quantity"] = t["l_quantity"].cast(pa.int64())
+        if with_flag:
+            cols["l_returnflag"] = t["l_returnflag"]
         return pa.table(cols)
 
     return ds.map_batches(to_events, batch_format="pyarrow")
@@ -341,6 +345,42 @@ def cdc_change_feed_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_incremental_mart_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Incremental mart maintenance through the FULL engine (round 5, the
+    change feed's downstream consumer): 4-epoch incremental replay with an
+    ``l_returnflag`` dimension + ``l_quantity`` metric payload, bootstrap the
+    per-flag (count, sum) mart from the TIME-TRAVEL state at epoch 2, then
+    ``refresh_mart`` folds the feed's signed deltas over (2, 4] — no lake
+    scan. Oracle: DuckDB aggregates the FINAL LWW state directly, so the row
+    is green only if bootstrap + incremental == truth. Reference analog:
+    the regenerate-from-scratch mart flows
+    (/root/reference/src/flows/exports/initiatives_analytics_mart.py:11-37),
+    made O(changes)."""
+    from .cdc import CdcConfig, replay
+    from .mart import MartSpec, build_mart, read_mart, refresh_mart
+
+    base = _run_base("mart")
+    try:
+        events_dir = os.path.join(base, "events")
+        _lineitem_events(sf_dir, with_quantity=True, with_flag=True
+                         ).write_parquet(events_dir, partition_cols=["epoch"])
+        cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"),
+                        num_partitions=16)
+        lake_dir = os.path.join(base, "lake")
+        replay(events_dir, lake_dir, cfg, mode="incremental")
+        spec = MartSpec(group_by=("l_returnflag",),
+                        sum_metrics={"sum_qty": "l_quantity"})
+        mart_dir = os.path.join(base, "mart")
+        build_mart(lake_dir, mart_dir, spec, cfg=cfg, at_epoch=2)
+        st = refresh_mart(lake_dir, mart_dir, cfg=cfg)
+        assert st["mode"] == "incremental" and st["epoch"] == _EPOCHS
+        out = read_mart(mart_dir).to_pandas()
+    finally:
+        _cleanup(base)
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def cdc_zone_read_lineitem(sf_dir: str) -> pd.DataFrame:
     """Zone-map filtered serving scan through the FULL engine (round 5):
     replay, then ``read_lake(filter=("l_partkey", "<=", 50))`` — partitions
@@ -365,6 +405,24 @@ def cdc_zone_read_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    # final LWW state aggregated directly — the Ray side must reach the
+    # same numbers via bootstrap-at-2 + signed feed deltas over (2, 4]
+    "cdc_incremental_mart_lineitem": f"""
+        WITH ev AS ({_EV_SQL.replace(
+            "FROM lineitem",
+            ", CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag "
+            "FROM lineitem")}),
+        w AS (
+            SELECT * FROM ev
+            QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                       ORDER BY seq DESC) = 1
+              AND op <> 'delete'
+        )
+        SELECT flag AS l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM w GROUP BY flag ORDER BY l_returnflag
+    """,
     "cdc_zone_read_lineitem": f"""
         WITH ev AS ({_EV_SQL})
         SELECT l_partkey, l_suppkey, seq, sha256(content) AS content_sha256
@@ -508,4 +566,5 @@ QUERIES = {
     "cdc_point_read_lineitem": cdc_point_read_lineitem,
     "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
     "cdc_zone_read_lineitem": cdc_zone_read_lineitem,
+    "cdc_incremental_mart_lineitem": cdc_incremental_mart_lineitem,
 }

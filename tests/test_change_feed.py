@@ -99,6 +99,48 @@ def test_json_payload_shape(two_epoch_lake):
     assert a.loc["C", "before"] is None
 
 
+def test_changed_fields_column(tmp_path):
+    """Opt-in ``changed_fields`` (reference: entity_change_log.py:35's
+    changed_fields_json): updates list differing fields, inserts the
+    populated fields, deletes the fields the removed row had — per-field
+    attribution, not just row-level diff."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=4,
+                    payload_columns=("repo", "path", "content", "size"))
+
+    def _r(path, seq, op, content, size):
+        return {"repo": "r", "path": path, "seq": seq, "op": op,
+                "content": content, "size": size}
+
+    apply_epoch(_ev([_r("A", 1, "update", "a1", 1),
+                     _r("B", 2, "update", "b1", 2),
+                     _r("D", 3, "update", "d1", 3)]), lake, 1, cfg)
+    apply_epoch(_ev([_r("A", 10, "update", "a2", 1),      # content only
+                     _r("B", 11, "update", "b1", 20),     # size only
+                     _r("C", 12, "update", "c1", None),   # insert, size null
+                     _r("D", 13, "delete", None, None)]), lake, 2, cfg)
+    df = (read_changes(lake, 1, 2, cfg=cfg, changed_fields=True).to_pandas()
+          .set_index("path"))
+    fa = set(df.loc["A", "changed_fields"])
+    fb = set(df.loc["B", "changed_fields"])
+    assert "content" in fa and "size" not in fa
+    assert "size" in fb and "content" not in fb
+    # the sha hashes the content column only (cdc.add_sha), so it flips
+    # with A's content change but not with B's size-only change
+    assert "content_sha256" in fa and "content_sha256" not in fb
+    fc = set(df.loc["C", "changed_fields"])  # insert: populated fields only
+    assert "content" in fc and "size" not in fc
+    fd = set(df.loc["D", "changed_fields"])  # delete: fields the row had
+    assert {"content", "size"} <= fd
+    # flag off → no column (existing consumers see the same schema)
+    cols = read_changes(lake, 1, 2, cfg=cfg).schema().names
+    assert "changed_fields" not in cols
+    # and it composes with the reference-shaped JSON payload mode
+    dj = (read_changes(lake, 1, 2, cfg=cfg, changed_fields=True,
+                       json_payload=True).to_pandas().set_index("path"))
+    assert set(dj.loc["B", "changed_fields"]) == fb
+
+
 def test_feed_replayed_onto_empty_lake_reproduces_digest(tmp_path):
     """VERDICT r4 #3's done-bar: the feed IS a minimal re-materialization
     recipe. Two-stage replay exercises insert, update AND delete rows:
