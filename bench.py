@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "cdc_change_feed_lineitem",
     "kll_quantile_bounds",
     "mg_heavy_hitters_bounds",
+    # round-5 session-3: feed-driven incremental mart maintenance
+    "cdc_incremental_mart_lineitem",
 ]
 
 

@@ -54,6 +54,26 @@ def main() -> int:
                     help="serve --read-key (or a row count) from the lake "
                          "AS OF this epoch (time travel) instead of the "
                          "latest commit")
+    ap.add_argument("--changes", default=None, metavar="FROM[,TO]",
+                    help="after the replay, read the change feed over the "
+                         "(FROM, TO] epoch window (TO defaults to the "
+                         "committed epoch) and print per-op counts")
+    ap.add_argument("--changes-out", default=None, metavar="DIR",
+                    help="with --changes: also write the feed as parquet "
+                         "to DIR (the downstream-consumer handoff)")
+    ap.add_argument("--changed-fields", action="store_true",
+                    help="with --changes: include the per-field "
+                         "attribution column in the feed")
+    ap.add_argument("--mart", default=None, metavar="DIR",
+                    help="maintain an additive group-by mart at DIR: "
+                         "bootstrap (full build) when absent, else refresh "
+                         "incrementally from the change feed")
+    ap.add_argument("--mart-group", default=None, metavar="COL[,COL...]",
+                    help="mart dimension columns (bootstrap only)")
+    ap.add_argument("--mart-sum", action="append", default=None,
+                    metavar="NAME=COL",
+                    help="named column sum metric (repeatable; bootstrap "
+                         "only); a row count n_rows is always kept")
     args = ap.parse_args()
 
     if "://" in args.lake or "://" in args.events:
@@ -123,6 +143,42 @@ def main() -> int:
 
         out["rows_as_of"] = int(
             read_lake_at(args.lake, args.as_of, cfg=cfg).count())
+    if args.changes:
+        from horizon_etl_ray.pipelines.cdc import read_changes
+
+        win = args.changes.split(",")
+        fr = int(win[0])
+        to = int(win[1]) if len(win) > 1 else None
+        feed = read_changes(args.lake, fr, to, cfg=cfg,
+                            changed_fields=args.changed_fields)
+        if args.changes_out:
+            feed.write_parquet(args.changes_out)
+            out["changes_written"] = args.changes_out
+            import ray.data as rd
+
+            ops = rd.read_parquet(args.changes_out, columns=["op"])
+        else:
+            ops = feed.select_columns(["op"])
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for b in ops.iter_batches(batch_format="pandas"):
+            counts.update(b["op"].value_counts().to_dict())
+        out["changes"] = {"from_epoch": fr, "to_epoch": to,
+                          **{k: int(v) for k, v in sorted(counts.items())}}
+    if args.mart:
+        from horizon_etl_ray.pipelines.mart import (MartSpec, build_mart,
+                                                    mart_state, refresh_mart)
+
+        if mart_state(args.mart) is None:
+            if not args.mart_group:
+                ap.error("--mart bootstrap needs --mart-group")
+            sums = dict(kv.split("=", 1) for kv in (args.mart_sum or []))
+            spec = MartSpec(group_by=tuple(args.mart_group.split(",")),
+                            sum_metrics=sums)
+            out["mart"] = build_mart(args.lake, args.mart, spec, cfg=cfg)
+        else:
+            out["mart"] = refresh_mart(args.lake, args.mart, cfg=cfg)
     print(json.dumps(out))
     ray.shutdown()
     return 0
