@@ -107,15 +107,15 @@ def _aggregate(ds, spec: MartSpec) -> pd.DataFrame:
     return _fold(parts, spec)
 
 
-def _feed_deltas(feed, spec: MartSpec) -> pd.DataFrame:
-    """Signed per-group deltas from a change-feed Dataset: the after-side
-    of inserts/updates contributes +1/+value, the before-side of
-    deletes/updates −1/−value — group-moving updates fall out for free
-    (−old group, +new group). Vectorized per block; driver fold is
-    |groups|-bounded like the full build."""
-    def side_frame(df: pd.DataFrame, side: str, sign: int) -> pd.DataFrame:
-        mask = (df["op"] != ("delete" if side == "after_" else "insert"))
-        sub = df.loc[mask]
+def signed_delta_partial(df: pd.DataFrame, spec: MartSpec) -> pd.DataFrame:
+    """Per-block kernel of the refresh: a change-feed frame → signed
+    per-group deltas. The after-side of inserts/updates contributes
+    +1/+value, the before-side of deletes/updates −1/−value — group-moving
+    updates fall out for free (−old group, +new group). The algebra —
+    aggregate(before) ⊕ deltas(diff) == aggregate(after) for ANY pair of
+    states — is hypothesis-pinned in tests/test_properties.py."""
+    def side_frame(side: str, sign: int) -> pd.DataFrame:
+        sub = df.loc[df["op"] != ("delete" if side == "after_" else "insert")]
         out = {}
         for gcol in spec.group_by:
             src = f"{side}{gcol}"
@@ -127,13 +127,18 @@ def _feed_deltas(feed, spec: MartSpec) -> pd.DataFrame:
         out[spec.rows_metric] = np.int64(sign)
         return pd.DataFrame(out)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        both = pd.concat([side_frame(df, "after_", 1),
-                          side_frame(df, "before_", -1)], ignore_index=True)
-        g = both.groupby(list(spec.group_by), sort=False, dropna=False)
-        return g[spec.metric_names()].sum().reset_index()
+    both = pd.concat([side_frame("after_", 1), side_frame("before_", -1)],
+                     ignore_index=True)
+    g = both.groupby(list(spec.group_by), sort=False, dropna=False)
+    return g[spec.metric_names()].sum().reset_index()
 
-    parts = feed.map_batches(partial, batch_format="pandas").to_pandas()
+
+def _feed_deltas(feed, spec: MartSpec) -> pd.DataFrame:
+    """Signed per-group deltas from a change-feed Dataset: vectorized per
+    block (``signed_delta_partial``); driver fold is |groups|-bounded like
+    the full build."""
+    parts = feed.map_batches(lambda df: signed_delta_partial(df, spec),
+                             batch_format="pandas").to_pandas()
     if parts.empty:
         return pd.DataFrame(columns=[*spec.group_by, *spec.metric_names()])
     return _fold(parts, spec)

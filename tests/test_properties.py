@@ -150,3 +150,73 @@ def test_pack_token_stream_matches_naive(ray_session, rows, bucket_size,
         assert want[int(r["window_id"])] == (
             int(r["n_docs"]), int(r["n_tokens"]),
             int(r["first_doc"]), int(r["last_doc"]))
+
+
+# ---------------------------------------------------------------------------
+# Mart delta algebra: for ANY two states, folding the signed deltas of their
+# change-feed diff onto aggregate(before) equals aggregate(after) — the
+# invariant refresh_mart leans on. No Ray: pure frame kernels.
+# ---------------------------------------------------------------------------
+
+# a state maps key → (group, value); group None = a real (null) group
+state_strategy = st.dictionaries(
+    st.integers(0, 7),
+    st.tuples(st.sampled_from(["x", "y", "z", None]), st.integers(-5, 50)),
+    max_size=8,
+)
+
+
+def _mart_of(state, spec):
+    from horizon_etl_ray.pipelines.mart import _fold
+
+    rows = [{"grp": g, spec.rows_metric: np.int64(1), "sum_v": v}
+            for g, v in state.values()]
+    if not rows:
+        return pd.DataFrame(columns=["grp", spec.rows_metric, "sum_v"])
+    return _fold(pd.DataFrame(rows), spec)
+
+
+def _feed_of(before, after):
+    rows = []
+    for k in sorted(set(before) | set(after)):
+        in_b, in_a = k in before, k in after
+        if in_b and in_a and before[k] == after[k]:
+            continue  # unchanged keys are NOT in the feed
+        op = "update" if (in_b and in_a) else ("insert" if in_a else "delete")
+        bg, bv = before.get(k, (None, None))
+        ag, av = after.get(k, (None, None))
+        rows.append({"k": k, "op": op,
+                     "before_grp": bg if in_b else None,
+                     "before_v": bv if in_b else None,
+                     "after_grp": ag if in_a else None,
+                     "after_v": av if in_a else None})
+    return pd.DataFrame(rows, columns=["k", "op", "before_grp", "before_v",
+                                       "after_grp", "after_v"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(state_strategy, state_strategy)
+def test_mart_delta_algebra(before, after):
+    from horizon_etl_ray.pipelines.mart import (MartSpec, _fold,
+                                                signed_delta_partial)
+
+    spec = MartSpec(group_by=("grp",), sum_metrics={"sum_v": "v"})
+    feed = _feed_of(before, after)
+    m_before = _mart_of(before, spec)
+    if feed.empty:
+        deltas = m_before.iloc[0:0]
+    else:
+        deltas = signed_delta_partial(feed, spec)
+    merged = _fold(pd.concat([m_before, deltas], ignore_index=True), spec)
+    merged = (merged.loc[merged[spec.rows_metric] > 0]
+              .sort_values("grp", na_position="last")
+              .reset_index(drop=True))
+    expect = (_mart_of(after, spec)
+              .sort_values("grp", na_position="last").reset_index(drop=True))
+    assert (merged[spec.rows_metric] >= 0).all()
+    if expect.empty:
+        assert merged.empty
+    else:
+        pd.testing.assert_frame_equal(
+            merged.astype({"sum_v": np.int64, "grp": object}),
+            expect.astype({"sum_v": np.int64, "grp": object}))
