@@ -242,6 +242,41 @@ def test_compacted_tombstone_reads_as_delete_with_null_seq(tmp_path):
     assert pd.isna(df.loc[0, "seq"])  # tombstone row itself was compacted
 
 
+def test_feed_over_streaming_lake_matches_batch(tmp_path):
+    """The feed is a reader of the manifest's epoch records, so it must be
+    writer-agnostic: a lake written by the streaming partition-owning
+    actors yields the SAME change feed as a batch incremental replay of
+    the same epochs."""
+    from horizon_etl_ray.pipelines.streaming import StreamingUpserter
+    from horizon_etl_ray.sources.generator import EventGenConfig, write_events
+
+    gen = EventGenConfig(n_keys=100, n_events=1200, seed=11, epoch_size=400,
+                         p_delete=0.2, content_mean_bytes=32)
+    ev = str(tmp_path / "ev")
+    write_events(gen, ev)
+    cfg = CdcConfig(num_partitions=8)
+    lake_s = str(tmp_path / "s")
+    up = StreamingUpserter(lake_s, cfg, num_shards=2)
+    try:
+        for e in range(3):
+            files = [os.path.join(ev, f"epoch={e}", f)
+                     for f in sorted(os.listdir(os.path.join(ev, f"epoch={e}")))]
+            up.apply_epoch(rd.read_parquet(files), e)
+    finally:
+        up.shutdown()
+    lake_b = str(tmp_path / "b")
+    replay(ev, lake_b, cfg, mode="incremental")
+
+    for fr in (-1, 0, 1):
+        fs = (read_changes(lake_s, fr, cfg=cfg).to_pandas()
+              .sort_values(["repo", "path"]).reset_index(drop=True))
+        fb = (read_changes(lake_b, fr, cfg=cfg).to_pandas()
+              .sort_values(["repo", "path"]).reset_index(drop=True))
+        cols = sorted(fs.columns)
+        assert cols == sorted(fb.columns)
+        pd.testing.assert_frame_equal(fs[cols], fb[cols])
+
+
 def test_gc_reclaimed_history_raises(tmp_path, two_epoch_lake):
     lake, cfg = two_epoch_lake
     ManifestStore(lake).gc(keep_epochs=0)
