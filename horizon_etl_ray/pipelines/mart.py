@@ -47,7 +47,6 @@ from ..state.manifest import (
 MAX_GROUPS = 1_000_000
 
 _STATE_FILE = "mart.json"
-_DATA_FILE = "mart.parquet"
 
 
 @dataclass(frozen=True)
@@ -146,20 +145,37 @@ def _feed_deltas(feed, spec: MartSpec) -> pd.DataFrame:
 
 def _write_state(mart_dir: str, spec: MartSpec, epoch: int,
                  table: pd.DataFrame, dtypes: dict[str, str]) -> None:
+    """Commit = write an epoch-named data file, THEN swap the json pointer
+    (the manifest's atomic-pointer discipline): a crash between the two
+    leaves the pointer on the previous consistent (table, epoch) pair —
+    never a new table with an old epoch, which a later refresh would
+    double-apply. Superseded data files are swept after the commit."""
     os.makedirs(mart_dir, exist_ok=True)
     for m, dt in dtypes.items():
         table[m] = table[m].astype(dt)
     t = pa.Table.from_pandas(
         table.sort_values(list(spec.group_by)).reset_index(drop=True),
         preserve_index=False)
-    atomic_write_table(os.path.join(mart_dir, _DATA_FILE), t)
+    data_file = f"mart_e{epoch}.parquet"
+    atomic_write_table(os.path.join(mart_dir, data_file), t)
     atomic_write_json(os.path.join(mart_dir, _STATE_FILE),
-                      {"epoch": epoch, "spec": spec.to_json(),
-                       "dtypes": dtypes, "groups": len(table)})
+                      {"epoch": epoch, "data_file": data_file,
+                       "spec": spec.to_json(), "dtypes": dtypes,
+                       "groups": len(table)})
+    for f in os.listdir(mart_dir):  # sweep superseded/orphaned data files
+        if f.startswith("mart_e") and f.endswith(".parquet") \
+                and f != data_file:
+            try:
+                os.remove(os.path.join(mart_dir, f))
+            except OSError:
+                pass
 
 
 def read_mart(mart_dir: str) -> pa.Table:
-    return pq.read_table(os.path.join(mart_dir, _DATA_FILE))
+    state = mart_state(mart_dir)
+    if state is None:
+        raise FileNotFoundError(f"no mart committed at {mart_dir}")
+    return pq.read_table(os.path.join(mart_dir, state["data_file"]))
 
 
 def mart_state(mart_dir: str) -> dict | None:

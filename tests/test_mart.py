@@ -127,6 +127,28 @@ def test_inconsistent_mart_raises(lake, tmp_path):
         refresh_mart(lake, mart, cfg=CFG)
 
 
+def test_crashed_commit_never_double_applies(lake, tmp_path):
+    """A crash between the data-file write and the json pointer swap must
+    leave the previous consistent (table, epoch) pair — the next refresh
+    re-derives the new state from the pointer's epoch, not the orphan."""
+    import os
+
+    mart = str(tmp_path / "mart")
+    build_mart(lake, mart, SPEC, cfg=CFG)
+    apply_epoch(_ev([_row("Z", 10, "update", "y", 9)]), lake, 2, CFG)
+    # simulate the torn write: an epoch-2 data file exists, pointer still @1
+    orphan = os.path.join(mart, "mart_e2.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"torn")
+    st = refresh_mart(lake, mart, cfg=CFG)
+    assert st["mode"] == "incremental" and st["epoch"] == 2
+    assert not os.path.exists(orphan) or \
+        mart_state(mart)["data_file"] == "mart_e2.parquet"
+    rebuilt = str(tmp_path / "rebuilt")
+    build_mart(lake, rebuilt, SPEC, cfg=CFG)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(rebuilt))
+
+
 def test_refresh_without_bootstrap_raises(lake, tmp_path):
     with pytest.raises(FileNotFoundError, match="build_mart"):
         refresh_mart(lake, str(tmp_path / "nope"), cfg=CFG)
