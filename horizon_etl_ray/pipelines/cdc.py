@@ -721,11 +721,46 @@ def _epoch_files(events_dir: str, epoch: int) -> list[str]:
 # --------------------------------------------------------------------------
 
 
+_ZONE_STR_PREFIX = 64  # max chars of a string bound stored in the manifest
+
+
+def _zone_str_bounds(lo: str, hi: str) -> list:
+    """Bounded string zone entries (Iceberg truncate(): the manifest rides
+    the driver hot path — current.json is re-read on every read/commit and
+    the prior dict ships into every merge task — so MB-scale ``content``
+    values must never be embedded verbatim). The stored bounds only ever
+    WIDEN the true range, so pruning stays a safe superset:
+
+      - lo → its first ``_ZONE_STR_PREFIX`` chars (a prefix sorts ≤ the
+        full string, so it is a valid lower bound);
+      - hi → prefix with its last incrementable code point bumped (any
+        string starting with the original prefix sorts < the bumped one);
+        if every prefix char is already U+10FFFF, the upper bound is
+        unknowable from a prefix → ``None`` (readers treat it as +∞)."""
+    if len(lo) > _ZONE_STR_PREFIX:
+        lo = lo[:_ZONE_STR_PREFIX]
+    if len(hi) > _ZONE_STR_PREFIX:
+        p = hi[:_ZONE_STR_PREFIX]
+        hi = None
+        for i in range(len(p) - 1, -1, -1):
+            cp = ord(p[i])
+            if cp >= 0x10FFFF:
+                continue
+            cp += 1
+            if 0xD800 <= cp <= 0xDFFF:  # skip the surrogate gap
+                cp = 0xE000
+            hi = p[:i] + chr(cp)
+            break
+    return [lo, hi]
+
+
 def compute_zone(t: pa.Table) -> dict:
     """Per-column [min, max] for a partition's committed rows — the zone
     map recorded in its manifest row. Only JSON-safe scalar types
     (int/float/string/bool); all-null and non-scalar columns are omitted,
-    which readers must treat as 'may match'."""
+    which readers must treat as 'may match'. String bounds are truncated
+    to ``_ZONE_STR_PREFIX`` chars (safely widened — ``_zone_str_bounds``),
+    a ``None`` upper bound meaning +∞."""
     zone: dict[str, list] = {}
     for name in t.column_names:
         if name in ("part_id", "deleted"):
@@ -739,7 +774,10 @@ def compute_zone(t: pa.Table) -> dict:
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if lo is None or hi is None:  # empty / all-null
             continue
-        zone[name] = [lo, hi]
+        if isinstance(lo, str):
+            zone[name] = _zone_str_bounds(lo, hi)
+        else:
+            zone[name] = [lo, hi]
     return zone
 
 
@@ -755,19 +793,21 @@ def _zone_admits(zone: dict | None, filt: tuple) -> bool:
         return True
     lo, hi = zone[filt[0]]
     op = filt[1]
+    # a None bound means "unknown / ±∞" (truncated string max): any
+    # predicate that would need that side of the range cannot refute
     try:
         if op == "==":
-            return lo <= filt[2] <= hi
+            return lo <= filt[2] and (hi is None or filt[2] <= hi)
         if op == "<":
             return lo < filt[2]
         if op == "<=":
             return lo <= filt[2]
         if op == ">":
-            return hi > filt[2]
+            return hi is None or hi > filt[2]
         if op == ">=":
-            return hi >= filt[2]
+            return hi is None or hi >= filt[2]
         if op == "between":
-            return not (filt[3] < lo or filt[2] > hi)
+            return not (filt[3] < lo or (hi is not None and filt[2] > hi))
     except TypeError:  # cross-type comparison: can't prove exclusion
         return True
     return True
@@ -815,16 +855,14 @@ def _as_filter_list(filt) -> list[tuple]:
     return preds
 
 
-def _empty_lake_dataset(store: ManifestStore, m, script, version):
-    """A zero-row Dataset with the lake's reader schema, built from parquet
+def _empty_lake_table(store: ManifestStore, m, script, version) -> pa.Table:
+    """A zero-row Table with the lake's reader schema, built from parquet
     FOOTERS only — never a full read plan (ADVICE r4: the old
     ``read_lake(...).limit(0)`` fallback instantiated a merge-on-read task
     per partition just to produce nothing, and failed outright on lakes
     with unreadable non-owning partitions). Unreadable footers are skipped;
-    raises only when NO partition footer is readable. ``part_id`` is
-    appended for parity with every populated read path."""
+    raises only when NO partition footer is readable."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     for _, ps in sorted(m.partitions.items()):
         for f in store.partition_data_files(ps):
@@ -835,13 +873,21 @@ def _empty_lake_dataset(store: ManifestStore, m, script, version):
             empty = schema.empty_table()
             if script is not None:
                 empty = conform_table(empty, script, version)
-            if "part_id" not in empty.column_names:
-                empty = empty.append_column(
-                    "part_id", pa.array([], pa.int32()))
-            return rd.from_arrow(empty)
+            return empty
     raise FileNotFoundError(
         f"no readable partition footer in {store.lake_dir} to type the "
         "empty result")
+
+
+def _empty_lake_dataset(store: ManifestStore, m, script, version):
+    """``_empty_lake_table`` as a Dataset, with ``part_id`` appended for
+    parity with every populated read path."""
+    import ray.data as rd
+
+    empty = _empty_lake_table(store, m, script, version)
+    if "part_id" not in empty.column_names:
+        empty = empty.append_column("part_id", pa.array([], pa.int32()))
+    return rd.from_arrow(empty)
 
 
 _TYPE_GROUPS = (
@@ -1390,9 +1436,34 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
          if pid in from_ps else None),
         [(e, store.partition_data_files(ps)) for e, ps in evs])
         for pid, evs in sorted(window.items())]
-    if not refs:  # nothing committed in the window
-        raise ValueError(
-            f"no epochs committed in ({from_epoch}, {to_eff}] of {lake_dir}")
+    if not refs:
+        # Every epoch in the window was an EMPTY commit (apply_epoch on a
+        # zero-event micro-batch legally advances m.epoch with no partition
+        # rows): the feed is empty, not an error — refresh_mart and the CLI
+        # --changes path must advance their pointer past such windows. The
+        # schema comes from partition footers only (same discipline as
+        # _empty_lake_dataset); raise only if no record at all covers the
+        # window (a hand-built manifest with missing lineage).
+        if not any(int(r["epoch"]) > from_epoch for r in recs):
+            raise ValueError(
+                f"no epochs committed in ({from_epoch}, {to_eff}] of "
+                f"{lake_dir}")
+        lake_t = _empty_lake_table(store, m, script, version)
+        cols: dict[str, pa.Array] = {}
+        for k in kcols:
+            cols[k] = pa.array([], lake_t.schema.field(k).type)
+        cols["op"] = pa.array([], pa.string())
+        cols["epoch"] = pa.array([], pa.int64())
+        cols[seq_col] = pa.array([], pa.int64())
+        pay = [c for c in lake_t.column_names
+               if c not in (*kcols, seq_col, "deleted", "part_id")]
+        for c in pay:
+            ty = lake_t.schema.field(c).type
+            cols[f"before_{c}"] = pa.array([], ty)
+            cols[f"after_{c}"] = pa.array([], ty)
+        if changed_fields:
+            cols["changed_fields"] = pa.array([], pa.list_(pa.string()))
+        refs = [ray.put(pa.table(cols))]
     ds = rd.from_arrow_refs(refs)
     if json_payload:
         def to_json_cols(df: pd.DataFrame) -> pd.DataFrame:
@@ -1400,10 +1471,26 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
             acols = [c for c in df.columns if c.startswith("after_")]
             # per-row dict→dumps is a Python loop by construction — this is
             # the opt-in reference-shaped serialization stage, not hot path
+            def jval(v):
+                # to_pandas turns numeric nulls into NaN / NaT / pd.NA;
+                # json.dumps would emit a literal NaN token (not RFC JSON)
+                # or stringify pd.NA via default=str — both break strict
+                # downstream parsers, so nulls become JSON null here
+                if v is None:
+                    return None
+                try:
+                    if pd.isna(v):
+                        return None
+                except (TypeError, ValueError):  # list/array cell
+                    pass
+                if isinstance(v, np.generic):  # np.bool_ etc. → native
+                    return v.item()
+                return v
+
             def dump(sub: pd.DataFrame, names: list[str], live) -> list:
                 recs = sub.to_dict("records")
                 return [
-                    _json.dumps({n: r[n] for n in names},
+                    _json.dumps({n: jval(r[n]) for n in names},
                                 sort_keys=True, separators=(",", ":"),
                                 default=str) if lv else None
                     for r, lv in zip(recs, live)]

@@ -1043,6 +1043,24 @@ def token_count_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _rank_interval_err(vals: np.ndarray, cum: np.ndarray, estimate: float,
+                       target: int) -> tuple[int, int, int]:
+    """Rank error of a quantile ``estimate`` against an exact CDF given as
+    sorted distinct ``vals`` with cumulative counts ``cum``. The estimate
+    value OCCUPIES a rank interval [rank_lo, rank_hi] (token counts tie
+    heavily — a single value can span >5% of total mass); the KLL guarantee
+    is that SOME rank within ±εn resolves to the estimate, so the error is
+    the distance from ``target`` to that interval — measuring to the upper
+    endpoint alone would turn a perfectly correct answer on a fat tie into
+    a spurious red row. Returns (err_in_ranks, rank_lo, rank_hi)."""
+    ix = int(np.searchsorted(vals, estimate, side="right"))
+    rank_hi = int(cum[ix - 1]) if ix > 0 else 0
+    rank_lo = (int(cum[ix - 2]) + 1) if ix > 1 else (1 if ix > 0 else 0)
+    if rank_lo <= target <= rank_hi:
+        return 0, rank_lo, rank_hi
+    return min(abs(rank_lo - target), abs(rank_hi - target)), rank_lo, rank_hi
+
+
 def kll_quantile_bounds(sf_dir: str) -> pd.DataFrame:
     """Driver-gated KLL evidence row (VERDICT r4 #4): runs the DISTRIBUTED
     KLL quantile sketch (functions/sketches.py — one partial per block,
@@ -1082,14 +1100,13 @@ def kll_quantile_bounds(sf_dir: str) -> pd.DataFrame:
     n = int(cum[-1])
     for name, q in qs.items():
         target = max(int(np.ceil(q * n)), 1)
-        ix = int(np.searchsorted(vals, est[name], side="right"))
-        true_rank = int(cum[ix - 1]) if ix > 0 else 0
-        err = abs(true_rank - target) / n
-        if err > 0.05:
+        err, rank_lo, rank_hi = _rank_interval_err(vals, cum, est[name],
+                                                   target)
+        if err > 0.05 * n:
             raise ValueError(
                 f"KLL rank-error bound violated: {name} estimate "
-                f"{est[name]} has rank {true_rank}/{n}, target {target} "
-                f"(err {err:.4f} > 0.05)")
+                f"{est[name]} spans ranks [{rank_lo}, {rank_hi}]/{n}, "
+                f"target {target} (err {err / n:.4f} > 0.05)")
 
     out = group_quantiles_histogram(
         tok, value_column="n_tokens", group_column="lang", qs=qs).to_pandas()

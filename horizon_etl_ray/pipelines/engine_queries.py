@@ -373,7 +373,11 @@ def cdc_incremental_mart_lineitem(sf_dir: str) -> pd.DataFrame:
         mart_dir = os.path.join(base, "mart")
         build_mart(lake_dir, mart_dir, spec, cfg=cfg, at_epoch=2)
         st = refresh_mart(lake_dir, mart_dir, cfg=cfg)
-        assert st["mode"] == "incremental" and st["epoch"] == _EPOCHS
+        if st["mode"] != "incremental" or st["epoch"] != _EPOCHS:
+            # not assert: the gate must fail loudly even under python -O
+            raise ValueError(
+                f"mart refresh did not take the incremental path to epoch "
+                f"{_EPOCHS}: {st}")
         out = read_mart(mart_dir).to_pandas()
     finally:
         _cleanup(base)

@@ -192,13 +192,22 @@ def build_mart(lake_dir: str, mart_dir: str, spec: MartSpec,
     regenerate-everything path, kept for bootstrap and audit. ``at_epoch``
     builds from the time-travel state (so a refresh window can start
     anywhere in committed history)."""
-    from .cdc import read_lake, read_lake_at
+    from .cdc import read_lake_at
 
     store = ManifestStore(lake_dir)
-    epoch = store.committed_epoch() if at_epoch is None else at_epoch
-    ds = (read_lake(lake_dir, cfg=cfg) if at_epoch is None
-          else read_lake_at(lake_dir, at_epoch, cfg=cfg))
-    mart = _aggregate(ds, spec)
+    committed = store.committed_epoch()
+    if committed < 0:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    # clamp BEFORE recording: read_lake_at silently clamps its read to the
+    # committed epoch, so recording an unclamped at_epoch would mislabel
+    # the aggregated state and stall every refresh until the lake catches
+    # up; always aggregating the time-travel state AT the recorded epoch
+    # also closes the build-vs-record race (a commit landing between
+    # committed_epoch() and a current-manifest read would otherwise put
+    # newer rows in a mart labeled with the older epoch, double-applying
+    # that window on the next refresh)
+    epoch = committed if at_epoch is None else min(at_epoch, committed)
+    mart = _aggregate(read_lake_at(lake_dir, epoch, cfg=cfg), spec)
     dtypes = {m: str(mart[m].dtype) for m in spec.metric_names()}
     _write_state(mart_dir, spec, epoch, mart, dtypes)
     return {"mode": "full", "epoch": epoch, "groups": len(mart)}

@@ -290,3 +290,53 @@ def test_bad_windows_raise(two_epoch_lake):
         read_changes(lake, 3, 2, cfg=cfg)
     with pytest.raises(ValueError, match="no epochs committed"):
         read_changes(lake, 2, 2, cfg=cfg)
+
+
+def test_empty_epoch_window_yields_empty_typed_feed(two_epoch_lake):
+    """apply_epoch on a zero-event micro-batch legally advances the
+    committed epoch with no partition rows; the feed over such a window is
+    EMPTY (typed from partition footers), not an error — refresh_mart and
+    the CLI --changes path advance their pointer past it."""
+    lake, cfg = two_epoch_lake
+    empty = pa.Table.from_pylist([_row("r", "Z", 99, "update", "z")]
+                                 ).slice(0, 0)
+    apply_epoch(rd.from_arrow(empty), lake, 3, cfg)
+    ds = read_changes(lake, 2, 3, cfg=cfg)
+    assert ds.count() == 0
+    # typed at the Dataset level (to_pandas of a 0-row dataset drops schema)
+    assert {"repo", "path", "op", "epoch", "seq",
+            "before_content", "after_content"} <= set(ds.schema().names)
+    cf = read_changes(lake, 2, 3, cfg=cfg, changed_fields=True)
+    assert cf.count() == 0 and "changed_fields" in cf.schema().names
+    jf = read_changes(lake, 2, 3, cfg=cfg, json_payload=True).to_pandas()
+    assert len(jf) == 0
+    # a window with real changes plus a trailing empty epoch still works
+    full = read_changes(lake, 1, 3, cfg=cfg).to_pandas()
+    assert sorted(full["path"]) == ["A", "B", "C"]
+
+
+def test_json_payload_nulls_are_strict_json(tmp_path):
+    """Numeric nulls on live rows must serialize as JSON null — to_pandas
+    turns them into float NaN and json.dumps would emit a literal NaN
+    token that strict parsers (jq, JSON.parse, DuckDB json) reject."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=2,
+                    payload_columns=("repo", "path", "content", "val"))
+
+    def r(path, seq, content, val):
+        return {"repo": "r", "path": path, "seq": seq, "op": "update",
+                "content": content, "val": val}
+
+    apply_epoch(_ev([r("A", 1, "a1", 5)]), lake, 1, cfg)
+    apply_epoch(_ev([r("A", 10, "a2", None), r("B", 11, "b1", 7)]),
+                lake, 2, cfg)
+    df = (read_changes(lake, 1, 2, cfg=cfg, json_payload=True)
+          .to_pandas().set_index("path"))
+
+    def strict(s):  # reject NaN/Infinity tokens like RFC 8259 parsers do
+        return json.loads(
+            s, parse_constant=lambda c: (_ for _ in ()).throw(ValueError(c)))
+
+    assert strict(df.loc["A", "after"])["val"] is None
+    assert strict(df.loc["A", "before"])["val"] == 5
+    assert strict(df.loc["B", "after"])["val"] == 7

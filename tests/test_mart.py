@@ -152,3 +152,36 @@ def test_crashed_commit_never_double_applies(lake, tmp_path):
 def test_refresh_without_bootstrap_raises(lake, tmp_path):
     with pytest.raises(FileNotFoundError, match="build_mart"):
         refresh_mart(lake, str(tmp_path / "nope"), cfg=CFG)
+
+
+def test_build_at_epoch_clamped_to_committed(lake, tmp_path):
+    """at_epoch beyond the committed epoch must be clamped BEFORE being
+    recorded: read_lake_at silently clamps its read, so an unclamped label
+    would mark the epoch-1 aggregate as epoch-99 and every refresh until
+    the lake reaches 99 would noop on stale data with no error."""
+    mart = str(tmp_path / "mart")
+    st = build_mart(lake, mart, SPEC, cfg=CFG, at_epoch=99)
+    assert st["epoch"] == 1 and mart_state(mart)["epoch"] == 1
+    apply_epoch(_ev([_row("Z", 10, "update", "x", 1)]), lake, 2, CFG)
+    st2 = refresh_mart(lake, mart, cfg=CFG)
+    assert st2["mode"] == "incremental" and st2["epoch"] == 2
+    full = str(tmp_path / "full")
+    build_mart(lake, full, SPEC, cfg=CFG)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(full))
+
+
+def test_refresh_over_empty_epoch_window_advances_pointer(lake, tmp_path):
+    """A window of empty commits (zero-event micro-batches) must advance
+    the mart pointer as a zero-delta incremental refresh, not crash —
+    otherwise a mart behind an idle tail stalls forever."""
+    mart = str(tmp_path / "mart")
+    build_mart(lake, mart, SPEC, cfg=CFG)
+    before = _mart_df(mart)
+    empty = pa.Table.from_pylist(
+        [_row("Z", 99, "update", "x", 1)]).slice(0, 0)
+    apply_epoch(rd.from_arrow(empty), lake, 2, CFG)
+    st = refresh_mart(lake, mart, cfg=CFG)
+    assert st["mode"] == "incremental" and st["epoch"] == 2
+    assert st["feed_rows"] == 0
+    pd.testing.assert_frame_equal(_mart_df(mart), before)
+    assert mart_state(mart)["epoch"] == 2

@@ -336,3 +336,24 @@ def test_profile_null_handling_both_paths(ray_session, tmp_path):
     est = corpus.profile_documents(str(tmp_path),
                                    approx=True).set_index("col_name")
     pd.testing.assert_frame_equal(out, est)  # tiny cardinalities: HLL exact
+
+
+def test_kll_rank_error_measures_distance_to_tie_interval():
+    """A value carrying a fat tie occupies a rank INTERVAL; the bounds row
+    must measure the estimate's error as distance to that interval — the
+    upper endpoint alone would flag a perfectly correct p50 on a >5%-mass
+    value as a bound violation (spurious red gate)."""
+    import numpy as np
+
+    from horizon_etl_ray.pipelines.corpus import _rank_interval_err
+
+    vals = np.array([1.0, 5.0, 9.0])
+    cum = np.array([40, 60, 100])  # value 5 spans ranks 41..60 (20% mass)
+    err, lo, hi = _rank_interval_err(vals, cum, 5.0, 50)
+    assert (err, lo, hi) == (0, 41, 60)  # exact p50 IS 5 → zero error
+    err2, lo2, hi2 = _rank_interval_err(vals, cum, 1.0, 50)
+    assert (err2, lo2, hi2) == (10, 1, 40)  # distance to [1, 40]
+    err3, lo3, hi3 = _rank_interval_err(vals, cum, 0.5, 1)  # below all
+    assert (err3, lo3, hi3) == (1, 0, 0)
+    err4, *_ = _rank_interval_err(vals, cum, 9.0, 100)
+    assert err4 == 0

@@ -142,3 +142,67 @@ def test_and_filter_list_prunes_and_is_exact(tmp_path):
     assert set(out["path"]) == want
     with pytest.raises(ValueError, match="filter"):
         read_lake(lake, filter=[("size", ">=", 4), ("size", "~", 1)])
+
+
+def test_string_zone_bounds_truncated_and_safe():
+    """MB-scale string payloads must not land verbatim in the manifest
+    (current.json rides the driver hot path and the prior dict ships into
+    every merge task): bounds are Iceberg-style truncated — the stored
+    range only ever WIDENS, so pruning stays a safe superset."""
+    from horizon_etl_ray.pipelines.cdc import (
+        _ZONE_STR_PREFIX,
+        _zone_admits,
+        compute_zone,
+    )
+
+    lo, hi = "a" * 200_000, "z" * 200_000
+    t = pa.table({"content": pa.array([lo, "m" * 100, hi])})
+    z = compute_zone(t)["content"]
+    assert len(z[0]) <= _ZONE_STR_PREFIX and z[0] <= lo
+    assert z[1] is not None and len(z[1]) <= _ZONE_STR_PREFIX and z[1] > hi
+    zone = {"content": z}
+    # every predicate a stored row satisfies is admitted
+    for pred in [("content", "==", hi), ("content", ">=", "z" * 199),
+                 ("content", "<", "b"), ("content", ">", lo),
+                 ("content", "between", "y", "zz")]:
+        assert _zone_admits(zone, pred)
+    # refutation outside the (widened) range still proves exclusion
+    assert not _zone_admits(zone, ("content", "<", "a"))
+    assert not _zone_admits(zone, ("content", "==", "A"))
+
+
+def test_string_zone_unbounded_max_admits_everything_above():
+    """A max whose whole prefix is U+10FFFF has no finite prefix upper
+    bound: stored as None (= +∞), which can never refute an upper-side
+    predicate."""
+    from horizon_etl_ray.pipelines.cdc import _zone_admits, compute_zone
+
+    big = chr(0x10FFFF) * 100
+    z = compute_zone(pa.table({"c": pa.array(["a", big])}))["c"]
+    assert z[1] is None
+    zone = {"c": z}
+    assert _zone_admits(zone, ("c", ">", "zzz"))
+    assert _zone_admits(zone, ("c", ">=", big))
+    assert _zone_admits(zone, ("c", "==", big))
+    assert _zone_admits(zone, ("c", "between", "z", big))
+    assert not _zone_admits(zone, ("c", "<", "a"))  # lower side still exact
+
+
+def test_long_string_filter_prunes_and_is_exact(tmp_path):
+    """End-to-end: a lake whose content strings exceed the zone prefix
+    still prunes on a content predicate AND returns exactly the right
+    rows (the truncated zone admits a superset; the row-level re-check
+    keeps the result exact)."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=P)
+    rows = [{"repo": "r", "path": f"k{i:03d}", "seq": i + 1, "op": "update",
+             "content": ("b" if i % 2 else "y") * 300 + f"{i:03d}",
+             "size": i} for i in range(32)]
+    apply_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), lake, 1, cfg)
+    m = ManifestStore(lake).load()
+    assert all(len(ps.zone["content"][0]) <= 65 and
+               (ps.zone["content"][1] is None or
+                len(ps.zone["content"][1]) <= 65)
+               for ps in m.partitions.values() if ps.zone)
+    out = read_lake(lake, cfg=cfg, filter=("content", ">=", "y")).to_pandas()
+    assert sorted(out["path"]) == [f"k{i:03d}" for i in range(32) if not i % 2]
