@@ -1265,6 +1265,13 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
     ``apply_epoch`` onto an empty lake reproduces the live state digest
     (tested) — the feed IS a minimal re-materialization recipe.
 
+    Vector payloads (list-typed columns, e.g. an embeddings CDC lake) diff
+    elementwise and land typed in ``before_``/``after_``; consume those
+    feeds as Arrow (``iter_batches(batch_format="pyarrow")`` /
+    ``to_arrow_refs``) — Ray's ``to_pandas`` tensor-extension cast rejects
+    ragged nullable list columns on the driver. ``json_payload=True``
+    serializes vectors as JSON arrays.
+
     Cost: each touched partition resolves one state per window epoch that
     rewrote it (cow: one base file each; delta: base + deltas ≤ that epoch),
     so a feed over a W-epoch window reads ≤ W versions per partition. Long
@@ -1318,13 +1325,33 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                        epoch_files: list[tuple[int, list[str]]]) -> pa.Table:
         import pyarrow.parquet as pq
 
+        def canon_cell(v):
+            # list-typed payload cells (e.g. embeddings) come back from
+            # to_pandas as numpy arrays, whose elementwise == would raise
+            # "truth value is ambiguous" in every comparison below; tuples
+            # compare as scalars, hash, and round-trip through pa.array.
+            # (NaN elements inside a vector compare unequal to themselves
+            # across frames, so identical NaN-bearing vectors register as
+            # an update — harmless: a no-op before==after delta.)
+            if v is None:
+                return None
+            if isinstance(v, (list, np.ndarray)):
+                return tuple(canon_cell(x) for x in v)
+            return v
+
         def resolve(files: list[str]) -> pd.DataFrame:
             t = pa.concat_tables([pq.read_table(f) for f in files],
                                  promote_options="permissive")
             t = _resolve_state_table(t, cfg_eff, script, version)
             if "part_id" in t.column_names:
                 t = t.drop_columns(["part_id"])
-            return t, t.to_pandas()
+            df = t.to_pandas()
+            for c in t.column_names:
+                ty = t.schema.field(c).type
+                if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
+                        or pa.types.is_fixed_size_list(ty)):
+                    df[c] = df[c].map(canon_cell)
+            return t, df
 
         frames: list[tuple[int, pd.DataFrame]] = []
         schema_t = None
@@ -1422,10 +1449,22 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                                np.where(op == "delete", bn, ~eq))
                 for i in np.flatnonzero(inc):
                     field_lists[i].append(c)
+            def null_cell(v):
+                # pd.isna broadcasts over tuple cells (canonicalized list
+                # payloads) — treat any non-scalar as a present value
+                if v is None:
+                    return True
+                if isinstance(v, tuple):
+                    return False
+                try:
+                    return bool(pd.isna(v))
+                except (TypeError, ValueError):
+                    return False
+
             cols[f"before_{c}"] = pa.array(
-                [None if pd.isna(v) else v for v in bvals], type=ty)
+                [None if null_cell(v) else v for v in bvals], type=ty)
             cols[f"after_{c}"] = pa.array(
-                [None if pd.isna(v) else v for v in avals], type=ty)
+                [None if null_cell(v) else v for v in avals], type=ty)
         if changed_fields:
             cols["changed_fields"] = pa.array(
                 field_lists, type=pa.list_(pa.string()))
@@ -1483,6 +1522,8 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                         return None
                 except (TypeError, ValueError):  # list/array cell
                     pass
+                if isinstance(v, np.ndarray):  # vector payload → JSON array
+                    return v.tolist()
                 if isinstance(v, np.generic):  # np.bool_ etc. → native
                     return v.item()
                 return v

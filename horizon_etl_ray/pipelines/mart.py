@@ -92,10 +92,12 @@ def _fold(parts: pd.DataFrame, spec: MartSpec) -> pd.DataFrame:
 def _aggregate(ds, spec: MartSpec) -> pd.DataFrame:
     """Full aggregate of a lake Dataset: per-block signed=+1 partials,
     driver fold (blocks × |groups| rows cross the cluster, never the data)."""
-    cols = list(spec.group_by) + list(spec.sum_metrics.values())
+    cols = list(dict.fromkeys(
+        list(spec.group_by) + list(spec.sum_metrics.values())))
+    ds = ds.select_columns(cols)  # drop payload before the partial pass
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        df = t.select([c for c in dict.fromkeys(cols)]).to_pandas()
+        df = t.to_pandas()
         for m, src in spec.sum_metrics.items():
             df[m] = df[src]
         df[spec.rows_metric] = np.int64(1)
@@ -135,7 +137,16 @@ def signed_delta_partial(df: pd.DataFrame, spec: MartSpec) -> pd.DataFrame:
 def _feed_deltas(feed, spec: MartSpec) -> pd.DataFrame:
     """Signed per-group deltas from a change-feed Dataset: vectorized per
     block (``signed_delta_partial``); driver fold is |groups|-bounded like
-    the full build."""
+    the full build. The feed is PRUNED to op + the group/metric columns
+    first — payload columns the mart never reads (including ragged vector
+    columns, which Ray's pandas conversion rejects outright) must not ride
+    the refresh."""
+    names = feed.schema().names
+    need = {"op"}
+    for c in [*spec.group_by, *spec.sum_metrics.values()]:
+        need.update(v for v in (c, f"before_{c}", f"after_{c}")
+                    if v in names)
+    feed = feed.select_columns([c for c in names if c in need])
     parts = feed.map_batches(lambda df: signed_delta_partial(df, spec),
                              batch_format="pandas").to_pandas()
     if parts.empty:

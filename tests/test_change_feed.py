@@ -340,3 +340,89 @@ def test_json_payload_nulls_are_strict_json(tmp_path):
     assert strict(df.loc["A", "after"])["val"] is None
     assert strict(df.loc["A", "before"])["val"] == 5
     assert strict(df.loc["B", "after"])["val"] == 7
+
+
+def test_list_payload_columns_diff_correctly(tmp_path):
+    """Vector payloads (e.g. embeddings CDC): list-typed cells must diff
+    elementwise (canonicalized to tuples inside the diff task — numpy
+    array cells would raise 'truth value is ambiguous'). Consumed as
+    Arrow: Ray's to_pandas tensor-extension cast rejects ragged nullable
+    list columns, which is a consumer-side conversion, not feed state."""
+    import ray
+
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=4,
+                    payload_columns=("repo", "path", "content", "emb"))
+
+    def r(p, s, op, c, emb):
+        return {"repo": "r", "path": p, "seq": s, "op": op,
+                "content": c, "emb": emb}
+
+    apply_epoch(_ev([r("A", 1, "update", "a1", [1.0, 2.0]),
+                     r("B", 2, "update", "b1", [3.0, 4.0])]), lake, 1, cfg)
+    apply_epoch(_ev([r("A", 10, "update", "a1", [9.0, 9.0]),  # emb-only
+                     r("B", 11, "update", "b1", [3.0, 4.0]),  # re-assert
+                     r("C", 12, "update", "c1", None)]), lake, 2, cfg)
+    feed = read_changes(lake, 1, 2, cfg=cfg, changed_fields=True)
+    t = pa.concat_tables([ray.get(x) for x in feed.to_arrow_refs()])
+    rows = sorted(t.to_pylist(), key=lambda x: x["path"])
+    assert [(x["path"], x["op"]) for x in rows] == [("A", "update"),
+                                                    ("C", "insert")]
+    a, c = rows
+    assert a["before_emb"] == [1.0, 2.0] and a["after_emb"] == [9.0, 9.0]
+    assert a["changed_fields"] == ["emb"]  # content/sha unchanged
+    assert c["before_emb"] is None and c["after_emb"] is None
+    assert "emb" not in c["changed_fields"]  # null field on an insert
+    # json_payload serializes vectors as JSON arrays
+    jf = (read_changes(lake, 1, 2, cfg=cfg, json_payload=True)
+          .to_pandas().set_index("path"))
+    assert json.loads(jf.loc["A", "after"])["emb"] == [9.0, 9.0]
+    assert json.loads(jf.loc["C", "after"])["emb"] is None
+
+
+def test_feed_across_schema_evolution_window(tmp_path):
+    """A feed window spanning DDL events diffs both states CONFORMED to the
+    lake's current schema version (like any read): an added column shows a
+    null→value change, a renamed column appears under its NEW name on both
+    sides, and a from-the-beginning feed emits the current schema."""
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    lake = str(tmp_path / "lake")
+    script = SchemaScript.from_json(
+        base_fields=[("repo", pa.string()), ("path", pa.string()),
+                     ("content", pa.string())],
+        script=[{"epoch": 2, "op": "add_column", "name": "size",
+                 "type": "int64"},
+                {"epoch": 3, "op": "rename_column", "from": "content",
+                 "to": "body"}])
+    cfg = CdcConfig(num_partitions=2, schema_script=script)
+    apply_epoch(_ev([
+        {"repo": "r", "path": "A", "seq": 1, "op": "update",
+         "content": "a1"},
+        {"repo": "r", "path": "B", "seq": 2, "op": "update",
+         "content": "b1"}]), lake, 1, cfg)
+    apply_epoch(_ev([
+        {"repo": "r", "path": "A", "seq": 10, "op": "update",
+         "content": "a2", "size": 5}]), lake, 2, cfg)
+    df = (read_changes(lake, 1, 2, cfg=cfg, changed_fields=True)
+          .to_pandas().set_index("path"))
+    assert list(df.index) == ["A"]  # B untouched (size null on both sides)
+    assert pd.isna(df.loc["A", "before_size"])
+    assert df.loc["A", "after_size"] == 5
+    assert {"content", "size"} <= set(df.loc["A", "changed_fields"])
+
+    apply_epoch(_ev([
+        {"repo": "r", "path": "A", "seq": 20, "op": "update",
+         "body": "a3", "size": 5}]), lake, 3, cfg)
+    df2 = (read_changes(lake, 2, 3, cfg=cfg, changed_fields=True)
+           .to_pandas().set_index("path"))
+    assert {"before_body", "after_body"} <= set(df2.columns)
+    assert not any(c.endswith("_content") for c in df2.columns)
+    assert (df2.loc["A", "before_body"], df2.loc["A", "after_body"]) \
+        == ("a2", "a3")
+    assert "body" in set(df2.loc["A", "changed_fields"])
+
+    df3 = (read_changes(lake, -1, 3, cfg=cfg).to_pandas()
+           .sort_values("path"))
+    assert (df3["op"] == "insert").all()
+    assert list(df3["after_body"]) == ["a3", "b1"]  # B conformed via rename

@@ -185,3 +185,32 @@ def test_refresh_over_empty_epoch_window_advances_pointer(lake, tmp_path):
     assert st["feed_rows"] == 0
     pd.testing.assert_frame_equal(_mart_df(mart), before)
     assert mart_state(mart)["epoch"] == 2
+
+
+def test_mart_over_lake_with_vector_payload(tmp_path):
+    """A mart on scalar dimensions of a lake that ALSO carries a vector
+    payload column: the build and the feed-driven refresh must prune to
+    the group/metric columns (ragged list columns are rejected by Ray's
+    pandas conversion and have no business riding a mart refresh)."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=4,
+                    payload_columns=("repo", "path", "content", "grp",
+                                     "val", "emb"))
+
+    def r(path, seq, op, grp, val, emb):
+        return {"repo": "r", "path": path, "seq": seq, "op": op,
+                "content": f"{grp}|{val}", "grp": grp, "val": val,
+                "emb": emb}
+
+    apply_epoch(_ev([r("A", 1, "update", "x", 10, [1.0, 2.0]),
+                     r("B", 2, "update", "y", 5, None)]), lake, 1, cfg)
+    mart = str(tmp_path / "mart")
+    build_mart(lake, mart, SPEC, cfg=cfg)
+    apply_epoch(_ev([r("A", 10, "update", "x", 11, [9.0]),  # val + emb
+                     r("C", 11, "update", "y", 1, [1.0, 2.0, 3.0])]),
+                lake, 2, cfg)
+    st = refresh_mart(lake, mart, cfg=cfg)
+    assert st["mode"] == "incremental" and st["epoch"] == 2
+    full = str(tmp_path / "full")
+    build_mart(lake, full, SPEC, cfg=cfg)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(full))
