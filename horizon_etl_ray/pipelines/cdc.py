@@ -1143,6 +1143,30 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
     return ds
 
 
+def partition_states_at(store: ManifestStore, epoch: int,
+                        m=None) -> dict[int, "PartitionState"]:
+    """The lake's partition table AS OF ``epoch``: fold the append-only
+    per-epoch lineage records (``_manifest/epoch=<e>.json``) in order, last
+    write per partition wins. Clamped at the manifest's committed epoch:
+    ``commit_epoch`` writes the lineage record FIRST and current.json last,
+    so a writer crashing between the two leaves an orphan epoch=N.json that
+    was never committed — folding it would serve exactly the mixed state
+    time-travel readers promise never to serve (current.json is the commit
+    point). Shared by ``read_lake_at`` and the partition-partial mart."""
+    mm = store.load() if m is None else m
+    recs = [r for r in store.epoch_records()
+            if r["epoch"] <= min(epoch, mm.epoch)]
+    if not recs:
+        raise ValueError(f"no epoch ≤ {epoch} committed in {store.lake_dir}")
+    parts: dict[int, PartitionState] = {}
+    for rec in sorted(recs, key=lambda r: r["epoch"]):
+        for d in rec["partitions"]:
+            parts[int(d["part_id"])] = PartitionState(**d)
+    if not parts:
+        raise FileNotFoundError(f"no partitions as of epoch {epoch}")
+    return parts
+
+
 def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
                  include_tombstones: bool = False):
     """TIME TRAVEL: the lake AS OF ``epoch`` — the state a reader would have
@@ -1165,21 +1189,7 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
     cfg_eff = cfg or CdcConfig()
     store = ManifestStore(lake_dir)
     m = store.load()
-    # clamp at the manifest's committed epoch: commit_epoch writes the
-    # lineage record FIRST and current.json last, so a writer crashing
-    # between the two leaves an orphan epoch=N.json that was never
-    # committed — folding it would serve exactly the mixed state this
-    # function promises never to serve (current.json is the commit point)
-    recs = [r for r in store.epoch_records()
-            if r["epoch"] <= min(epoch, m.epoch)]
-    if not recs:
-        raise ValueError(f"no epoch ≤ {epoch} committed in {lake_dir}")
-    parts: dict[int, PartitionState] = {}
-    for rec in sorted(recs, key=lambda r: r["epoch"]):
-        for d in rec["partitions"]:
-            parts[int(d["part_id"])] = PartitionState(**d)
-    if not parts:
-        raise FileNotFoundError(f"no partitions as of epoch {epoch}")
+    parts = partition_states_at(store, epoch, m=m)
     missing = [f for ps in parts.values()
                for f in store.partition_data_files(ps)
                if not os.path.exists(f)]

@@ -385,6 +385,58 @@ def cdc_incremental_mart_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def cdc_minmax_mart_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Partition-partial mart through the FULL engine (round 5): NON-ADDITIVE
+    aggregates (min/max — which no feed-folded mart can maintain, since a
+    delete can evict the row holding the current extreme) kept fresh in
+    O(touched partitions). 4-epoch incremental replay, bootstrap per-
+    partition (count, min, max, sum) partials from the TIME-TRAVEL state at
+    epoch 2, then ``refresh_partitioned_mart`` recomputes ONLY the
+    partitions epochs (2, 4] rewrote (named by the manifest's lineage
+    records — no file opened to learn it) and re-folds. Oracle: DuckDB
+    aggregates the FINAL LWW state directly, so the row is green only if
+    bootstrap + partition-pruned refresh == truth. Reference analog: the
+    regenerate-from-scratch mart flows
+    (/root/reference/src/flows/exports/initiatives_analytics_mart.py:11-37),
+    made O(changed partitions) for the aggregates MartSpec refuses."""
+    from .cdc import CdcConfig, replay
+    from .mart import (
+        PartitionedMartSpec,
+        build_partitioned_mart,
+        read_partitioned_mart,
+        refresh_partitioned_mart,
+    )
+
+    base = _run_base("pmart")
+    try:
+        events_dir = os.path.join(base, "events")
+        _lineitem_events(sf_dir, with_quantity=True, with_flag=True
+                         ).write_parquet(events_dir, partition_cols=["epoch"])
+        cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"),
+                        num_partitions=16)
+        lake_dir = os.path.join(base, "lake")
+        replay(events_dir, lake_dir, cfg, mode="incremental")
+        spec = PartitionedMartSpec(
+            group_by=("l_returnflag",),
+            metrics={"min_qty": ("min", "l_quantity"),
+                     "max_qty": ("max", "l_quantity"),
+                     "sum_qty": ("sum", "l_quantity")})
+        mart_dir = os.path.join(base, "mart")
+        build_partitioned_mart(lake_dir, mart_dir, spec, cfg=cfg, at_epoch=2)
+        st = refresh_partitioned_mart(lake_dir, mart_dir, cfg=cfg)
+        if st["mode"] != "incremental" or st["epoch"] != _EPOCHS:
+            # not assert: the gate must fail loudly even under python -O
+            raise ValueError(
+                f"partitioned mart refresh did not take the incremental "
+                f"path to epoch {_EPOCHS}: {st}")
+        out = read_partitioned_mart(mart_dir).to_pandas()
+    finally:
+        _cleanup(base)
+    for c in ("n_rows", "min_qty", "max_qty", "sum_qty"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def cdc_zone_read_lineitem(sf_dir: str) -> pd.DataFrame:
     """Zone-map filtered serving scan through the FULL engine (round 5):
     replay, then ``read_lake(filter=("l_partkey", "<=", 50))`` — partitions
@@ -424,6 +476,27 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT flag AS l_returnflag,
                count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM w GROUP BY flag ORDER BY l_returnflag
+    """,
+    # final LWW state aggregated directly with the NON-additive extremes —
+    # the Ray side must reach the same numbers via per-partition partials
+    # bootstrapped at epoch 2 and a partition-pruned refresh over (2, 4]
+    "cdc_minmax_mart_lineitem": f"""
+        WITH ev AS ({_EV_SQL.replace(
+            "FROM lineitem",
+            ", CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag "
+            "FROM lineitem")}),
+        w AS (
+            SELECT * FROM ev
+            QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                       ORDER BY seq DESC) = 1
+              AND op <> 'delete'
+        )
+        SELECT flag AS l_returnflag,
+               count(*) AS n_rows,
+               CAST(min(qty) AS BIGINT) AS min_qty,
+               CAST(max(qty) AS BIGINT) AS max_qty,
                CAST(sum(qty) AS BIGINT) AS sum_qty
         FROM w GROUP BY flag ORDER BY l_returnflag
     """,
@@ -571,4 +644,5 @@ QUERIES = {
     "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
     "cdc_zone_read_lineitem": cdc_zone_read_lineitem,
     "cdc_incremental_mart_lineitem": cdc_incremental_mart_lineitem,
+    "cdc_minmax_mart_lineitem": cdc_minmax_mart_lineitem,
 }

@@ -182,8 +182,17 @@ def _write_state(mart_dir: str, spec: MartSpec, epoch: int,
                 pass
 
 
-def read_mart(mart_dir: str) -> pa.Table:
+def _additive_state(mart_dir: str) -> dict | None:
     state = mart_state(mart_dir)
+    if state is not None and state.get("kind") == "partitioned":
+        raise ValueError(
+            f"{mart_dir} holds a partitioned mart — read it with "
+            "read_partitioned_mart()/refresh_partitioned_mart()")
+    return state
+
+
+def read_mart(mart_dir: str) -> pa.Table:
+    state = _additive_state(mart_dir)
     if state is None:
         raise FileNotFoundError(f"no mart committed at {mart_dir}")
     return pq.read_table(os.path.join(mart_dir, state["data_file"]))
@@ -232,7 +241,7 @@ def refresh_mart(lake_dir: str, mart_dir: str, cfg=None,
     count below zero means mart and lake histories diverged; rebuild)."""
     from .cdc import read_changes
 
-    state = mart_state(mart_dir)
+    state = _additive_state(mart_dir)
     if state is None:
         raise FileNotFoundError(
             f"no mart at {mart_dir}: bootstrap with build_mart() first")
@@ -262,3 +271,251 @@ def refresh_mart(lake_dir: str, mart_dir: str, cfg=None,
     _write_state(mart_dir, spec, to_eff, merged, dict(state["dtypes"]))
     return {"mode": "incremental", "from_epoch": from_epoch,
             "epoch": to_eff, "feed_rows": feed_rows, "groups": len(merged)}
+
+
+# ---------------------------------------------------------------------------
+# Partition-partial marts: non-additive aggregates (min/max) maintained in
+# O(touched partitions) instead of O(lake).
+#
+# A min/max can't be folded from a change feed — deleting the row that held
+# the minimum needs the remaining rows to find the new one — which is why
+# ``MartSpec`` is additive-only. But it CAN be maintained without a full
+# scan: keep one aggregate partial PER LAKE PARTITION, and on refresh
+# recompute partials only for the partitions the epoch window rewrote (the
+# manifest's lineage records name them — no file needs opening to learn
+# this). Serving = fold of |partitions| × |groups| partial rows, the same
+# driver-bounded shape as the additive mart. A refresh after an epoch that
+# touched 3 of 10^4 partitions re-reads 3 partitions, not the 100 TB.
+# ---------------------------------------------------------------------------
+
+_PART_FOLDS = {"sum": "sum", "min": "min", "max": "max"}
+
+
+@dataclass(frozen=True)
+class PartitionedMartSpec:
+    """A group-by mart with per-partition partials: ``metrics`` maps the
+    output metric name to ``(func, lake_column)`` with func in
+    ``{"sum", "min", "max"}``; a live-row count (``rows_metric``) is always
+    maintained. Each func is its own fold across partitions (min of mins,
+    max of maxes, sum of sums), so non-additive metrics stay exact under
+    deletes — the partition that changed is recomputed from its live state,
+    never incrementally patched."""
+
+    group_by: tuple[str, ...]
+    metrics: dict[str, tuple[str, str]] = field(default_factory=dict)
+    rows_metric: str = "n_rows"
+
+    def __post_init__(self):
+        if self.rows_metric in self.metrics:
+            raise ValueError(
+                f"rows_metric {self.rows_metric!r} collides with a metric")
+        for name, (fn, _src) in self.metrics.items():
+            if fn not in _PART_FOLDS:
+                raise ValueError(
+                    f"metric {name!r}: unsupported func {fn!r} "
+                    f"(supported: {sorted(_PART_FOLDS)})")
+
+    def metric_names(self) -> list[str]:
+        return [self.rows_metric, *self.metrics]
+
+    def to_json(self) -> dict:
+        return {"group_by": list(self.group_by),
+                "metrics": {k: list(v) for k, v in self.metrics.items()},
+                "rows_metric": self.rows_metric}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionedMartSpec":
+        return PartitionedMartSpec(
+            group_by=tuple(d["group_by"]),
+            metrics={k: (v[0], v[1]) for k, v in d["metrics"].items()},
+            rows_metric=d["rows_metric"])
+
+
+def _partial_agg(df: pd.DataFrame, spec: PartitionedMartSpec,
+                 folds: bool = False) -> pd.DataFrame:
+    """Group-by aggregate of one frame. ``folds=False``: leaf aggregate of
+    live lake rows (each metric's own func). ``folds=True``: fold of partial
+    rows (min of mins / max of maxes / sum of sums; row counts sum)."""
+    g = df.groupby(list(spec.group_by), sort=False, dropna=False)
+    named = {m: pd.NamedAgg(column=(m if folds else src),
+                            aggfunc=_PART_FOLDS[fn])
+             for m, (fn, src) in spec.metrics.items()}
+    named[spec.rows_metric] = pd.NamedAgg(
+        column=spec.rows_metric, aggfunc="sum") if folds else pd.NamedAgg(
+        column=spec.group_by[0], aggfunc="size")
+    out = g.agg(**named).reset_index()
+    out[spec.rows_metric] = out[spec.rows_metric].astype(np.int64)
+    if folds and len(out) > MAX_GROUPS:
+        raise ValueError(
+            f"mart has {len(out)} groups > MAX_GROUPS={MAX_GROUPS}: "
+            "driver-folded marts are for dimension-bounded group domains")
+    return out
+
+
+def _recompute_partials(lake_dir: str, pids_states: list, spec, cfg,
+                        script, version) -> pd.DataFrame:
+    """One Ray task per partition: merge-on-read the partition's live state
+    (the same ``_resolve_state_table`` kernel every lake reader uses), then
+    aggregate to |groups| partial rows. Only the partial rows return to the
+    driver — the partition's data never does."""
+    import ray
+
+    from .cdc import _resolve_state_table
+
+    gcols = list(spec.group_by)
+    srcs = list(dict.fromkeys(src for _, src in spec.metrics.values()))
+    spec_json = spec.to_json()
+
+    @ray.remote(num_cpus=1)
+    def partial(pid: int, files: list[str]) -> pd.DataFrame:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+
+        sp = PartitionedMartSpec.from_json(spec_json)
+        t = pa.concat_tables([pq.read_table(f) for f in files],
+                             promote_options="permissive")
+        t = _resolve_state_table(t, cfg, script, version)
+        t = t.filter(_pc.invert(_pc.fill_null(t["deleted"], False)))
+        if len(t) == 0:
+            out = pd.DataFrame(columns=[*gcols, *sp.metric_names()])
+        else:
+            out = _partial_agg(
+                t.select(list(dict.fromkeys([*gcols, *srcs]))).to_pandas(),
+                sp)
+        out.insert(0, "part_id", np.int32(pid))
+        return out
+
+    from ..state.manifest import ManifestStore
+
+    store = ManifestStore(lake_dir)
+    refs = [partial.remote(pid, store.partition_data_files(ps))
+            for pid, ps in pids_states]
+    frames = [f for f in ray.get(refs) if len(f)]
+    if not frames:
+        return pd.DataFrame(
+            columns=["part_id", *spec.group_by, *spec.metric_names()])
+    return pd.concat(frames, ignore_index=True)
+
+
+def _write_partitioned_state(mart_dir: str, spec: PartitionedMartSpec,
+                             epoch: int, partials: pd.DataFrame,
+                             dtypes: dict[str, str]) -> None:
+    """Same atomic-pointer commit discipline as ``_write_state``: data file
+    first, json pointer swap second, sweep superseded files last."""
+    os.makedirs(mart_dir, exist_ok=True)
+    for m, dt in dtypes.items():
+        if len(partials):
+            partials[m] = partials[m].astype(dt)
+    t = pa.Table.from_pandas(
+        partials.sort_values(["part_id", *spec.group_by])
+        .reset_index(drop=True),
+        preserve_index=False)
+    data_file = f"partials_e{epoch}.parquet"
+    atomic_write_table(os.path.join(mart_dir, data_file), t)
+    atomic_write_json(os.path.join(mart_dir, _STATE_FILE),
+                      {"kind": "partitioned", "epoch": epoch,
+                       "data_file": data_file, "spec": spec.to_json(),
+                       "dtypes": dtypes, "partials": len(partials)})
+    for f in os.listdir(mart_dir):
+        if f.startswith("partials_e") and f.endswith(".parquet") \
+                and f != data_file:
+            try:
+                os.remove(os.path.join(mart_dir, f))
+            except OSError:
+                pass
+
+
+def _partitioned_state(mart_dir: str) -> dict:
+    state = mart_state(mart_dir)
+    if state is None:
+        raise FileNotFoundError(f"no mart committed at {mart_dir}")
+    if state.get("kind") != "partitioned":
+        raise ValueError(
+            f"{mart_dir} holds an additive mart, not a partitioned one — "
+            "read it with read_mart()/refresh_mart()")
+    return state
+
+
+def build_partitioned_mart(lake_dir: str, mart_dir: str,
+                           spec: PartitionedMartSpec, cfg=None,
+                           at_epoch: int | None = None) -> dict:
+    """Bootstrap: one partial per committed partition, computed in parallel
+    from the (time-travel) state at ``at_epoch`` (clamped to the committed
+    epoch BEFORE recording, like ``build_mart``)."""
+    from .cdc import CdcConfig, partition_states_at
+
+    cfg_eff = cfg or CdcConfig()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m.epoch < 0:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    epoch = m.epoch if at_epoch is None else min(at_epoch, m.epoch)
+    parts = partition_states_at(store, epoch, m=m)
+    partials = _recompute_partials(
+        lake_dir, sorted(parts.items()), spec, cfg_eff,
+        cfg_eff.schema_script, m.schema_version)
+    dtypes = {mt: str(partials[mt].dtype) for mt in spec.metric_names()} \
+        if len(partials) else {mt: "int64" for mt in spec.metric_names()}
+    _write_partitioned_state(mart_dir, spec, epoch, partials, dtypes)
+    return {"mode": "full", "epoch": epoch,
+            "partitions": len(parts), "partials": len(partials)}
+
+
+def refresh_partitioned_mart(lake_dir: str, mart_dir: str, cfg=None,
+                             to_epoch: int | None = None) -> dict:
+    """Advance the mart: the manifest's lineage records name exactly which
+    partitions the window (from, to] rewrote; ONLY those partials are
+    recomputed (from their state at ``to_eff`` — time-travel clamped, so a
+    commit racing the refresh can't leak newer rows into an older-labeled
+    mart). Untouched partials are carried over byte-for-byte — their
+    partition files are never opened."""
+    from .cdc import CdcConfig, partition_states_at
+
+    state = _partitioned_state(mart_dir)
+    spec = PartitionedMartSpec.from_json(state["spec"])
+    cfg_eff = cfg or CdcConfig()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    to_eff = m.epoch if to_epoch is None else min(to_epoch, m.epoch)
+    from_epoch = int(state["epoch"])
+    if to_eff <= from_epoch:
+        return {"mode": "noop", "epoch": from_epoch,
+                "touched_partitions": 0}
+
+    touched = sorted({int(d["part_id"])
+                      for r in store.epoch_records()
+                      if from_epoch < r["epoch"] <= to_eff
+                      for d in r["partitions"]})
+    states = partition_states_at(store, to_eff, m=m)
+    redone = _recompute_partials(
+        lake_dir, [(pid, states[pid]) for pid in touched], spec, cfg_eff,
+        cfg_eff.schema_script, m.schema_version)
+
+    old = pq.read_table(
+        os.path.join(mart_dir, state["data_file"])).to_pandas()
+    kept = old.loc[~old["part_id"].isin(touched)]
+    merged = pd.concat([kept, redone], ignore_index=True)
+    _write_partitioned_state(mart_dir, spec, to_eff, merged,
+                             dict(state["dtypes"]))
+    return {"mode": "incremental", "from_epoch": from_epoch,
+            "epoch": to_eff, "touched_partitions": len(touched),
+            "partials": len(merged)}
+
+
+def read_partitioned_mart(mart_dir: str) -> pa.Table:
+    """Serve: fold the stored partials (min of mins / max of maxes / sum of
+    sums, counts summed) — |partitions| × |groups| rows, never the lake."""
+    state = _partitioned_state(mart_dir)
+    spec = PartitionedMartSpec.from_json(state["spec"])
+    partials = pq.read_table(
+        os.path.join(mart_dir, state["data_file"])).to_pandas()
+    if not len(partials):
+        return pa.Table.from_pandas(
+            pd.DataFrame(columns=[*spec.group_by, *spec.metric_names()]),
+            preserve_index=False)
+    out = _partial_agg(partials, spec, folds=True)
+    for mt, dt in state["dtypes"].items():
+        out[mt] = out[mt].astype(dt)
+    return pa.Table.from_pandas(
+        out.sort_values(list(spec.group_by)).reset_index(drop=True),
+        preserve_index=False)

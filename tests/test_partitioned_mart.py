@@ -1,0 +1,204 @@
+"""Partition-partial marts (pipelines/mart.py): non-additive aggregates
+(min/max) maintained in O(touched partitions). The maintained mart is always
+equal to a full rebuild at the refreshed epoch — including deletes that evict
+the row holding a group's current min/max (the case no feed-folded mart can
+get right) — and a refresh provably never opens the data files of partitions
+the epoch window didn't rewrite. Reference analog: the regenerate-everything
+mart flows (/root/reference/src/flows/exports/initiatives_analytics_mart.py:
+11-37), made O(changed partitions) for the non-additive aggregates the
+additive MartSpec refuses."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from horizon_etl_ray.pipelines.cdc import CdcConfig, apply_epoch, replay
+from horizon_etl_ray.pipelines.mart import (
+    MartSpec,
+    PartitionedMartSpec,
+    build_mart,
+    build_partitioned_mart,
+    mart_state,
+    read_mart,
+    read_partitioned_mart,
+    refresh_mart,
+    refresh_partitioned_mart,
+)
+from horizon_etl_ray.sources.generator import EventGenConfig, write_events
+from horizon_etl_ray.state.manifest import ManifestStore
+
+
+def _ev(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _row(path, seq, op, grp, val):
+    return {"repo": "r", "path": path, "seq": seq, "op": op,
+            "content": f"{grp}|{val}", "grp": grp, "val": val}
+
+
+CFG = CdcConfig(num_partitions=8,
+                payload_columns=("repo", "path", "content", "grp", "val"))
+SPEC = PartitionedMartSpec(
+    group_by=("grp",),
+    metrics={"min_val": ("min", "val"), "max_val": ("max", "val"),
+             "sum_val": ("sum", "val")})
+
+
+def _mart_df(mart_dir, by="grp"):
+    return (read_partitioned_mart(mart_dir).to_pandas()
+            .sort_values(by).reset_index(drop=True))
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_epoch(_ev([_row("A", 1, "update", "x", 10),
+                     _row("B", 2, "update", "x", 20),
+                     _row("C", 3, "update", "y", 5),
+                     _row("D", 4, "update", "y", 50),
+                     _row("N", 5, "update", None, 7)]), lake, 1, CFG)
+    return lake
+
+
+def test_min_evicted_by_delete_equals_full_rebuild(lake, tmp_path):
+    """Delete the row holding x's min and y's max, move a row between
+    groups, and insert fresh extremes — the refreshed mart must equal a
+    from-scratch build (feed-folded marts cannot do this; that's the whole
+    point of per-partition partials)."""
+    mart = str(tmp_path / "mart")
+    st = build_partitioned_mart(lake, mart, SPEC, cfg=CFG)
+    assert st["mode"] == "full" and st["epoch"] == 1
+    before = _mart_df(mart).set_index("grp")
+    assert before.loc["x", "min_val"] == 10
+    assert before.loc["y", "max_val"] == 50
+
+    apply_epoch(_ev([_row("A", 10, "delete", None, None),   # x's min gone
+                     _row("D", 11, "delete", None, None),   # y's max gone
+                     _row("B", 12, "update", "y", 20),      # x → y move
+                     _row("E", 13, "update", "y", 2)]), lake, 2, CFG)
+    st = refresh_partitioned_mart(lake, mart, cfg=CFG)
+    assert st["mode"] == "incremental" and st["epoch"] == 2
+    assert st["touched_partitions"] >= 1
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_partitioned_mart(lake, rebuilt, SPEC, cfg=CFG)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(rebuilt))
+    by = _mart_df(mart).set_index("grp")
+    assert "x" not in by.index  # emptied out entirely → group dropped
+    assert by.loc["y", "min_val"] == 2 and by.loc["y", "max_val"] == 20
+    assert by.loc["y", "n_rows"] == 3 and by.loc["y", "sum_val"] == 27
+
+
+def test_untouched_partition_files_never_opened(lake, tmp_path):
+    """The pruning claim, enforced: corrupt every data file of partitions
+    the window did NOT rewrite — the refresh must still succeed and match
+    the ground-truth rebuilt while the files were intact."""
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, SPEC, cfg=CFG)
+    apply_epoch(_ev([_row("A", 10, "update", "x", 11)]), lake, 2, CFG)
+
+    store = ManifestStore(lake)
+    touched = {int(d["part_id"]) for r in store.epoch_records()
+               if r["epoch"] == 2 for d in r["partitions"]}
+    all_pids = {int(d["part_id"]) for r in store.epoch_records()
+                for d in r["partitions"]}
+    untouched = all_pids - touched
+    assert untouched, "need ≥1 untouched partition for this test"
+
+    truth = str(tmp_path / "truth")
+    build_partitioned_mart(lake, truth, SPEC, cfg=CFG)  # files still intact
+
+    m = store.load()
+    for pid in untouched:
+        for f in store.partition_data_files(m.partitions[pid]):
+            with open(f, "wb") as fh:
+                fh.write(b"unreadable")
+
+    st = refresh_partitioned_mart(lake, mart, cfg=CFG)
+    assert st["mode"] == "incremental"
+    assert st["touched_partitions"] == len(touched)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(truth))
+
+
+def test_noop_and_multi_epoch_window(lake, tmp_path):
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, SPEC, cfg=CFG)
+    assert refresh_partitioned_mart(lake, mart, cfg=CFG)["mode"] == "noop"
+    apply_epoch(_ev([_row("E", 20, "update", "z", 1)]), lake, 2, CFG)
+    apply_epoch(_ev([_row("E", 30, "update", "z", 9),
+                     _row("C", 31, "delete", None, None)]), lake, 3, CFG)
+    st = refresh_partitioned_mart(lake, mart, cfg=CFG)  # (1, 3] in one go
+    assert st["mode"] == "incremental" and st["epoch"] == 3
+    rebuilt = str(tmp_path / "rebuilt")
+    build_partitioned_mart(lake, rebuilt, SPEC, cfg=CFG)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(rebuilt))
+    assert mart_state(mart)["epoch"] == 3
+
+
+def test_bootstrap_at_epoch_then_refresh_forward(tmp_path):
+    """Time-travel bootstrap mid-history, then catch up — against a
+    generator run with real deletes and re-asserts, on every fold."""
+    gen = EventGenConfig(n_keys=120, n_events=2000, seed=11, epoch_size=500,
+                         p_delete=0.25, content_mean_bytes=48)
+    events, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_events(gen, events)
+    cfg = CdcConfig(num_partitions=8)
+    replay(events, lake, cfg, mode="incremental")
+    final = ManifestStore(lake).committed_epoch()
+    assert final >= 2
+    spec = PartitionedMartSpec(group_by=("repo",),
+                               metrics={"min_seq": ("min", "seq"),
+                                        "max_seq": ("max", "seq")})
+    mart = str(tmp_path / "mart")
+    st = build_partitioned_mart(lake, mart, spec, cfg=cfg, at_epoch=1)
+    assert st["epoch"] == 1 and mart_state(mart)["epoch"] == 1
+    st = refresh_partitioned_mart(lake, mart, cfg=cfg)
+    assert st["mode"] == "incremental" and st["epoch"] == final
+    rebuilt = str(tmp_path / "rebuilt")
+    build_partitioned_mart(lake, rebuilt, spec, cfg=cfg)
+    pd.testing.assert_frame_equal(_mart_df(mart, by="repo"),
+                                  _mart_df(rebuilt, by="repo"))
+
+
+def test_at_epoch_clamped_before_recording(lake, tmp_path):
+    mart = str(tmp_path / "mart")
+    st = build_partitioned_mart(lake, mart, SPEC, cfg=CFG, at_epoch=99)
+    assert st["epoch"] == 1 and mart_state(mart)["epoch"] == 1
+    apply_epoch(_ev([_row("Z", 10, "update", "x", 1)]), lake, 2, CFG)
+    st2 = refresh_partitioned_mart(lake, mart, cfg=CFG)
+    assert st2["mode"] == "incremental" and st2["epoch"] == 2
+    full = str(tmp_path / "full")
+    build_partitioned_mart(lake, full, SPEC, cfg=CFG)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(full))
+
+
+def test_kind_guards_both_directions(lake, tmp_path):
+    add_dir, part_dir = str(tmp_path / "add"), str(tmp_path / "part")
+    build_mart(lake, add_dir,
+               MartSpec(group_by=("grp",), sum_metrics={"sum_val": "val"}),
+               cfg=CFG)
+    build_partitioned_mart(lake, part_dir, SPEC, cfg=CFG)
+    with pytest.raises(ValueError, match="additive"):
+        read_partitioned_mart(add_dir)
+    with pytest.raises(ValueError, match="partitioned"):
+        read_mart(part_dir)
+    with pytest.raises(ValueError, match="partitioned"):
+        refresh_mart(lake, part_dir, cfg=CFG)
+    with pytest.raises(ValueError, match="additive"):
+        refresh_partitioned_mart(lake, add_dir, cfg=CFG)
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="unsupported func"):
+        PartitionedMartSpec(group_by=("g",), metrics={"m": ("avg", "v")})
+    with pytest.raises(ValueError, match="collides"):
+        PartitionedMartSpec(group_by=("g",), metrics={"n_rows": ("min", "v")})
+
+
+def test_refresh_without_bootstrap_raises(lake, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no mart"):
+        refresh_partitioned_mart(lake, str(tmp_path / "nope"), cfg=CFG)
