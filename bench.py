@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "mg_heavy_hitters_bounds",
     # round-5 session-3: feed-driven incremental mart maintenance
     "cdc_incremental_mart_lineitem",
+    # round-5 session-5: partition-partial min/max mart (O(touched parts))
+    "cdc_minmax_mart_lineitem",
 ]
 
 

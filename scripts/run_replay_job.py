@@ -74,6 +74,13 @@ def main() -> int:
                     metavar="NAME=COL",
                     help="named column sum metric (repeatable; bootstrap "
                          "only); a row count n_rows is always kept")
+    ap.add_argument("--mart-agg", action="append", default=None,
+                    metavar="NAME=FUNC:COL",
+                    help="named min/max/sum metric (repeatable; bootstrap "
+                         "only). Any --mart-agg switches the mart to the "
+                         "partition-partial kind: non-additive aggregates "
+                         "refreshed by recomputing only the partitions the "
+                         "epoch window touched")
     args = ap.parse_args()
 
     if "://" in args.lake or "://" in args.events:
@@ -167,16 +174,39 @@ def main() -> int:
         out["changes"] = {"from_epoch": fr, "to_epoch": to,
                           **{k: int(v) for k, v in sorted(counts.items())}}
     if args.mart:
-        from horizon_etl_ray.pipelines.mart import (MartSpec, build_mart,
-                                                    mart_state, refresh_mart)
+        from horizon_etl_ray.pipelines.mart import (
+            MartSpec,
+            PartitionedMartSpec,
+            build_mart,
+            build_partitioned_mart,
+            mart_state,
+            refresh_mart,
+            refresh_partitioned_mart,
+        )
 
-        if mart_state(args.mart) is None:
+        state = mart_state(args.mart)
+        if state is None:
             if not args.mart_group:
                 ap.error("--mart bootstrap needs --mart-group")
+            group = tuple(args.mart_group.split(","))
             sums = dict(kv.split("=", 1) for kv in (args.mart_sum or []))
-            spec = MartSpec(group_by=tuple(args.mart_group.split(",")),
-                            sum_metrics=sums)
-            out["mart"] = build_mart(args.lake, args.mart, spec, cfg=cfg)
+            if args.mart_agg:  # partition-partial kind (min/max capable)
+                metrics = {}
+                for kv in args.mart_agg:
+                    name, spec_s = kv.split("=", 1)
+                    fn, col = spec_s.split(":", 1)
+                    metrics[name] = (fn, col)
+                metrics.update({n: ("sum", c) for n, c in sums.items()})
+                pspec = PartitionedMartSpec(group_by=group, metrics=metrics)
+                out["mart"] = build_partitioned_mart(
+                    args.lake, args.mart, pspec, cfg=cfg)
+            else:
+                out["mart"] = build_mart(
+                    args.lake, args.mart,
+                    MartSpec(group_by=group, sum_metrics=sums), cfg=cfg)
+        elif state.get("kind") == "partitioned":
+            out["mart"] = refresh_partitioned_mart(args.lake, args.mart,
+                                                   cfg=cfg)
         else:
             out["mart"] = refresh_mart(args.lake, args.mart, cfg=cfg)
     print(json.dumps(out))
