@@ -220,3 +220,99 @@ def test_mart_delta_algebra(before, after):
         pd.testing.assert_frame_equal(
             merged.astype({"sum_v": np.int64, "grp": object}),
             expect.astype({"sum_v": np.int64, "grp": object}))
+
+
+# ---------------------------------------------------------------------------
+# Partition-partial mart algebra: for ANY state and ANY assignment of keys
+# to partitions, the fold of per-partition partials equals the aggregate of
+# the whole state — AND a "refresh" that recomputes only the partitions
+# whose rows changed (carrying the rest over untouched) equals a full
+# rebuild of the new state. The invariant refresh_partitioned_mart leans
+# on. No Ray: pure frame kernels.
+# ---------------------------------------------------------------------------
+
+# a state maps key → (partition 0-3, group, value); group None = null group
+pstate_strategy = st.dictionaries(
+    st.integers(0, 9),
+    st.tuples(st.integers(0, 3),
+              st.sampled_from(["x", "y", None]),
+              st.integers(-5, 50)),
+    max_size=10,
+)
+
+
+def _pmart_frame(state):
+    rows = [{"pid": p, "grp": g, "v": v} for p, g, v in state.values()]
+    return pd.DataFrame(rows, columns=["pid", "grp", "v"])
+
+
+def _partials_of(state, spec, pids=None):
+    from horizon_etl_ray.pipelines.mart import _partial_agg
+
+    df = _pmart_frame(state)
+    parts = []
+    for pid, sub in df.groupby("pid", sort=True):
+        if pids is not None and pid not in pids:
+            continue
+        p = _partial_agg(sub[["grp", "v"]], spec)
+        p.insert(0, "part_id", np.int32(pid))
+        parts.append(p)
+    if not parts:
+        return pd.DataFrame(
+            columns=["part_id", "grp", *spec.metric_names()])
+    return pd.concat(parts, ignore_index=True)
+
+
+def _serve(partials, spec):
+    from horizon_etl_ray.pipelines.mart import _partial_agg
+
+    if partials.empty:
+        return pd.DataFrame(columns=["grp", *spec.metric_names()])
+    return (_partial_agg(partials, spec, folds=True)
+            .sort_values("grp", na_position="last").reset_index(drop=True))
+
+
+@settings(max_examples=200, deadline=None)
+@given(pstate_strategy, pstate_strategy)
+def test_partitioned_mart_fold_algebra(before, after):
+    from horizon_etl_ray.pipelines.mart import (PartitionedMartSpec,
+                                                _partial_agg)
+
+    spec = PartitionedMartSpec(
+        group_by=("grp",),
+        metrics={"min_v": ("min", "v"), "max_v": ("max", "v"),
+                 "sum_v": ("sum", "v")})
+
+    # fold of partials == whole-state aggregate, for the before state
+    whole = _pmart_frame(before)
+    expect_b = (_partial_agg(whole[["grp", "v"]], spec)
+                .sort_values("grp", na_position="last")
+                .reset_index(drop=True)
+                if len(whole) else
+                pd.DataFrame(columns=["grp", *spec.metric_names()]))
+    got_b = _serve(_partials_of(before, spec), spec)
+    if expect_b.empty:
+        assert got_b.empty
+    else:
+        pd.testing.assert_frame_equal(
+            got_b.astype({"grp": object}), expect_b.astype({"grp": object}),
+            check_dtype=False)
+
+    # partition-pruned refresh == full rebuild of the after state
+    def rows_of(state, pid):
+        return sorted((k, g, v) for k, (p, g, v) in state.items()
+                      if p == pid)
+
+    touched = {p for p in range(4)
+               if rows_of(before, p) != rows_of(after, p)}
+    old = _partials_of(before, spec)
+    kept = old.loc[~old["part_id"].isin(touched)]
+    redone = _partials_of(after, spec, pids=touched)
+    refreshed = _serve(pd.concat([kept, redone], ignore_index=True), spec)
+    expect_a = _serve(_partials_of(after, spec), spec)
+    if expect_a.empty:
+        assert refreshed.empty
+    else:
+        pd.testing.assert_frame_equal(
+            refreshed.astype({"grp": object}),
+            expect_a.astype({"grp": object}), check_dtype=False)
