@@ -202,3 +202,41 @@ def test_spec_validation():
 def test_refresh_without_bootstrap_raises(lake, tmp_path):
     with pytest.raises(FileNotFoundError, match="no mart"):
         refresh_partitioned_mart(lake, str(tmp_path / "nope"), cfg=CFG)
+
+
+def test_refresh_across_schema_evolution(tmp_path):
+    """Bootstrap BEFORE a rename-DDL epoch, refresh across it: the partial
+    task conforms every partition to the CURRENT schema (same kernel as
+    read_lake_at), so a mart grouped by the renamed column must stay exact
+    over a window that spans the DDL."""
+    import pyarrow as pa_
+
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    gen = EventGenConfig(n_keys=100, n_events=1600, seed=13, epoch_size=400,
+                         content_mean_bytes=64)
+    ev, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_events(gen, ev)
+    script = SchemaScript.from_json(
+        [("repo", pa_.string()), ("path", pa_.string()),
+         ("commit", pa_.string()), ("lang", pa_.string()),
+         ("content", pa_.string())],
+        [{"epoch": 3, "op": "rename_column", "from": "lang",
+          "to": "language"}],
+    )
+    cfg = CdcConfig(num_partitions=8, schema_script=script)
+    replay(ev, lake, cfg, mode="incremental")
+    final = ManifestStore(lake).committed_epoch()
+    assert final >= 3
+
+    spec = PartitionedMartSpec(group_by=("language",),
+                               metrics={"min_seq": ("min", "seq"),
+                                        "max_seq": ("max", "seq")})
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, spec, cfg=cfg, at_epoch=2)  # pre-DDL
+    st = refresh_partitioned_mart(lake, mart, cfg=cfg)
+    assert st["mode"] == "incremental" and st["epoch"] == final
+    rebuilt = str(tmp_path / "rebuilt")
+    build_partitioned_mart(lake, rebuilt, spec, cfg=cfg)
+    pd.testing.assert_frame_equal(_mart_df(mart, by="language"),
+                                  _mart_df(rebuilt, by="language"))
