@@ -1144,7 +1144,7 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
 
 
 def partition_states_at(store: ManifestStore, epoch: int,
-                        m=None) -> dict[int, "PartitionState"]:
+                        m=None, recs=None) -> dict[int, "PartitionState"]:
     """The lake's partition table AS OF ``epoch``: fold the append-only
     per-epoch lineage records (``_manifest/epoch=<e>.json``) in order, last
     write per partition wins. Clamped at the manifest's committed epoch:
@@ -1152,9 +1152,11 @@ def partition_states_at(store: ManifestStore, epoch: int,
     so a writer crashing between the two leaves an orphan epoch=N.json that
     was never committed — folding it would serve exactly the mixed state
     time-travel readers promise never to serve (current.json is the commit
-    point). Shared by ``read_lake_at`` and the partition-partial mart."""
+    point). Shared by ``read_lake_at`` and the partition-partial mart.
+    ``recs``: pre-loaded ``store.epoch_records()`` to avoid a second
+    listdir+parse pass when the caller already has them."""
     mm = store.load() if m is None else m
-    recs = [r for r in store.epoch_records()
+    recs = [r for r in (store.epoch_records() if recs is None else recs)
             if r["epoch"] <= min(epoch, mm.epoch)]
     if not recs:
         raise ValueError(f"no epoch ≤ {epoch} committed in {store.lake_dir}")
@@ -1286,6 +1288,14 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
     rewrote it (cow: one base file each; delta: base + deltas ≤ that epoch),
     so a feed over a W-epoch window reads ≤ W versions per partition. Long
     windows on hot partitions approach W full scans — poll incrementally.
+    A partition is window-touched by a record only if its row was WRITTEN
+    at that record's epoch (``PartitionState.epoch == record epoch``):
+    compaction lists every partition in its record but carries clean ones
+    forward with their old epoch — those byte-identical states are pruned
+    (diffing them provably emits nothing), so a routine compaction in the
+    window costs O(partitions it rewrote), not a full-lake diff. Rewritten
+    (dirty) partitions stay in the window, preserving the compacted-
+    tombstone semantics below exactly.
     Raises FileNotFoundError when gc() has reclaimed a needed historical
     file (never silently serves a mixed state), like ``read_lake_at``."""
     import json as _json
@@ -1314,8 +1324,10 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
         for d in rec["partitions"]:
             ps = PartitionState(**d)
             if e <= from_epoch:
+                # carried rows DO fold into the from-state: the partition
+                # table as of from_epoch needs every record's rows
                 from_ps[ps.part_id] = ps
-            else:
+            elif ps.epoch == e:  # written AT e; carried rows are pruned
                 window.setdefault(ps.part_id, []).append((e, ps))
     script, version = cfg_eff.schema_script, m.schema_version
 

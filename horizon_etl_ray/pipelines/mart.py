@@ -173,9 +173,11 @@ def _write_state(mart_dir: str, spec: MartSpec, epoch: int,
                       {"epoch": epoch, "data_file": data_file,
                        "spec": spec.to_json(), "dtypes": dtypes,
                        "groups": len(table)})
-    for f in os.listdir(mart_dir):  # sweep superseded/orphaned data files
-        if f.startswith("mart_e") and f.endswith(".parquet") \
-                and f != data_file:
+    # sweep superseded/orphaned data files of EITHER kind (a rebuild may
+    # have switched the dir from a partitioned mart)
+    for f in os.listdir(mart_dir):
+        if (f.startswith("mart_e") or f.startswith("partials_e")) \
+                and f.endswith(".parquet") and f != data_file:
             try:
                 os.remove(os.path.join(mart_dir, f))
             except OSError:
@@ -385,9 +387,17 @@ def _recompute_partials(lake_dir: str, pids_states: list, spec, cfg,
         out.insert(0, "part_id", np.int32(pid))
         return out
 
-    from ..state.manifest import ManifestStore
-
     store = ManifestStore(lake_dir)
+    # preflight like read_lake_at: a time-travel bootstrap after gc() must
+    # fail with the actionable message, not a raw error inside a Ray task
+    missing = [f for _, ps in pids_states
+               for f in store.partition_data_files(ps)
+               if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"mart partials need {missing[0]} (+{len(missing) - 1} more), "
+            "reclaimed by gc(); rerun gc with keep_epochs covering the "
+            "bootstrap/refresh window")
     refs = [partial.remote(pid, store.partition_data_files(ps))
             for pid, ps in pids_states]
     frames = [f for f in ray.get(refs) if len(f)]
@@ -395,6 +405,17 @@ def _recompute_partials(lake_dir: str, pids_states: list, spec, cfg,
         return pd.DataFrame(
             columns=["part_id", *spec.group_by, *spec.metric_names()])
     return pd.concat(frames, ignore_index=True)
+
+
+def _metric_cast(s: pd.Series, dt: str) -> pd.Series:
+    """Cast a metric column back to its recorded dtype, null-safely: a
+    group whose values are ALL null aggregates to NaN (SQL's MIN/MAX over
+    nulls), which a plain astype('int64') would crash on — store those as
+    nullable Int64 instead (values stay exact integers, nulls stay null)."""
+    if (pd.api.types.is_integer_dtype(np.dtype(dt))
+            and bool(s.isna().any())):
+        return s.astype(np.dtype(dt).name.capitalize())  # int64 → Int64
+    return s.astype(dt)
 
 
 def _write_partitioned_state(mart_dir: str, spec: PartitionedMartSpec,
@@ -405,7 +426,7 @@ def _write_partitioned_state(mart_dir: str, spec: PartitionedMartSpec,
     os.makedirs(mart_dir, exist_ok=True)
     for m, dt in dtypes.items():
         if len(partials):
-            partials[m] = partials[m].astype(dt)
+            partials[m] = _metric_cast(partials[m], dt)
     t = pa.Table.from_pandas(
         partials.sort_values(["part_id", *spec.group_by])
         .reset_index(drop=True),
@@ -416,9 +437,11 @@ def _write_partitioned_state(mart_dir: str, spec: PartitionedMartSpec,
                       {"kind": "partitioned", "epoch": epoch,
                        "data_file": data_file, "spec": spec.to_json(),
                        "dtypes": dtypes, "partials": len(partials)})
+    # sweep superseded files of EITHER kind: rebuilding a dir as the other
+    # kind must not leave the old kind's data file orphaned forever
     for f in os.listdir(mart_dir):
-        if f.startswith("partials_e") and f.endswith(".parquet") \
-                and f != data_file:
+        if (f.startswith("partials_e") or f.startswith("mart_e")) \
+                and f.endswith(".parquet") and f != data_file:
             try:
                 os.remove(os.path.join(mart_dir, f))
             except OSError:
@@ -454,8 +477,11 @@ def build_partitioned_mart(lake_dir: str, mart_dir: str,
     partials = _recompute_partials(
         lake_dir, sorted(parts.items()), spec, cfg_eff,
         cfg_eff.schema_script, m.schema_version)
-    dtypes = {mt: str(partials[mt].dtype) for mt in spec.metric_names()} \
-        if len(partials) else {mt: "int64" for mt in spec.metric_names()}
+    # dtypes are recorded from DATA, never guessed: an empty bootstrap
+    # state records nothing and the first non-empty refresh fills them in
+    # (hardcoding int64 here would silently truncate a float metric later)
+    dtypes = ({mt: str(partials[mt].dtype) for mt in spec.metric_names()}
+              if len(partials) else {})
     _write_partitioned_state(mart_dir, spec, epoch, partials, dtypes)
     return {"mode": "full", "epoch": epoch,
             "partitions": len(parts), "partials": len(partials)}
@@ -468,7 +494,13 @@ def refresh_partitioned_mart(lake_dir: str, mart_dir: str, cfg=None,
     recomputed (from their state at ``to_eff`` — time-travel clamped, so a
     commit racing the refresh can't leak newer rows into an older-labeled
     mart). Untouched partials are carried over byte-for-byte — their
-    partition files are never opened."""
+    partition files are never opened. A record marks a partition touched
+    only if its row was WRITTEN at that epoch (``d["epoch"] == record
+    epoch``): compaction lists every partition but carries clean ones
+    forward with their old epoch — pruning those keeps a routine
+    compaction in the window from degrading the refresh back to O(lake)
+    (rewritten partitions recompute; harmless — compaction never changes
+    a live row)."""
     from .cdc import CdcConfig, partition_states_at
 
     state = _partitioned_state(mart_dir)
@@ -482,11 +514,13 @@ def refresh_partitioned_mart(lake_dir: str, mart_dir: str, cfg=None,
         return {"mode": "noop", "epoch": from_epoch,
                 "touched_partitions": 0}
 
+    recs = store.epoch_records()  # one listdir+parse pass feeds both uses
     touched = sorted({int(d["part_id"])
-                      for r in store.epoch_records()
+                      for r in recs
                       if from_epoch < r["epoch"] <= to_eff
-                      for d in r["partitions"]})
-    states = partition_states_at(store, to_eff, m=m)
+                      for d in r["partitions"]
+                      if int(d["epoch"]) == int(r["epoch"])})
+    states = partition_states_at(store, to_eff, m=m, recs=recs)
     redone = _recompute_partials(
         lake_dir, [(pid, states[pid]) for pid in touched], spec, cfg_eff,
         cfg_eff.schema_script, m.schema_version)
@@ -495,8 +529,10 @@ def refresh_partitioned_mart(lake_dir: str, mart_dir: str, cfg=None,
         os.path.join(mart_dir, state["data_file"])).to_pandas()
     kept = old.loc[~old["part_id"].isin(touched)]
     merged = pd.concat([kept, redone], ignore_index=True)
-    _write_partitioned_state(mart_dir, spec, to_eff, merged,
-                             dict(state["dtypes"]))
+    dtypes = dict(state["dtypes"])
+    if not dtypes and len(merged):  # empty bootstrap: record from data now
+        dtypes = {mt: str(merged[mt].dtype) for mt in spec.metric_names()}
+    _write_partitioned_state(mart_dir, spec, to_eff, merged, dtypes)
     return {"mode": "incremental", "from_epoch": from_epoch,
             "epoch": to_eff, "touched_partitions": len(touched),
             "partials": len(merged)}
@@ -515,7 +551,7 @@ def read_partitioned_mart(mart_dir: str) -> pa.Table:
             preserve_index=False)
     out = _partial_agg(partials, spec, folds=True)
     for mt, dt in state["dtypes"].items():
-        out[mt] = out[mt].astype(dt)
+        out[mt] = _metric_cast(out[mt], dt)
     return pa.Table.from_pandas(
         out.sort_values(list(spec.group_by)).reset_index(drop=True),
         preserve_index=False)

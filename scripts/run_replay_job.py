@@ -196,6 +196,10 @@ def main() -> int:
                     name, spec_s = kv.split("=", 1)
                     fn, col = spec_s.split(":", 1)
                     metrics[name] = (fn, col)
+                clash = sorted(set(metrics) & set(sums))
+                if clash:
+                    ap.error(f"--mart-sum and --mart-agg both define "
+                             f"metric(s) {clash}; pick one per name")
                 metrics.update({n: ("sum", c) for n, c in sums.items()})
                 pspec = PartitionedMartSpec(group_by=group, metrics=metrics)
                 out["mart"] = build_partitioned_mart(

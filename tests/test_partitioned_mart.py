@@ -240,3 +240,138 @@ def test_refresh_across_schema_evolution(tmp_path):
     build_partitioned_mart(lake, rebuilt, spec, cfg=cfg)
     pd.testing.assert_frame_equal(_mart_df(mart, by="language"),
                                   _mart_df(rebuilt, by="language"))
+
+
+def test_compaction_in_window_does_not_touch_partitions(lake, tmp_path):
+    """compact() lists EVERY partition in its lineage record but is
+    live-state-preserving by contract — a refresh over a window containing
+    a compaction must stay O(actually-changed partitions). Proven the hard
+    way: corrupt every partition file except the genuinely-touched ones;
+    the refresh must still succeed and match the pre-corruption truth."""
+    from horizon_etl_ray.pipelines.cdc import compact
+
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, SPEC, cfg=CFG)
+    apply_epoch(_ev([_row("A", 10, "update", "x", 11),
+                     _row("C", 11, "delete", None, None)]), lake, 2, CFG)
+    store = ManifestStore(lake)
+    real_touched = {int(d["part_id"]) for r in store.epoch_records()
+                    if r["epoch"] == 2 for d in r["partitions"]}
+    compact(lake, cfg=CFG)  # epoch 3: rewrites dirty, carries clean
+    assert ManifestStore(lake).committed_epoch() == 3
+
+    truth = str(tmp_path / "truth")
+    build_partitioned_mart(lake, truth, SPEC, cfg=CFG)
+
+    m = store.load()
+    for pid, ps in m.partitions.items():
+        if pid in real_touched:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "wb") as fh:
+                fh.write(b"unreadable")
+
+    st = refresh_partitioned_mart(lake, mart, cfg=CFG)
+    assert st["mode"] == "incremental" and st["epoch"] == 3
+    assert set(range(8)) - real_touched  # the corruption was non-trivial
+    assert st["touched_partitions"] == len(real_touched)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(truth))
+
+
+def test_change_feed_skips_compaction_partitions(lake, tmp_path):
+    """Same guarantee for the raw feed: a compaction epoch inside the
+    window must not force a full-lake diff (files of partitions no real
+    epoch touched stay closed) and must not invent feed rows."""
+    from horizon_etl_ray.pipelines.cdc import compact, read_changes
+
+    apply_epoch(_ev([_row("A", 10, "update", "x", 11)]), lake, 2, CFG)
+    store = ManifestStore(lake)
+    real_touched = {int(d["part_id"]) for r in store.epoch_records()
+                    if r["epoch"] == 2 for d in r["partitions"]}
+    # keep history: the feed's FROM-state still reads epoch-1 files
+    compact(lake, cfg=CFG, gc_old_epochs=False)  # epoch 3
+
+    m = store.load()
+    for pid, ps in m.partitions.items():
+        if pid in real_touched:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "wb") as fh:
+                fh.write(b"unreadable")
+
+    feed = read_changes(lake, 1, 3, cfg=CFG).to_pandas()
+    assert list(feed["op"]) == ["update"]
+    assert feed.iloc[0]["path"] == "A" and feed.iloc[0]["after_val"] == 11
+
+
+def test_refresh_survives_group_going_all_null(lake, tmp_path):
+    """A delete/update can leave a group whose metric values are ALL null:
+    the leaf partial aggregates to NaN, which must round-trip through the
+    bootstrap-recorded int64 dtype as a nullable value, not crash the
+    refresh (or the serve fold)."""
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, SPEC, cfg=CFG)  # dtypes: int64
+    apply_epoch(_ev([_row("A", 10, "update", "x", None),
+                     _row("B", 11, "update", "x", None)]), lake, 2, CFG)
+    st = refresh_partitioned_mart(lake, mart, cfg=CFG)
+    assert st["mode"] == "incremental" and st["epoch"] == 2
+    by = _mart_df(mart).set_index("grp")
+    assert by.loc["x", "n_rows"] == 2      # rows live, metric null
+    assert pd.isna(by.loc["x", "min_val"])  # SQL MIN over nulls = NULL
+    rebuilt = str(tmp_path / "rebuilt")
+    build_partitioned_mart(lake, rebuilt, SPEC, cfg=CFG)
+    # values equal; dtype may differ (maintained mart keeps the recorded
+    # int64 as nullable Int64, a rebuild records float64 from the NaN)
+    pd.testing.assert_frame_equal(_mart_df(mart), _mart_df(rebuilt),
+                                  check_dtype=False)
+
+
+def test_empty_bootstrap_records_dtypes_from_first_data(tmp_path):
+    """Bootstrapping over an empty live state must not guess dtypes: the
+    first non-empty refresh records them from data, so a float metric is
+    never silently truncated to a hardcoded int64."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=4,
+                    payload_columns=("repo", "path", "content", "grp", "val"))
+
+    def fr(path, seq, op, grp, val):
+        return {"repo": "r", "path": path, "seq": seq, "op": op,
+                "content": f"{grp}", "grp": grp, "val": val}
+
+    apply_epoch(_ev([fr("A", 1, "delete", None, None)]), lake, 1, cfg)
+    spec = PartitionedMartSpec(group_by=("grp",),
+                               metrics={"min_val": ("min", "val")})
+    mart = str(tmp_path / "mart")
+    st = build_partitioned_mart(lake, mart, spec, cfg=cfg)
+    assert st["partials"] == 0
+    assert mart_state(mart)["dtypes"] == {}
+    apply_epoch(_ev([fr("B", 2, "update", "x", 2.5)]), lake, 2, cfg)
+    refresh_partitioned_mart(lake, mart, cfg=cfg)
+    by = _mart_df(mart).set_index("grp")
+    assert by.loc["x", "min_val"] == 2.5  # float preserved, not int64(2)
+
+
+def test_rebuild_as_other_kind_sweeps_old_data_file(lake, tmp_path):
+    d = str(tmp_path / "mart")
+    build_mart(lake, d,
+               MartSpec(group_by=("grp",), sum_metrics={"sum_val": "val"}),
+               cfg=CFG)
+    assert any(f.startswith("mart_e") for f in os.listdir(d))
+    build_partitioned_mart(lake, d, SPEC, cfg=CFG)
+    assert not any(f.startswith("mart_e") for f in os.listdir(d))
+    build_mart(lake, d,
+               MartSpec(group_by=("grp",), sum_metrics={"sum_val": "val"}),
+               cfg=CFG)
+    assert not any(f.startswith("partials_e") for f in os.listdir(d))
+
+
+def test_bootstrap_after_gc_raises_actionably(tmp_path):
+    """Time-travel bootstrap to an epoch gc() reclaimed must fail with the
+    reclaimed-file message, not a raw error inside a Ray task."""
+    lake = str(tmp_path / "lake")
+    apply_epoch(_ev([_row("A", 1, "update", "x", 1)]), lake, 1, CFG)
+    apply_epoch(_ev([_row("A", 2, "update", "x", 2)]), lake, 2, CFG)
+    ManifestStore(lake).gc(keep_epochs=0)
+    with pytest.raises(FileNotFoundError, match="reclaimed by gc"):
+        build_partitioned_mart(lake, str(tmp_path / "m"), SPEC, cfg=CFG,
+                               at_epoch=1)
