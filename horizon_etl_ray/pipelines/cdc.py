@@ -1284,10 +1284,13 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
     ragged nullable list columns on the driver. ``json_payload=True``
     serializes vectors as JSON arrays.
 
-    Cost: each touched partition resolves one state per window epoch that
-    rewrote it (cow: one base file each; delta: base + deltas ≤ that epoch),
-    so a feed over a W-epoch window reads ≤ W versions per partition. Long
-    windows on hot partitions approach W full scans — poll incrementally.
+    Cost: each touched partition materializes one state per window epoch
+    that rewrote it, but every file is READ once and every event reduced
+    once per feed — delta-mode states roll forward incrementally
+    (resolve(prev_state ∪ new_delta), the merge-on-read contract), so a
+    W-epoch window costs O(base + deltas) reads, not O(W²). Cow epochs are
+    one base file each. The per-epoch pandas frames still cost O(W · rows)
+    memory in the diff — poll very long windows incrementally.
     A partition is window-touched by a record only if its row was WRITTEN
     at that record's epoch (``PartitionState.epoch == record epoch``):
     compaction lists every partition in its record but carries clean ones
@@ -1361,10 +1364,28 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                 return tuple(canon_cell(x) for x in v)
             return v
 
+        # Incremental state roll: a delta partition's file list at epoch e
+        # is base + deltas ≤ e — a strict PREFIX of the list at e+1 — and
+        # resolve(resolved_state ∪ new_deltas) == resolve(all files) is the
+        # merge-on-read contract itself (a compacted base IS a previously
+        # resolved state; LWW/policy idempotence is hypothesis-pinned). So
+        # each file is read and each event reduced ONCE per feed, O(E)
+        # instead of O(E²) over a W-epoch window. A cow rewrite or
+        # compaction changes the base → prefix miss → full (1-file) read.
+        prev_state: tuple[list[str], pa.Table] | None = None
+
         def resolve(files: list[str]) -> pd.DataFrame:
-            t = pa.concat_tables([pq.read_table(f) for f in files],
-                                 promote_options="permissive")
+            nonlocal prev_state
+            if (prev_state is not None
+                    and files[: len(prev_state[0])] == prev_state[0]
+                    and len(files) > len(prev_state[0])):
+                srcs = [prev_state[1]] + [
+                    pq.read_table(f) for f in files[len(prev_state[0]):]]
+            else:
+                srcs = [pq.read_table(f) for f in files]
+            t = pa.concat_tables(srcs, promote_options="permissive")
             t = _resolve_state_table(t, cfg_eff, script, version)
+            prev_state = (files, t)
             if "part_id" in t.column_names:
                 t = t.drop_columns(["part_id"])
             df = t.to_pandas()
