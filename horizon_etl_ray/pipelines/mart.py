@@ -154,27 +154,18 @@ def _feed_deltas(feed, spec: MartSpec) -> pd.DataFrame:
     return _fold(parts, spec)
 
 
-def _write_state(mart_dir: str, spec: MartSpec, epoch: int,
-                 table: pd.DataFrame, dtypes: dict[str, str]) -> None:
-    """Commit = write an epoch-named data file, THEN swap the json pointer
-    (the manifest's atomic-pointer discipline): a crash between the two
-    leaves the pointer on the previous consistent (table, epoch) pair —
-    never a new table with an old epoch, which a later refresh would
-    double-apply. Superseded data files are swept after the commit."""
+def _commit_mart(mart_dir: str, data_file: str, t: pa.Table,
+                 pointer: dict) -> None:
+    """Atomic-pointer commit shared by both mart kinds: write the
+    epoch-named data file, THEN swap the json pointer (the manifest's
+    discipline) — a crash between the two leaves the pointer on the
+    previous consistent (table, epoch) pair, never a new table with an old
+    epoch that a later refresh would double-apply. Superseded data files
+    of EITHER kind are swept after the commit (a rebuild may have switched
+    the dir's kind)."""
     os.makedirs(mart_dir, exist_ok=True)
-    for m, dt in dtypes.items():
-        table[m] = table[m].astype(dt)
-    t = pa.Table.from_pandas(
-        table.sort_values(list(spec.group_by)).reset_index(drop=True),
-        preserve_index=False)
-    data_file = f"mart_e{epoch}.parquet"
     atomic_write_table(os.path.join(mart_dir, data_file), t)
-    atomic_write_json(os.path.join(mart_dir, _STATE_FILE),
-                      {"epoch": epoch, "data_file": data_file,
-                       "spec": spec.to_json(), "dtypes": dtypes,
-                       "groups": len(table)})
-    # sweep superseded/orphaned data files of EITHER kind (a rebuild may
-    # have switched the dir from a partitioned mart)
+    atomic_write_json(os.path.join(mart_dir, _STATE_FILE), pointer)
     for f in os.listdir(mart_dir):
         if (f.startswith("mart_e") or f.startswith("partials_e")) \
                 and f.endswith(".parquet") and f != data_file:
@@ -182,6 +173,19 @@ def _write_state(mart_dir: str, spec: MartSpec, epoch: int,
                 os.remove(os.path.join(mart_dir, f))
             except OSError:
                 pass
+
+
+def _write_state(mart_dir: str, spec: MartSpec, epoch: int,
+                 table: pd.DataFrame, dtypes: dict[str, str]) -> None:
+    for m, dt in dtypes.items():
+        table[m] = table[m].astype(dt)
+    t = pa.Table.from_pandas(
+        table.sort_values(list(spec.group_by)).reset_index(drop=True),
+        preserve_index=False)
+    _commit_mart(mart_dir, f"mart_e{epoch}.parquet", t,
+                 {"epoch": epoch, "data_file": f"mart_e{epoch}.parquet",
+                  "spec": spec.to_json(), "dtypes": dtypes,
+                  "groups": len(table)})
 
 
 def _additive_state(mart_dir: str) -> dict | None:
@@ -311,7 +315,16 @@ class PartitionedMartSpec:
         if self.rows_metric in self.metrics:
             raise ValueError(
                 f"rows_metric {self.rows_metric!r} collides with a metric")
+        reserved = {*self.group_by, "part_id"}
+        if self.rows_metric in reserved:
+            raise ValueError(
+                f"rows_metric {self.rows_metric!r} collides with a "
+                "group_by column or the reserved part_id column")
         for name, (fn, _src) in self.metrics.items():
+            if name in reserved:
+                raise ValueError(
+                    f"metric name {name!r} collides with a group_by column "
+                    "or the reserved part_id column")
             if fn not in _PART_FOLDS:
                 raise ValueError(
                     f"metric {name!r}: unsupported func {fn!r} "
@@ -411,41 +424,40 @@ def _metric_cast(s: pd.Series, dt: str) -> pd.Series:
     """Cast a metric column back to its recorded dtype, null-safely: a
     group whose values are ALL null aggregates to NaN (SQL's MIN/MAX over
     nulls), which a plain astype('int64') would crash on — store those as
-    nullable Int64 instead (values stay exact integers, nulls stay null)."""
+    the pandas NULLABLE integer dtype instead (values stay exact integers,
+    nulls stay null). int64 → Int64, uint32 → UInt32, etc."""
     if (pd.api.types.is_integer_dtype(np.dtype(dt))
             and bool(s.isna().any())):
-        return s.astype(np.dtype(dt).name.capitalize())  # int64 → Int64
+        name = np.dtype(dt).name
+        return s.astype(name.replace("uint", "UInt").replace("int", "Int"))
     return s.astype(dt)
 
 
 def _write_partitioned_state(mart_dir: str, spec: PartitionedMartSpec,
                              epoch: int, partials: pd.DataFrame,
                              dtypes: dict[str, str]) -> None:
-    """Same atomic-pointer commit discipline as ``_write_state``: data file
-    first, json pointer swap second, sweep superseded files last."""
-    os.makedirs(mart_dir, exist_ok=True)
-    for m, dt in dtypes.items():
-        if len(partials):
+    if len(partials):
+        # the serve-time MAX_GROUPS guard, enforced at COMMIT time too: an
+        # unbounded group domain must be rejected before it is persisted,
+        # not discovered on every read of a permanently-unreadable mart
+        n_groups = partials.groupby(list(spec.group_by), sort=False,
+                                    dropna=False).ngroups
+        if n_groups > MAX_GROUPS:
+            raise ValueError(
+                f"mart has {n_groups} groups > MAX_GROUPS={MAX_GROUPS}: "
+                "driver-folded marts are for dimension-bounded group "
+                "domains")
+        for m, dt in dtypes.items():
             partials[m] = _metric_cast(partials[m], dt)
     t = pa.Table.from_pandas(
         partials.sort_values(["part_id", *spec.group_by])
         .reset_index(drop=True),
         preserve_index=False)
     data_file = f"partials_e{epoch}.parquet"
-    atomic_write_table(os.path.join(mart_dir, data_file), t)
-    atomic_write_json(os.path.join(mart_dir, _STATE_FILE),
-                      {"kind": "partitioned", "epoch": epoch,
-                       "data_file": data_file, "spec": spec.to_json(),
-                       "dtypes": dtypes, "partials": len(partials)})
-    # sweep superseded files of EITHER kind: rebuilding a dir as the other
-    # kind must not leave the old kind's data file orphaned forever
-    for f in os.listdir(mart_dir):
-        if (f.startswith("partials_e") or f.startswith("mart_e")) \
-                and f.endswith(".parquet") and f != data_file:
-            try:
-                os.remove(os.path.join(mart_dir, f))
-            except OSError:
-                pass
+    _commit_mart(mart_dir, data_file, t,
+                 {"kind": "partitioned", "epoch": epoch,
+                  "data_file": data_file, "spec": spec.to_json(),
+                  "dtypes": dtypes, "partials": len(partials)})
 
 
 def _partitioned_state(mart_dir: str) -> dict:
@@ -528,7 +540,15 @@ def refresh_partitioned_mart(lake_dir: str, mart_dir: str, cfg=None,
     old = pq.read_table(
         os.path.join(mart_dir, state["data_file"])).to_pandas()
     kept = old.loc[~old["part_id"].isin(touched)]
-    merged = pd.concat([kept, redone], ignore_index=True)
+    # never concat with an empty frame: its all-object columns would
+    # poison the concat result's dtypes (and, after an empty bootstrap,
+    # bake dtype 'object' into the recorded state forever)
+    if not len(kept):
+        merged = redone
+    elif not len(redone):
+        merged = kept.reset_index(drop=True)
+    else:
+        merged = pd.concat([kept, redone], ignore_index=True)
     dtypes = dict(state["dtypes"])
     if not dtypes and len(merged):  # empty bootstrap: record from data now
         dtypes = {mt: str(merged[mt].dtype) for mt in spec.metric_names()}

@@ -107,10 +107,28 @@ def conform_table(t: pa.Table, script: SchemaScript, version: int) -> pa.Table:
     content_sha256/…) pass through after the payload columns.
     """
     renames = script.renames_at(version)
-    to_rename = {old: new for old, new in renames.items() if old in t.column_names
-                 and new not in t.column_names}
+    to_rename, to_coalesce = {}, {}
+    for old, new in renames.items():
+        if old not in t.column_names:
+            continue
+        if new in t.column_names:
+            to_coalesce[old] = new
+        else:
+            to_rename[old] = new
     if to_rename:
         t = t.rename_columns([to_rename.get(c, c) for c in t.column_names])
+    for old, new in to_coalesce.items():
+        # BOTH spellings present: a permissive concat of mixed-version
+        # blocks (old base + new deltas, or a resolved state + raw deltas)
+        # carries both columns with each row null in exactly one — skipping
+        # the rename here would silently null the old-name rows' values.
+        # Coalesce new←old (new wins if a row somehow carries both), drop
+        # the old spelling.
+        import pyarrow.compute as _pc
+
+        merged = _pc.coalesce(t[new], t[old].cast(t[new].type))
+        t = t.set_column(t.column_names.index(new), new,
+                         merged).drop_columns([old])
     target = script.fields_at(version)
     target_names = {n for n, _ in target}
     n = len(t)

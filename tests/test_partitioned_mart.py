@@ -375,3 +375,96 @@ def test_bootstrap_after_gc_raises_actionably(tmp_path):
     with pytest.raises(FileNotFoundError, match="reclaimed by gc"):
         build_partitioned_mart(lake, str(tmp_path / "m"), SPEC, cfg=CFG,
                                at_epoch=1)
+
+
+def test_metric_cast_handles_unsigned_and_nulls():
+    from horizon_etl_ray.pipelines.mart import _metric_cast
+
+    s = pd.Series([1.0, None, 3.0])
+    for dt, want in (("int64", "Int64"), ("uint32", "UInt32"),
+                     ("int16", "Int16")):
+        out = _metric_cast(s, dt)
+        assert str(out.dtype) == want and pd.isna(out[1])
+    assert str(_metric_cast(pd.Series([1.0, 2.0]), "int64").dtype) == "int64"
+    assert str(_metric_cast(s, "float64").dtype) == "float64"
+
+
+def test_spec_rejects_reserved_name_collisions():
+    with pytest.raises(ValueError, match="collides with a group_by"):
+        PartitionedMartSpec(group_by=("grp",), metrics={"grp": ("min", "v")})
+    with pytest.raises(ValueError, match="part_id"):
+        PartitionedMartSpec(group_by=("g",),
+                            metrics={"part_id": ("min", "v")})
+    with pytest.raises(ValueError, match="rows_metric"):
+        PartitionedMartSpec(group_by=("g",), metrics={}, rows_metric="g")
+
+
+def test_unbounded_group_domain_rejected_at_commit(lake, tmp_path,
+                                                   monkeypatch):
+    """MAX_GROUPS must fire when the mart is BUILT, not leave a committed
+    mart that every read rejects."""
+    import horizon_etl_ray.pipelines.mart as mart_mod
+
+    monkeypatch.setattr(mart_mod, "MAX_GROUPS", 2)
+    spec = PartitionedMartSpec(group_by=("path",), metrics={})  # ~unbounded
+    with pytest.raises(ValueError, match="MAX_GROUPS"):
+        build_partitioned_mart(lake, str(tmp_path / "m"), spec, cfg=CFG)
+    assert mart_state(str(tmp_path / "m")) is None  # nothing committed
+
+
+def test_empty_bootstrap_dtypes_are_real_not_object(tmp_path):
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=4,
+                    payload_columns=("repo", "path", "content", "grp", "val"))
+    apply_epoch(_ev([{"repo": "r", "path": "A", "seq": 1, "op": "delete",
+                      "content": "x", "grp": None, "val": None}]),
+                lake, 1, cfg)
+    spec = PartitionedMartSpec(group_by=("grp",),
+                               metrics={"min_val": ("min", "val")})
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, spec, cfg=cfg)
+    apply_epoch(_ev([{"repo": "r", "path": "B", "seq": 2, "op": "update",
+                      "content": "y", "grp": "x", "val": 7}]), lake, 2, cfg)
+    refresh_partitioned_mart(lake, mart, cfg=cfg)
+    dtypes = mart_state(mart)["dtypes"]
+    assert dtypes["n_rows"] == "int64", dtypes
+    assert "object" not in dtypes.values(), dtypes
+
+
+def test_refresh_across_schema_evolution_delta_mode(tmp_path):
+    """The delta-mode twin of the evolution test: pre-rename base + post-
+    rename deltas concat into BOTH spellings inside one partition — the
+    conform coalesce must keep pre-rename rows' values in the mart."""
+    import pyarrow as pa_
+    import ray.data as rd_
+
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    script = SchemaScript.from_json(
+        [("repo", pa_.string()), ("path", pa_.string()),
+         ("lang", pa_.string()), ("content", pa_.string())],
+        [{"epoch": 2, "op": "rename_column", "from": "lang",
+          "to": "language"}],
+    )
+    cfg = CdcConfig(num_partitions=1, write_mode="delta",
+                    schema_script=script,
+                    payload_columns=("repo", "path", "lang", "content"))
+    lake = str(tmp_path / "lake")
+
+    def ev(rows):
+        return rd_.from_arrow(pa_.Table.from_pylist(rows))
+
+    apply_epoch(ev([{"repo": "r", "path": "A", "seq": 1, "op": "update",
+                     "lang": "py", "content": "a"}]), lake, 1, cfg)
+    apply_epoch(ev([{"repo": "r", "path": "B", "seq": 2, "op": "update",
+                     "language": "rs", "content": "b"}]), lake, 2, cfg)
+    # bootstrap from the PRE-rename time-travel state (conformed to the
+    # current schema, like read_lake_at), then refresh across the DDL
+    spec = PartitionedMartSpec(group_by=("language",), metrics={})
+    mart = str(tmp_path / "mart")
+    build_partitioned_mart(lake, mart, spec, cfg=cfg, at_epoch=1)
+    refresh_partitioned_mart(lake, mart, cfg=cfg)
+    by = _mart_df(mart, by="language").set_index("language")
+    assert by.loc["py", "n_rows"] == 1  # pre-rename row kept its value
+    assert by.loc["rs", "n_rows"] == 1
+    assert not by.index.isna().any()

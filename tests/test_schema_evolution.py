@@ -128,3 +128,69 @@ def test_registry_as_named_actor(ray_session):
         assert ray.get(again.version_for_epoch.remote(3)) == 2
     finally:
         ray.kill(reg)
+
+
+def test_conform_coalesces_when_both_spellings_present():
+    """A permissive concat of mixed-version blocks carries BOTH the old and
+    new column names, each row null in exactly one — conform must coalesce
+    (not skip the rename and silently null the old rows)."""
+    script = SchemaScript.from_json(
+        [("k", pa.int64()), ("lang", pa.string())],
+        [{"epoch": 2, "op": "rename_column", "from": "lang",
+          "to": "language"}])
+    old = pa.table({"k": [1], "lang": ["py"]})
+    new = pa.table({"k": [2], "language": ["rs"]})
+    both = pa.concat_tables([old, new], promote_options="permissive")
+    out = conform_table(both, script, script.schema_version(99))
+    assert "lang" not in out.column_names
+    assert out["language"].to_pylist() == ["py", "rs"]
+
+
+def test_delta_lake_rename_keeps_pre_rename_values(tmp_path):
+    """write_mode='delta' + a rename DDL mid-history: the merge-on-read
+    concat of an old-name base with new-name deltas (and the change feed's
+    incremental state roll, which concats a conformed cached state with
+    raw old-name deltas) must keep pre-rename rows' values."""
+    import pandas as pd
+    import ray.data as rd
+
+    from horizon_etl_ray.pipelines.cdc import (CdcConfig, apply_epoch,
+                                               read_changes, read_lake)
+
+    script = SchemaScript.from_json(
+        [("repo", pa.string()), ("path", pa.string()),
+         ("lang", pa.string()), ("content", pa.string())],
+        [{"epoch": 3, "op": "rename_column", "from": "lang",
+          "to": "language"}],
+    )
+    cfg = CdcConfig(num_partitions=1, write_mode="delta",
+                    schema_script=script,
+                    payload_columns=("repo", "path", "lang", "content"))
+    lake = str(tmp_path / "lake")
+
+    def ev(rows):
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    apply_epoch(ev([{"repo": "r", "path": "A", "seq": 1, "op": "update",
+                     "lang": "py", "content": "a1"},
+                    {"repo": "r", "path": "B", "seq": 2, "op": "update",
+                     "lang": "go", "content": "b1"}]), lake, 1, cfg)
+    apply_epoch(ev([{"repo": "r", "path": "B", "seq": 10, "op": "update",
+                     "lang": "go", "content": "b2"}]), lake, 2, cfg)
+    apply_epoch(ev([{"repo": "r", "path": "C", "seq": 20, "op": "update",
+                     "language": "rs", "content": "c1"}]), lake, 3, cfg)
+
+    out = (read_lake(lake, cfg=cfg).to_pandas()
+           .sort_values("path").reset_index(drop=True))
+    assert "lang" not in out.columns
+    assert list(out["language"]) == ["py", "go", "rs"]
+
+    # feed windows that resolve >1 state of the same old-name partition
+    # exercise the incremental roll (conformed cache + raw old-name delta)
+    f = (read_changes(lake, -1, cfg=cfg).to_pandas()
+         .sort_values("path").reset_index(drop=True))
+    assert list(f["after_language"]) == ["py", "go", "rs"]
+    f12 = read_changes(lake, 1, 2, cfg=cfg).to_pandas()
+    assert list(f12["path"]) == ["B"]
+    assert f12.loc[0, "after_language"] == "go"
+    assert f12.loc[0, "after_content"] == "b2"
