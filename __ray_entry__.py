@@ -128,7 +128,16 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 #   repoints links through it; the mart row gates the change-feed's
 #   downstream consumer (bootstrap-at-epoch + signed-delta refresh ==
 #   direct SQL aggregate of the final state).
+# - connected_components → cdc_scd2_lineitem (round 5, session 6): A5's
+#   distributed components stay gated via near_dup_clusters (the SAME
+#   min-label CC kernel on the dup graph, value-hash-checked) and
+#   graph_degree_stats (degree/isolates); the standalone CC row remains
+#   oracle-checked locally alongside connected_components_labelprop. The
+#   new row gates the SCD-2 history view (cdc.read_history): per-key
+#   version intervals through the full engine vs a DuckDB running-max
+#   window twin.
 _TAIL = (
+    "connected_components",
     "consolidate_winners",
     "cdc_zone_read_lineitem",
     "cdc_lww_lineitem",

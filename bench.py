@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "cdc_incremental_mart_lineitem",
     # round-5 session-5: partition-partial min/max mart (O(touched parts))
     "cdc_minmax_mart_lineitem",
+    # round-5 session-6: SCD-2 history view (per-key version intervals)
+    "cdc_scd2_lineitem",
 ]
 
 

@@ -1593,6 +1593,232 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
     return ds
 
 
+def read_history(lake_dir: str, to_epoch: int | None = None,
+                 cfg: CdcConfig | None = None):
+    """SCD-2 HISTORY VIEW: one row per VERSION each key's visible state ever
+    held, with its validity interval in commit epochs — the standard serving
+    view downstream of a change feed (a dimension-table history a warehouse
+    user would query with ``... WHERE e BETWEEN valid_from AND valid_to``).
+
+    Reference parity: the per-entity change log
+    (/root/reference/src/tracking/entities/entity_change_log.py:8-40) read
+    back as intervals instead of point changes — what its exporter's
+    "latest state + audit trail" consumers
+    (canonical_exporter.py:1943-2001) reconstruct by hand.
+
+    Semantics (merge-policy-agnostic — versions are diffs of RESOLVED lake
+    states, so widen/custom policies version correctly too):
+
+      - a version OPENS at epoch e when the key's visible state (liveness +
+        payload) first becomes live, or changes payload while live;
+      - a version CLOSES (``valid_to_epoch`` = e) when the next visible
+        change commits at e — a payload change or a delete; the closing
+        epoch is exclusive (the version was the state as of epochs
+        ``[valid_from_epoch, valid_to_epoch)``);
+      - ``valid_to_epoch`` is null and ``is_current`` true on each key's
+        open (currently live) version; a currently-deleted key's last
+        version is closed and no row is current;
+      - seq-only re-assertions of identical content do NOT open a version
+        (same rule as ``read_changes``); ``seq`` is the resolved winner's
+        seq at the opening epoch.
+
+    Output columns: key columns, every payload column (the version's typed
+    values), ``seq``, ``valid_from_epoch``, ``valid_to_epoch`` (nullable),
+    ``is_current``.
+
+    Execution: keys never change partitions (width fence), so each
+    partition's full history is assembled in ONE Ray task with no shuffle —
+    the manifest's epoch records name which epochs wrote the partition
+    (compaction-carried byte-identical states are pruned exactly like
+    ``read_changes``), states roll forward incrementally (each delta file
+    read once, O(E) not O(E²)), and the interval walk is a vectorized
+    sorted-diff. Cost: per-epoch frames are O(E · rows) memory per
+    partition task — same caveat as a full-history ``read_changes``.
+    Raises FileNotFoundError when gc() reclaimed a needed historical file
+    (never silently serves a truncated history)."""
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    cfg_eff = cfg or CdcConfig()
+    kcols = list(cfg_eff.key_columns)
+    seq_col = cfg_eff.seq_column
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m.epoch < 0:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    to_eff = m.epoch if to_epoch is None else min(to_epoch, m.epoch)
+    recs = sorted((r for r in store.epoch_records() if r["epoch"] <= to_eff),
+                  key=lambda r: r["epoch"])
+    window: dict[int, list[tuple[int, PartitionState]]] = {}
+    for rec in recs:
+        e = int(rec["epoch"])
+        for d in rec["partitions"]:
+            ps = PartitionState(**d)
+            if ps.epoch == e:  # written AT e; carried rows are pruned
+                window.setdefault(ps.part_id, []).append((e, ps))
+    script, version = cfg_eff.schema_script, m.schema_version
+
+    needed = [f for evs in window.values() for _, ps in evs
+              for f in store.partition_data_files(ps)]
+    missing = [f for f in needed if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"history to epoch {to_eff} needs {missing[0]} "
+            f"(+{len(missing) - 1} more), reclaimed by gc(); rerun gc with "
+            "keep_epochs covering the lake's history")
+
+    @ray.remote(num_cpus=1)
+    def history_partition(epoch_files: list[tuple[int, list[str]]]
+                          ) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        def canon_cell(v):
+            # list payload cells (vectors) → tuples: scalar-comparable,
+            # identical rationale to read_changes.diff_partition
+            if v is None:
+                return None
+            if isinstance(v, (list, np.ndarray)):
+                return tuple(canon_cell(x) for x in v)
+            return v
+
+        # incremental state roll — the merge-on-read contract, same as
+        # read_changes: each delta file is read and reduced ONCE
+        prev_state: tuple[list[str], pa.Table] | None = None
+
+        def resolve(files: list[str]):
+            nonlocal prev_state
+            if (prev_state is not None
+                    and files[: len(prev_state[0])] == prev_state[0]
+                    and len(files) > len(prev_state[0])):
+                srcs = [prev_state[1]] + [
+                    pq.read_table(f) for f in files[len(prev_state[0]):]]
+            else:
+                srcs = [pq.read_table(f) for f in files]
+            t = pa.concat_tables(srcs, promote_options="permissive")
+            t = _resolve_state_table(t, cfg_eff, script, version)
+            prev_state = (files, t)
+            if "part_id" in t.column_names:
+                t = t.drop_columns(["part_id"])
+            df = t.to_pandas()
+            for c in t.column_names:
+                ty = t.schema.field(c).type
+                if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
+                        or pa.types.is_fixed_size_list(ty)):
+                    df[c] = df[c].map(canon_cell)
+            return t, df
+
+        frames: list[tuple[int, pd.DataFrame]] = []
+        schema_t = None
+        for e, files in epoch_files:
+            schema_t, df = resolve(files)
+            frames.append((e, df))
+        payload_cols = [c for c in schema_t.column_names
+                        if c not in (*kcols, seq_col, "deleted")]
+
+        parts = []
+        for e, df in frames:
+            df = df.copy()
+            df["_epoch"] = np.int64(e)
+            parts.append(df)
+        big = pd.concat(parts, ignore_index=True)
+        big = big.sort_values([*kcols, "_epoch"],
+                              kind="mergesort").reset_index(drop=True)
+        n = len(big)
+
+        def empty_out() -> pa.Table:
+            cols: dict[str, pa.Array] = {}
+            for k in kcols:
+                cols[k] = pa.array([], schema_t.schema.field(k).type)
+            for c in payload_cols:
+                cols[c] = pa.array([], schema_t.schema.field(c).type)
+            cols[seq_col] = pa.array([], pa.int64())
+            cols["valid_from_epoch"] = pa.array([], pa.int64())
+            cols["valid_to_epoch"] = pa.array([], pa.int64())
+            cols["is_current"] = pa.array([], pa.bool_())
+            return pa.table(cols)
+
+        if n == 0:
+            return empty_out()
+
+        prev = big.shift(1)
+
+        def _null_safe_eq(cols: list[str]) -> np.ndarray:
+            eq = np.ones(n, dtype=bool)
+            for c in cols:
+                a, b = big[c], prev[c]
+                both_null = a.isna().to_numpy() & b.isna().to_numpy()
+                eq &= (a == b).to_numpy(dtype=bool, na_value=False) | both_null
+            return eq
+
+        same_key = _null_safe_eq(kcols)
+        pay_eq = (_null_safe_eq(payload_cols) if payload_cols
+                  else np.ones(n, dtype=bool))
+        live = ~big["deleted"].fillna(True).to_numpy(dtype=bool)
+        prev_live = np.concatenate([[False], live[:-1]])
+        # a key's first appearance is a change-from-nothing (visible only if
+        # live); within a key, a liveness edge or a live payload change
+        visible = np.where(
+            same_key,
+            (live != prev_live) | (live & prev_live & ~pay_eq),
+            live)
+
+        vis = big.loc[visible, [*kcols, *payload_cols, seq_col,
+                                "_epoch"]].copy()
+        if not len(vis):
+            return empty_out()
+        vis["_live"] = live[visible]
+        vis["_to"] = vis.groupby(kcols, sort=False, dropna=False)[
+            "_epoch"].shift(-1)
+        out = vis[vis["_live"]]
+
+        def null_cell(v):
+            if v is None:
+                return True
+            if isinstance(v, tuple):
+                return False
+            try:
+                return bool(pd.isna(v))
+            except (TypeError, ValueError):
+                return False
+
+        cols = {}
+        for c in (*kcols, *payload_cols):
+            ty = schema_t.schema.field(c).type
+            cols[c] = pa.array(
+                [None if null_cell(v) else v for v in out[c]], type=ty)
+        cols[seq_col] = pa.array(
+            [None if pd.isna(v) else int(v) for v in out[seq_col]],
+            pa.int64())
+        cols["valid_from_epoch"] = pa.array(
+            out["_epoch"].to_numpy(dtype=np.int64), pa.int64())
+        cols["valid_to_epoch"] = pa.array(
+            [None if pd.isna(v) else int(v) for v in out["_to"]], pa.int64())
+        cols["is_current"] = pa.array(
+            out["_to"].isna().to_numpy(dtype=bool), pa.bool_())
+        return pa.table(cols)
+
+    refs = [history_partition.remote(
+        [(e, store.partition_data_files(ps)) for e, ps in evs])
+        for pid, evs in sorted(window.items())]
+    if not refs:
+        # every commit ≤ to_eff was an empty micro-batch: an empty history,
+        # not an error (same discipline as read_changes' empty window)
+        lake_t = _empty_lake_table(store, m, script, version)
+        cols: dict[str, pa.Array] = {}
+        for c in lake_t.column_names:
+            if c in ("deleted", "part_id", seq_col):
+                continue
+            cols[c] = pa.array([], lake_t.schema.field(c).type)
+        cols[seq_col] = pa.array([], pa.int64())
+        cols["valid_from_epoch"] = pa.array([], pa.int64())
+        cols["valid_to_epoch"] = pa.array([], pa.int64())
+        cols["is_current"] = pa.array([], pa.bool_())
+        refs = [ray.put(pa.table(cols))]
+    return rd.from_arrow_refs(refs)
+
+
 def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,
                        max_rows: int = 20_000_000,
                        cfg: CdcConfig | None = None) -> str:

@@ -345,6 +345,35 @@ def cdc_change_feed_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_scd2_lineitem(sf_dir: str) -> pd.DataFrame:
+    """SCD-2 history view through the FULL engine (round 5, session 6): the
+    per-key VERSION intervals (``cdc.read_history``) of the 4-epoch
+    incremental lineitem replay — one row per visible state each key ever
+    held, valid ``[valid_from_epoch, valid_to_epoch)``, ``is_current`` on
+    the open version. Deletes close intervals without opening one; seq-only
+    re-assertions of identical content open nothing. Oracle: DuckDB
+    reconstructs the same versions from the raw events with a running-max
+    LWW window (per-epoch winner → winner-changes → visible-changes →
+    lead() interval close). Reference analog: the per-entity change log
+    (entity_change_log.py:8-40) read back as intervals."""
+    from .cdc import read_history
+
+    base = _run_base("scd2")
+    try:
+        lake_dir, cfg = _replay_lineitem(sf_dir, base)
+        out = (
+            read_history(lake_dir, cfg=cfg)
+            .select_columns(["l_partkey", "l_suppkey", "content", "seq",
+                             "valid_from_epoch", "valid_to_epoch",
+                             "is_current"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
+    return out.sort_values(
+        ["l_partkey", "l_suppkey", "valid_from_epoch"]).reset_index(drop=True)
+
+
 def cdc_incremental_mart_lineitem(sf_dir: str) -> pd.DataFrame:
     """Incremental mart maintenance through the FULL engine (round 5, the
     change feed's downstream consumer): 4-epoch incremental replay with an
@@ -553,6 +582,59 @@ ORACLE_SQL: dict[str, str] = {
            OR (live_f AND live_t AND f_content <> t_content)
         ORDER BY l_partkey, l_suppkey
     """,
+    # SCD-2 versions from the raw events: per-(key, epoch) winner (arg_max
+    # by seq), kept only where it beats the running max (the LWW resolved
+    # state actually changed), then filtered to VISIBLE changes (liveness
+    # edge or live payload change — seq-only re-assertions drop out), then
+    # lead() closes each interval at the key's next visible change.
+    "cdc_scd2_lineitem": f"""
+        WITH ev0 AS ({_EV_SQL}),
+        b AS (SELECT max(seq) AS max_seq FROM ev0),
+        ev AS (
+            SELECT ev0.*, least(1 + (seq * {_EPOCHS}) // (max_seq + 1),
+                                {_EPOCHS}) AS epoch
+            FROM ev0, b
+        ),
+        pe AS (
+            SELECT l_partkey, l_suppkey, epoch,
+                   arg_max(content, seq) AS content,
+                   arg_max(op, seq) AS op,
+                   max(seq) AS seq
+            FROM ev GROUP BY l_partkey, l_suppkey, epoch
+        ),
+        ch AS (
+            SELECT * FROM pe
+            QUALIFY seq = max(seq) OVER (
+                PARTITION BY l_partkey, l_suppkey ORDER BY epoch
+                ROWS UNBOUNDED PRECEDING)
+        ),
+        vis0 AS (
+            SELECT ch.*, (op <> 'delete') AS live,
+                   lag(op <> 'delete') OVER (
+                       PARTITION BY l_partkey, l_suppkey ORDER BY epoch
+                   ) AS prev_live,
+                   lag(content) OVER (
+                       PARTITION BY l_partkey, l_suppkey ORDER BY epoch
+                   ) AS prev_content
+            FROM ch
+        ),
+        vis AS (
+            SELECT * FROM vis0
+            WHERE (COALESCE(prev_live, FALSE) <> live)
+               OR (live AND prev_live AND content <> prev_content)
+        ),
+        iv AS (
+            SELECT *, lead(epoch) OVER (
+                PARTITION BY l_partkey, l_suppkey ORDER BY epoch
+            ) AS valid_to_epoch
+            FROM vis
+        )
+        SELECT l_partkey, l_suppkey, content, seq,
+               epoch AS valid_from_epoch, valid_to_epoch,
+               (valid_to_epoch IS NULL) AS is_current
+        FROM iv WHERE live
+        ORDER BY l_partkey, l_suppkey, valid_from_epoch
+    """,
     "cdc_widen_merge_lineitem": f"""
         WITH ev AS ({_EV_SQL.replace("FROM lineitem",
                     ", CAST(l_quantity AS BIGINT) AS qty FROM lineitem")})
@@ -642,6 +724,7 @@ QUERIES = {
     "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,
     "cdc_point_read_lineitem": cdc_point_read_lineitem,
     "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
+    "cdc_scd2_lineitem": cdc_scd2_lineitem,
     "cdc_zone_read_lineitem": cdc_zone_read_lineitem,
     "cdc_incremental_mart_lineitem": cdc_incremental_mart_lineitem,
     "cdc_minmax_mart_lineitem": cdc_minmax_mart_lineitem,
