@@ -64,6 +64,16 @@ def main() -> int:
     ap.add_argument("--changed-fields", action="store_true",
                     help="with --changes: include the per-field "
                          "attribution column in the feed")
+    ap.add_argument("--history", action="store_true",
+                    help="after the replay, read the SCD-2 history view "
+                         "(per-key version intervals) and print version/"
+                         "current counts")
+    ap.add_argument("--history-to", type=int, default=None, metavar="EPOCH",
+                    help="with --history: truncate the view at this epoch "
+                         "(default: the committed epoch)")
+    ap.add_argument("--history-out", default=None, metavar="DIR",
+                    help="with --history: also write the view as parquet "
+                         "to DIR (the dimension-table handoff)")
     ap.add_argument("--mart", default=None, metavar="DIR",
                     help="maintain an additive group-by mart at DIR: "
                          "bootstrap (full build) when absent, else refresh "
@@ -173,6 +183,24 @@ def main() -> int:
             counts.update(b["op"].value_counts().to_dict())
         out["changes"] = {"from_epoch": fr, "to_epoch": to,
                           **{k: int(v) for k, v in sorted(counts.items())}}
+    if args.history:
+        from horizon_etl_ray.pipelines.cdc import read_history
+
+        hist = read_history(args.lake, to_epoch=args.history_to, cfg=cfg)
+        if args.history_out:
+            hist.write_parquet(args.history_out)
+            out["history_written"] = args.history_out
+            import ray.data as rd
+
+            cur = rd.read_parquet(args.history_out, columns=["is_current"])
+        else:
+            cur = hist.select_columns(["is_current"])
+        versions = current = 0
+        for b in cur.iter_batches(batch_format="pandas"):
+            versions += len(b)
+            current += int(b["is_current"].sum())
+        out["history"] = {"to_epoch": args.history_to, "versions": versions,
+                          "current": current}
     if args.mart:
         from horizon_etl_ray.pipelines.mart import (
             MartSpec,
