@@ -1631,9 +1631,10 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
     the manifest's epoch records name which epochs wrote the partition
     (compaction-carried byte-identical states are pruned exactly like
     ``read_changes``), states roll forward incrementally (each delta file
-    read once, O(E) not O(E²)), and the interval walk is a vectorized
-    sorted-diff. Cost: per-epoch frames are O(E · rows) memory per
-    partition task — same caveat as a full-history ``read_changes``.
+    read once, O(E) not O(E²)), and the interval walk STREAMS: it holds
+    only the previous resolved frame, the open versions and the closed
+    output — O(rows + versions) memory per task regardless of epoch
+    count, so a 1000-epoch partition walks in bounded space.
     Raises FileNotFoundError when gc() reclaimed a needed historical file
     (never silently serves a truncated history)."""
     import pandas as pd
@@ -1709,69 +1710,84 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
                     df[c] = df[c].map(canon_cell)
             return t, df
 
-        frames: list[tuple[int, pd.DataFrame]] = []
+        # STREAMING interval walk: hold only the PREVIOUS resolved frame,
+        # the currently-open versions, and the closed-version output — not
+        # all E frames at once (O(rows + versions) memory, not O(E·rows);
+        # a 1000-epoch partition walks in bounded space). Each step diffs
+        # adjacent resolved states on the union key index — the same
+        # liveness/payload rule as read_changes, applied per epoch.
+        keep_cols: list[str] | None = None
         schema_t = None
+        prev_df: pd.DataFrame | None = None   # previous frame, key-indexed
+        open_v: pd.DataFrame | None = None    # open versions, key-indexed
+        closed: list[pd.DataFrame] = []       # closed versions (have _to)
+
+        def _dead(df: pd.DataFrame, idx) -> np.ndarray:
+            # absent = not live (a compacted-away tombstone is still dead)
+            return df["deleted"].reindex(idx).to_numpy(
+                dtype=object, na_value=True).astype(bool)
+
         for e, files in epoch_files:
             schema_t, df = resolve(files)
-            frames.append((e, df))
-        payload_cols = [c for c in schema_t.column_names
-                        if c not in (*kcols, seq_col, "deleted")]
-
-        parts = []
-        for e, df in frames:
-            df = df.copy()
-            df["_epoch"] = np.int64(e)
-            parts.append(df)
-        big = pd.concat(parts, ignore_index=True)
-        big = big.sort_values([*kcols, "_epoch"],
-                              kind="mergesort").reset_index(drop=True)
-        n = len(big)
+            if keep_cols is None:
+                keep_cols = [c for c in schema_t.column_names
+                             if c not in (*kcols, "deleted")]
+            cur = df.set_index(kcols)
+            if prev_df is None:
+                live_c = ~_dead(cur, cur.index)
+                open_v = cur.loc[live_c, keep_cols].copy()
+                open_v["_from"] = np.int64(e)
+                prev_df = cur
+                continue
+            keys_all = prev_df.index.union(cur.index)
+            live_p = keys_all.isin(prev_df.index) & ~_dead(prev_df, keys_all)
+            live_c = keys_all.isin(cur.index) & ~_dead(cur, keys_all)
+            pay_cols = [c for c in keep_cols if c != seq_col]
+            pay_diff = np.zeros(len(keys_all), dtype=bool)
+            for c in pay_cols:
+                a = prev_df[c].reindex(keys_all)
+                b = cur[c].reindex(keys_all)
+                both_null = a.isna().to_numpy() & b.isna().to_numpy()
+                pay_diff |= ~((a == b).to_numpy(dtype=bool, na_value=False)
+                              | both_null)
+            visible = (live_p != live_c) | (live_p & live_c & pay_diff)
+            if not visible.any():
+                prev_df = cur
+                continue
+            sel = keys_all[visible]
+            to_close = sel[live_p[visible]]
+            if len(to_close):
+                cl = open_v.loc[to_close].copy()
+                cl["_to"] = np.int64(e)
+                closed.append(cl)
+                open_v = open_v.drop(index=to_close)
+            to_open = sel[live_c[visible]]
+            if len(to_open):
+                nv = cur.loc[to_open, keep_cols].copy()
+                nv["_from"] = np.int64(e)
+                open_v = pd.concat([open_v, nv])
+            prev_df = cur
 
         def empty_out() -> pa.Table:
             cols: dict[str, pa.Array] = {}
             for k in kcols:
                 cols[k] = pa.array([], schema_t.schema.field(k).type)
-            for c in payload_cols:
-                cols[c] = pa.array([], schema_t.schema.field(c).type)
+            for c in (keep_cols or []):
+                if c != seq_col:
+                    cols[c] = pa.array([], schema_t.schema.field(c).type)
             cols[seq_col] = pa.array([], pa.int64())
             cols["valid_from_epoch"] = pa.array([], pa.int64())
             cols["valid_to_epoch"] = pa.array([], pa.int64())
             cols["is_current"] = pa.array([], pa.bool_())
             return pa.table(cols)
 
-        if n == 0:
+        if open_v is not None and len(open_v):
+            op = open_v.copy()
+            op["_to"] = np.nan
+            closed.append(op)
+        if not closed:
             return empty_out()
-
-        prev = big.shift(1)
-
-        def _null_safe_eq(cols: list[str]) -> np.ndarray:
-            eq = np.ones(n, dtype=bool)
-            for c in cols:
-                a, b = big[c], prev[c]
-                both_null = a.isna().to_numpy() & b.isna().to_numpy()
-                eq &= (a == b).to_numpy(dtype=bool, na_value=False) | both_null
-            return eq
-
-        same_key = _null_safe_eq(kcols)
-        pay_eq = (_null_safe_eq(payload_cols) if payload_cols
-                  else np.ones(n, dtype=bool))
-        live = ~big["deleted"].fillna(True).to_numpy(dtype=bool)
-        prev_live = np.concatenate([[False], live[:-1]])
-        # a key's first appearance is a change-from-nothing (visible only if
-        # live); within a key, a liveness edge or a live payload change
-        visible = np.where(
-            same_key,
-            (live != prev_live) | (live & prev_live & ~pay_eq),
-            live)
-
-        vis = big.loc[visible, [*kcols, *payload_cols, seq_col,
-                                "_epoch"]].copy()
-        if not len(vis):
-            return empty_out()
-        vis["_live"] = live[visible]
-        vis["_to"] = vis.groupby(kcols, sort=False, dropna=False)[
-            "_epoch"].shift(-1)
-        out = vis[vis["_live"]]
+        out = pd.concat(closed).reset_index()
 
         def null_cell(v):
             if v is None:
@@ -1784,7 +1800,7 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
                 return False
 
         cols = {}
-        for c in (*kcols, *payload_cols):
+        for c in (*kcols, *(c for c in keep_cols if c != seq_col)):
             ty = schema_t.schema.field(c).type
             cols[c] = pa.array(
                 [None if null_cell(v) else v for v in out[c]], type=ty)
@@ -1792,7 +1808,7 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
             [None if pd.isna(v) else int(v) for v in out[seq_col]],
             pa.int64())
         cols["valid_from_epoch"] = pa.array(
-            out["_epoch"].to_numpy(dtype=np.int64), pa.int64())
+            out["_from"].to_numpy(dtype=np.int64), pa.int64())
         cols["valid_to_epoch"] = pa.array(
             [None if pd.isna(v) else int(v) for v in out["_to"]], pa.int64())
         cols["is_current"] = pa.array(
