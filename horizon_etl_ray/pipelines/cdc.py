@@ -338,6 +338,20 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
     keys = list(cfg.key_columns)
     seq_col = cfg.seq_column
 
+    # The content column's spelling HISTORY: a schema-script rename of the
+    # content column means conformed batches carry it under a newer name —
+    # hashing only cfg.content_column would silently write null shas for
+    # every event after the rename (breaking the sha invariant and opening
+    # spurious feed/history versions). Prefer the most-evolved spelling
+    # present in the batch.
+    content_spellings = [cfg.content_column]
+    if cfg.schema_script is not None:
+        cur = cfg.content_column
+        for op in cfg.schema_script.ops:
+            if op["op"] == "rename_column" and op["from"] == cur:
+                cur = op["to"]
+                content_spellings.append(cur)
+
     def add_sha(winners: pa.Table) -> pa.Table:
         """Deferred content sha (validate runs with compute_sha=False): only
         WINNER rows are hashed — the combiner's dedup ratio is a free sha
@@ -346,8 +360,10 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
 
         if "content_sha256" in winners.column_names:
             return winners
-        if cfg.content_column in winners.column_names:
-            sha = sha256_column(winners[cfg.content_column])
+        ccol = next((c for c in reversed(content_spellings)
+                     if c in winners.column_names), None)
+        if ccol is not None:
+            sha = sha256_column(winners[ccol])
         else:
             sha = pa.nulls(len(winners), pa.string())
         return winners.append_column("content_sha256", sha)

@@ -1,0 +1,479 @@
+"""Materialized SCD-2 history table with INCREMENTAL refresh.
+
+``cdc.read_history`` walks the lake's committed epochs on demand — right
+for ad-hoc reads, but a serving dimension table wants the view
+MATERIALIZED and kept fresh in O(changes), the same discipline as
+``pipelines/mart.py``:
+
+  - ``build_history``  : full walk (optionally as of an epoch), persisted as
+    per-partition parquet under an atomic json pointer;
+  - ``refresh_history``: rolls the stored view forward over the epoch
+    window the lake committed since — ONLY the partitions the window's
+    records wrote are opened (the manifest's lineage names them; untouched
+    partitions carry their files forward by name), and each touched
+    partition diffs the window's resolved states against its stored OPEN
+    versions (which ARE the live state at the stored epoch), closing and
+    opening intervals exactly as the full walk would;
+  - ``read_history_table``: the stored view as a Dataset (closed ∪ open),
+    conformed to the pointer's schema version.
+
+Because refresh only reads the WINDOW's files, the materialized history
+survives ``ManifestStore.gc()`` of older epochs — the on-demand walk
+raises once history is reclaimed, the materialized table keeps serving
+the full interval record (this is why a warehouse materializes SCD-2
+instead of re-deriving it).
+
+Reference parity: the reference regenerates its exports from the whole
+DB each run (/root/reference/src/flows/exports/initiatives_analytics_mart.py:11-37)
+and keeps the change log as a row-store side table
+(src/tracking/entities/entity_change_log.py:8-40); this module is that
+audit surface kept columnar, partitioned and incrementally maintained.
+
+Storage layout (``hist_dir``)::
+
+    history.json                  # atomic pointer: epoch, files, counts
+    closed_e{E}_p{P}.parquet      # versions closed by refresh at epoch E
+    open_e{E}_p{P}.parquet        # partition P's open versions as of E
+
+Commit discipline (the manifest's): data files first, json pointer swap
+second, sweep unreferenced files last — a crash between the two leaves
+the pointer on the previous consistent view, and orphans are swept by
+the next successful commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.manifest import (
+    ManifestStore,
+    PartitionState,
+    atomic_write_json,
+    atomic_write_table,
+)
+
+_STATE_FILE = "history.json"
+
+
+def _canon_cell(v):
+    # list payload cells (vectors) → tuples: scalar-comparable and
+    # hashable; identical rationale to read_changes.diff_partition
+    if v is None:
+        return None
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def _canon_frame(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    for c in t.column_names:
+        ty = t.schema.field(c).type
+        if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
+                or pa.types.is_fixed_size_list(ty)):
+            df[c] = df[c].map(_canon_cell)
+    return df
+
+
+def _make_resolver(cfg_eff, script, version):
+    """Prefix-cached merge-on-read resolve: a delta partition's file list
+    at epoch e is a strict PREFIX of the list at e+1, and
+    resolve(resolved_state ∪ new_deltas) == resolve(all files) is the
+    merge-on-read contract itself — so each file is read and each event
+    reduced ONCE per walk, O(E) not O(E²). A cow rewrite or compaction
+    changes the base → prefix miss → full (1-file) read."""
+    import pyarrow.parquet as pq
+
+    from .cdc import _resolve_state_table
+
+    prev: dict = {"files": None, "table": None}
+
+    def resolve(files: list[str]) -> tuple[pa.Table, pd.DataFrame]:
+        if (prev["files"] is not None
+                and files[: len(prev["files"])] == prev["files"]
+                and len(files) > len(prev["files"])):
+            srcs = [prev["table"]] + [
+                pq.read_table(f) for f in files[len(prev["files"]):]]
+        else:
+            srcs = [pq.read_table(f) for f in files]
+        t = pa.concat_tables(srcs, promote_options="permissive")
+        t = _resolve_state_table(t, cfg_eff, script, version)
+        prev["files"], prev["table"] = files, t
+        if "part_id" in t.column_names:
+            t = t.drop_columns(["part_id"])
+        return t, _canon_frame(t)
+
+    return resolve
+
+
+def _walk_partition_history(epoch_files, cfg_eff, script, version,
+                            init_open: pd.DataFrame | None = None):
+    """The streaming SCD-2 interval walk over one partition's written
+    epochs. Holds only the previous resolved frame, the open versions and
+    the closed output — O(rows + versions) memory regardless of epoch
+    count. ``init_open``: key-indexed open versions at the window start
+    (columns: payload + seq + ``_from``); they ARE the live state then, so
+    the first window frame diffs against them. Returns
+    ``(closed, open, schema_t, keep_cols, changed)`` with closed/open as
+    reset-index frames (keys + payload + seq + ``_from`` [+ ``_to``])."""
+    kcols = list(cfg_eff.key_columns)
+    seq_col = cfg_eff.seq_column
+    resolve = _make_resolver(cfg_eff, script, version)
+
+    keep_cols: list[str] | None = None
+    schema_t = None
+    prev_df: pd.DataFrame | None = None   # previous frame, key-indexed
+    open_v: pd.DataFrame | None = None    # open versions, key-indexed
+    closed: list[pd.DataFrame] = []       # closed versions (have _to)
+    changed = False
+
+    def _dead(df: pd.DataFrame, idx) -> np.ndarray:
+        # absent = not live (a compacted-away tombstone is still dead)
+        return df["deleted"].reindex(idx).to_numpy(
+            dtype=object, na_value=True).astype(bool)
+
+    for e, files in epoch_files:
+        schema_t, df = resolve(files)
+        if keep_cols is None:
+            keep_cols = [c for c in schema_t.column_names
+                         if c not in (*kcols, "deleted")]
+            if init_open is not None:
+                open_v = init_open[[*keep_cols, "_from"]].copy()
+                prev_df = init_open[keep_cols].copy()
+                prev_df["deleted"] = False
+        cur = df.set_index(kcols)
+        if prev_df is None:
+            live_c = ~_dead(cur, cur.index)
+            open_v = cur.loc[live_c, keep_cols].copy()
+            open_v["_from"] = np.int64(e)
+            prev_df = cur
+            changed = changed or bool(live_c.any())
+            continue
+        keys_all = prev_df.index.union(cur.index)
+        live_p = keys_all.isin(prev_df.index) & ~_dead(prev_df, keys_all)
+        live_c = keys_all.isin(cur.index) & ~_dead(cur, keys_all)
+        pay_cols = [c for c in keep_cols if c != seq_col]
+        pay_diff = np.zeros(len(keys_all), dtype=bool)
+        for c in pay_cols:
+            a = prev_df[c].reindex(keys_all)
+            b = cur[c].reindex(keys_all)
+            both_null = a.isna().to_numpy() & b.isna().to_numpy()
+            pay_diff |= ~((a == b).to_numpy(dtype=bool, na_value=False)
+                          | both_null)
+        visible = (live_p != live_c) | (live_p & live_c & pay_diff)
+        if not visible.any():
+            prev_df = cur
+            continue
+        changed = True
+        sel = keys_all[visible]
+        to_close = sel[live_p[visible]]
+        if len(to_close):
+            cl = open_v.loc[to_close].copy()
+            cl["_to"] = np.int64(e)
+            closed.append(cl)
+            open_v = open_v.drop(index=to_close)
+        to_open = sel[live_c[visible]]
+        if len(to_open):
+            nv = cur.loc[to_open, keep_cols].copy()
+            nv["_from"] = np.int64(e)
+            open_v = pd.concat([open_v, nv])
+        prev_df = cur
+
+    closed_df = (pd.concat(closed).reset_index() if closed
+                 else pd.DataFrame())
+    open_df = (open_v.reset_index() if open_v is not None and len(open_v)
+               else pd.DataFrame())
+    return closed_df, open_df, schema_t, keep_cols, changed
+
+
+def _versions_to_table(out: pd.DataFrame, schema_t, keep_cols, kcols,
+                       seq_col) -> pa.Table:
+    """Interval frame (keys + payload + seq + _from [+ _to]) → typed Arrow
+    output (valid_from_epoch / valid_to_epoch / is_current)."""
+    def null_cell(v):
+        if v is None:
+            return True
+        if isinstance(v, tuple):
+            return False
+        try:
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False
+
+    if "_to" not in out.columns:
+        out = out.copy()
+        out["_to"] = np.nan
+    cols: dict[str, pa.Array] = {}
+    n = len(out)
+    for c in (*kcols, *(c for c in (keep_cols or []) if c != seq_col)):
+        ty = schema_t.schema.field(c).type
+        vals = out[c] if n else []
+        cols[c] = pa.array(
+            [None if null_cell(v) else v for v in vals], type=ty)
+    cols[seq_col] = pa.array(
+        [None if pd.isna(v) else int(v) for v in (out[seq_col] if n else [])],
+        pa.int64())
+    cols["valid_from_epoch"] = pa.array(
+        out["_from"].to_numpy(dtype=np.int64) if n else [], pa.int64())
+    cols["valid_to_epoch"] = pa.array(
+        [None if pd.isna(v) else int(v) for v in (out["_to"] if n else [])],
+        pa.int64())
+    cols["is_current"] = pa.array(
+        out["_to"].isna().to_numpy(dtype=bool) if n else [], pa.bool_())
+    return pa.table(cols)
+
+
+def history_state(hist_dir: str) -> dict | None:
+    import json
+
+    p = os.path.join(hist_dir, _STATE_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _window_partitions(store: ManifestStore, from_epoch: int, to_epoch: int
+                       ) -> dict[int, list[tuple[int, PartitionState]]]:
+    """part_id → [(epoch, state)] for epochs in (from, to] that WROTE the
+    partition (``ps.epoch == e``; compaction-carried byte-identical rows
+    are pruned — diffing them provably emits nothing)."""
+    window: dict[int, list[tuple[int, PartitionState]]] = {}
+    for rec in sorted(store.epoch_records(), key=lambda r: r["epoch"]):
+        e = int(rec["epoch"])
+        if e <= from_epoch or e > to_epoch:
+            continue
+        for d in rec["partitions"]:
+            ps = PartitionState(**d)
+            if ps.epoch == e:
+                window.setdefault(ps.part_id, []).append((e, ps))
+    return window
+
+
+def _check_files(store: ManifestStore, window, what: str) -> None:
+    needed = [f for evs in window.values() for _, ps in evs
+              for f in store.partition_data_files(ps)]
+    missing = [f for f in needed if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"{what} needs {missing[0]} (+{len(missing) - 1} more), "
+            "reclaimed by gc(); rerun gc with keep_epochs covering the "
+            "window")
+
+
+def _commit(hist_dir: str, pointer: dict) -> None:
+    atomic_write_json(os.path.join(hist_dir, _STATE_FILE), pointer)
+    keep = set(pointer["closed_files"]) | set(pointer["open_files"].values())
+    for f in os.listdir(hist_dir):
+        if (f.startswith(("closed_e", "open_e")) and f.endswith(".parquet")
+                and f not in keep):
+            try:
+                os.unlink(os.path.join(hist_dir, f))
+            except OSError:
+                pass
+
+
+def _run_walk_tasks(lake_dir: str, hist_dir: str, cfg_eff, window,
+                    to_eff: int, version: int,
+                    init_files: dict[int, str | None]) -> list[dict]:
+    """One Ray task per window-touched partition: walk, write this
+    partition's closed/open files, return their names + counts."""
+    import ray
+
+    store = ManifestStore(lake_dir)
+    script = cfg_eff.schema_script
+    kcols = list(cfg_eff.key_columns)
+    seq_col = cfg_eff.seq_column
+
+    @ray.remote(num_cpus=1)
+    def walk_task(pid: int, epoch_files, init_file: str | None) -> dict:
+        import pyarrow.parquet as pq
+
+        from ..stages.schema_evolution import conform_table
+
+        init_open = None
+        if init_file is not None:
+            t = pq.read_table(init_file)
+            if script is not None:
+                # stored under an older schema version: conform forward
+                t = conform_table(t, script, version)
+            df = _canon_frame(t).rename(columns={"valid_from_epoch": "_from"})
+            init_open = df.drop(
+                columns=["valid_to_epoch", "is_current"], errors="ignore"
+            ).set_index(kcols)
+        closed, open_, schema_t, keep_cols, changed = \
+            _walk_partition_history(epoch_files, cfg_eff, script, version,
+                                    init_open=init_open)
+        if not changed:
+            return {"part_id": pid, "carry": True,
+                    "closed": 0, "open": -1}
+        res = {"part_id": pid, "carry": False, "closed": len(closed),
+               "open": len(open_)}
+        if len(closed):
+            name = f"closed_e{to_eff}_p{pid}.parquet"
+            atomic_write_table(
+                os.path.join(hist_dir, name),
+                _versions_to_table(closed, schema_t, keep_cols, kcols,
+                                   seq_col))
+            res["closed_file"] = name
+        if len(open_):
+            name = f"open_e{to_eff}_p{pid}.parquet"
+            atomic_write_table(
+                os.path.join(hist_dir, name),
+                _versions_to_table(open_, schema_t, keep_cols, kcols,
+                                   seq_col))
+            res["open_file"] = name
+        return res
+
+    refs = [walk_task.remote(
+        pid, [(e, store.partition_data_files(ps)) for e, ps in evs],
+        init_files.get(pid))
+        for pid, evs in sorted(window.items())]
+    return ray.get(refs)
+
+
+def build_history(lake_dir: str, hist_dir: str, cfg=None,
+                  to_epoch: int | None = None) -> dict:
+    """Full SCD-2 walk of the lake (optionally AS OF ``to_epoch``),
+    materialized under ``hist_dir``. Needs the full file history on disk
+    (raises if gc() reclaimed it) — run it once, then ``refresh_history``
+    forever after."""
+    from .cdc import CdcConfig
+
+    cfg_eff = cfg or CdcConfig()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m.epoch < 0:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    to_eff = m.epoch if to_epoch is None else min(to_epoch, m.epoch)
+    window = _window_partitions(store, -1, to_eff)
+    _check_files(store, window, f"history build to epoch {to_eff}")
+    os.makedirs(hist_dir, exist_ok=True)
+    results = _run_walk_tasks(lake_dir, hist_dir, cfg_eff, window, to_eff,
+                              m.schema_version, {})
+    closed_files = sorted(r["closed_file"] for r in results
+                          if "closed_file" in r)
+    open_files = {str(r["part_id"]): r["open_file"] for r in results
+                  if "open_file" in r}
+    pointer = {
+        "epoch": to_eff, "schema_version": m.schema_version,
+        "lake_dir": os.path.abspath(lake_dir),
+        "key_columns": list(cfg_eff.key_columns),
+        "seq_column": cfg_eff.seq_column,
+        "closed_files": closed_files, "open_files": open_files,
+        "closed": int(sum(r["closed"] for r in results)),
+        "open": int(sum(max(r["open"], 0) for r in results)),
+    }
+    _commit(hist_dir, pointer)
+    return {"mode": "bootstrap", "epoch": to_eff,
+            "touched_partitions": len(window),
+            "closed": pointer["closed"], "open": pointer["open"]}
+
+
+def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
+    """Roll the materialized history forward over (stored, committed] —
+    O(changes): only window-touched partitions are opened; their stored
+    open versions seed the walk (they ARE the live state at the stored
+    epoch). Untouched partitions carry their files forward by name,
+    without being read."""
+    from .cdc import CdcConfig
+
+    cfg_eff = cfg or CdcConfig()
+    st = history_state(hist_dir)
+    if st is None:
+        raise FileNotFoundError(
+            f"no materialized history at {hist_dir}; run build_history "
+            "first")
+    if st["key_columns"] != list(cfg_eff.key_columns) \
+            or st["seq_column"] != cfg_eff.seq_column:
+        raise ValueError(
+            f"history at {hist_dir} was built with keys "
+            f"{st['key_columns']}/{st['seq_column']}, cfg has "
+            f"{list(cfg_eff.key_columns)}/{cfg_eff.seq_column}")
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    from_e = int(st["epoch"])
+    if m.epoch < from_e:
+        raise ValueError(
+            f"history at {hist_dir} is at epoch {from_e}, ahead of the "
+            f"lake's committed {m.epoch} — wrong lake?")
+    if m.epoch == from_e:
+        return {"mode": "noop", "epoch": from_e, "touched_partitions": 0,
+                "closed": 0, "open": st["open"]}
+    to_eff = m.epoch
+    window = _window_partitions(store, from_e, to_eff)
+    _check_files(store, window, f"history refresh ({from_e}, {to_eff}]")
+    init_files = {
+        pid: (os.path.join(hist_dir, st["open_files"][str(pid)])
+              if str(pid) in st["open_files"] else None)
+        for pid in window
+    }
+    results = _run_walk_tasks(lake_dir, hist_dir, cfg_eff, window, to_eff,
+                              m.schema_version, init_files)
+    closed_files = list(st["closed_files"])
+    open_files = dict(st["open_files"])
+    n_open = int(st["open"])
+    n_closed_total = int(st["closed"])
+    for r in results:
+        pid = str(r["part_id"])
+        if r["carry"]:
+            continue
+        if "closed_file" in r:
+            closed_files.append(r["closed_file"])
+        n_closed_total += r["closed"]
+        n_open -= _open_count(hist_dir, st, pid)
+        if "open_file" in r:
+            open_files[pid] = r["open_file"]
+            n_open += r["open"]
+        else:
+            open_files.pop(pid, None)
+    pointer = {**st, "epoch": to_eff, "schema_version": m.schema_version,
+               "closed_files": sorted(closed_files),
+               "open_files": open_files,
+               "closed": n_closed_total, "open": n_open}
+    _commit(hist_dir, pointer)
+    return {"mode": "incremental", "epoch": to_eff,
+            "touched_partitions": len(window),
+            "closed": int(sum(r["closed"] for r in results)),
+            "open": n_open}
+
+
+def _open_count(hist_dir: str, st: dict, pid: str) -> int:
+    """Row count of a partition's previous open file (parquet footer only)."""
+    name = st["open_files"].get(pid)
+    if name is None:
+        return 0
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(hist_dir, name)).num_rows
+
+
+def read_history_table(hist_dir: str, cfg=None):
+    """The materialized view as a Dataset (closed ∪ open versions),
+    conformed to the pointer's schema version (files written before a
+    DDL carry the old spelling until their partition is next touched)."""
+    import ray.data as rd
+
+    st = history_state(hist_dir)
+    if st is None:
+        raise FileNotFoundError(f"no materialized history at {hist_dir}")
+    files = [os.path.join(hist_dir, f) for f in st["closed_files"]]
+    files += [os.path.join(hist_dir, f)
+              for f in sorted(st["open_files"].values())]
+    if not files:
+        raise ValueError(
+            f"history at {hist_dir} is empty (epoch {st['epoch']} closed "
+            "with no versions); nothing to read")
+    ds = rd.read_parquet(files)
+    script = (cfg.schema_script if cfg is not None else None)
+    if script is not None:
+        from ..stages.schema_evolution import conform_table
+
+        version = int(st["schema_version"])
+        ds = ds.map_batches(lambda t: conform_table(t, script, version),
+                            batch_format="pyarrow", batch_size=None)
+    return ds

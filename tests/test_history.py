@@ -201,6 +201,47 @@ def test_compaction_alone_opens_no_versions(tmp_path):
     pd.testing.assert_frame_equal(before, after)
 
 
+@pytest.mark.parametrize("mode", ["cow", "delta"])
+def test_history_across_schema_evolution(tmp_path, mode):
+    """DDL mid-history: versions are diffs of CONFORMED states, so an
+    add_column shows as a real payload change (null→value opens a new
+    version), a rename does NOT fabricate one (old spelling coalesces into
+    the new name), and every version row carries the CURRENT schema."""
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    lake = str(tmp_path / "lake")
+    script = SchemaScript.from_json(
+        base_fields=[("repo", pa.string()), ("path", pa.string()),
+                     ("content", pa.string())],
+        script=[{"epoch": 2, "op": "add_column", "name": "size",
+                 "type": "int64"},
+                {"epoch": 3, "op": "rename_column", "from": "content",
+                 "to": "body"}])
+    cfg = CdcConfig(num_partitions=2, schema_script=script, write_mode=mode)
+    apply_epoch(_ev([
+        {"repo": "r", "path": "A", "seq": 1, "op": "update",
+         "content": "a1"},
+        {"repo": "r", "path": "B", "seq": 2, "op": "update",
+         "content": "b1"}]), lake, 1, cfg)
+    apply_epoch(_ev([
+        {"repo": "r", "path": "A", "seq": 10, "op": "update",
+         "content": "a2", "size": 5}]), lake, 2, cfg)
+    # epoch 3: only a re-assertion of A's IDENTICAL visible state under the
+    # renamed spelling — the rename itself must not open a version
+    apply_epoch(_ev([
+        {"repo": "r", "path": "A", "seq": 20, "op": "update",
+         "body": "a2", "size": 5}]), lake, 3, cfg)
+    df = _hist(lake, cfg)
+    assert "body" in df.columns and "content" not in df.columns
+    a = df[df["path"] == "A"]
+    assert list(a["body"]) == ["a1", "a2"]  # epoch 3 opened nothing
+    assert list(a["valid_from_epoch"]) == [1, 2]
+    assert list(pd.isna(a["size"])) == [True, False]
+    b = df[df["path"] == "B"]  # untouched by any DDL epoch: one version,
+    assert len(b) == 1 and b["body"].iloc[0] == "b1"  # conformed via rename
+    assert bool(b["is_current"].iloc[0]) and pd.isna(b["size"].iloc[0])
+
+
 def test_gc_reclaimed_history_raises(scripted_lake):
     lake, cfg = scripted_lake
     ManifestStore(lake).gc(keep_epochs=0)

@@ -1,0 +1,200 @@
+"""Materialized SCD-2 history (pipelines/history.py): bootstrap + refresh
+== the on-demand full walk, O(touched-partitions) refresh (untouched lake
+files never opened), gc survival, DDL windows, commit atomicity."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from horizon_etl_ray.pipelines.cdc import (
+    CdcConfig,
+    apply_epoch,
+    read_history,
+    replay,
+)
+from horizon_etl_ray.pipelines.history import (
+    build_history,
+    history_state,
+    read_history_table,
+    refresh_history,
+)
+from horizon_etl_ray.sources.generator import EventGenConfig, write_events
+from horizon_etl_ray.state.manifest import ManifestStore
+
+
+def _ev(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _row(path, seq, op, content):
+    return {"repo": "r", "path": path, "seq": seq, "op": op,
+            "content": content}
+
+
+CFG = dict(num_partitions=4, payload_columns=("repo", "path", "content"))
+
+
+def _canon(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return (df[sorted(df.columns)]
+            .sort_values(["repo", "path", "valid_from_epoch"])
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("mode", ["cow", "delta"])
+def test_bootstrap_plus_refresh_equals_full_walk(tmp_path, mode):
+    gen = EventGenConfig(n_keys=100, n_events=1600, seed=13, epoch_size=400,
+                         p_delete=0.25, content_mean_bytes=32)
+    ev, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_events(gen, ev)
+    cfg = CdcConfig(num_partitions=8, write_mode=mode)
+    replay(ev, lake, cfg, mode="incremental")
+    final = ManifestStore(lake).committed_epoch()
+    assert final >= 2
+    hist = str(tmp_path / "hist")
+    st = build_history(lake, hist, cfg=cfg, to_epoch=1)
+    assert st["mode"] == "bootstrap" and st["epoch"] == 1
+    st = refresh_history(lake, hist, cfg=cfg)
+    assert st["mode"] == "incremental" and st["epoch"] == final
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)),
+        _canon(read_history(lake, cfg=cfg)))
+    # already current → noop, view unchanged
+    st2 = refresh_history(lake, hist, cfg=cfg)
+    assert st2["mode"] == "noop"
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)),
+        _canon(read_history(lake, cfg=cfg)))
+    # pointer counts match the stored view
+    stt = history_state(hist)
+    df = read_history_table(hist, cfg=cfg).to_pandas()
+    assert stt["open"] == int(df["is_current"].sum())
+    assert stt["closed"] == int((~df["is_current"]).sum())
+
+
+def test_refresh_opens_only_touched_partitions(tmp_path):
+    """Epoch 2 touches ONE key → one partition; every other partition's
+    LAKE files are corrupted after bootstrap, and refresh must still
+    succeed and keep serving those partitions' versions from the carried
+    history files."""
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row(f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(40)]), lake, 1, cfg)
+    build_history(lake, hist, cfg=cfg)
+    apply_epoch(_ev([_row("k0", 100, "update", "v0-new")]), lake, 2, cfg)
+
+    store = ManifestStore(lake)
+    m = store.load()
+    rec2 = [r for r in store.epoch_records() if r["epoch"] == 2]
+    touched = {p["part_id"] for p in rec2[0]["partitions"]}
+    assert len(touched) == 1
+    for pid, ps in m.partitions.items():
+        if pid in touched:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "wb") as fh:
+                fh.write(b"corrupted")
+    st = refresh_history(lake, hist, cfg=cfg)
+    assert st["mode"] == "incremental" and st["touched_partitions"] == 1
+    df = read_history_table(hist, cfg=cfg).to_pandas()
+    assert len(df) == 41  # 40 originals + k0's new version
+    k0 = df[df["path"] == "k0"].sort_values("valid_from_epoch")
+    assert list(k0["content"]) == ["v0", "v0-new"]
+    assert list(k0["is_current"]) == [False, True]
+    others = df[df["path"] != "k0"]
+    assert others["is_current"].all()  # carried untouched, still served
+
+
+def test_materialized_history_survives_gc(tmp_path, scripted_rows=None):
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("A", 1, "update", "a1"),
+                     _row("B", 2, "update", "b1")]), lake, 1, cfg)
+    apply_epoch(_ev([_row("A", 10, "update", "a2")]), lake, 2, cfg)
+    build_history(lake, hist, cfg=cfg)
+    full = _canon(read_history_table(hist, cfg=cfg))
+    ManifestStore(lake).gc(keep_epochs=0)
+    # the on-demand walk is dead…
+    with pytest.raises(FileNotFoundError, match="reclaimed"):
+        read_history(lake, cfg=cfg)
+    # …the materialized table keeps serving the full interval record
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)), full)
+    # and keeps rolling forward over NEW epochs
+    apply_epoch(_ev([_row("A", 20, "delete", None)]), lake, 3, cfg)
+    st = refresh_history(lake, hist, cfg=cfg)
+    assert st["mode"] == "incremental"
+    a = (read_history_table(hist, cfg=cfg).to_pandas()
+         .sort_values(["path", "valid_from_epoch"]))
+    a = a[a["path"] == "A"]
+    assert list(a["valid_to_epoch"].fillna(-1)) == [2, 3]
+    assert not a["is_current"].any()
+
+
+def test_refresh_across_schema_evolution(tmp_path):
+    """A DDL inside the refresh window: refreshed partitions write the new
+    schema, untouched partitions carry old-schema files which conform at
+    read — the table must still equal the full walk exactly."""
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    script = SchemaScript.from_json(
+        base_fields=[("repo", pa.string()), ("path", pa.string()),
+                     ("content", pa.string())],
+        script=[{"epoch": 2, "op": "add_column", "name": "size",
+                 "type": "int64"},
+                {"epoch": 3, "op": "rename_column", "from": "content",
+                 "to": "body"}])
+    cfg = CdcConfig(num_partitions=4, schema_script=script)
+    apply_epoch(_ev([_row(f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(20)]), lake, 1, cfg)
+    build_history(lake, hist, cfg=cfg)
+    apply_epoch(_ev([{"repo": "r", "path": "k0", "seq": 100, "op": "update",
+                      "content": "v0b", "size": 7}]), lake, 2, cfg)
+    apply_epoch(_ev([{"repo": "r", "path": "k1", "seq": 200, "op": "update",
+                      "body": "v1b", "size": 8}]), lake, 3, cfg)
+    st = refresh_history(lake, hist, cfg=cfg)
+    assert st["mode"] == "incremental"
+    got = _canon(read_history_table(hist, cfg=cfg))
+    assert "body" in got.columns and "content" not in got.columns
+    pd.testing.assert_frame_equal(got, _canon(read_history(lake, cfg=cfg)))
+
+
+def test_fences(tmp_path):
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    with pytest.raises(FileNotFoundError, match="build_history"):
+        refresh_history(lake, hist, cfg=cfg)
+    apply_epoch(_ev([_row("A", 1, "update", "a1")]), lake, 1, cfg)
+    build_history(lake, hist, cfg=cfg)
+    with pytest.raises(ValueError, match="built with keys"):
+        refresh_history(lake, hist, cfg=CdcConfig(
+            key_columns=("path",), num_partitions=4))
+    # history ahead of the lake (e.g. pointed at the wrong/older lake)
+    lake2 = str(tmp_path / "lake2")
+    apply_epoch(_ev([_row("A", 1, "update", "a1")]), lake2, 0, cfg)
+    with pytest.raises(ValueError, match="ahead of the lake"):
+        refresh_history(lake2, hist, cfg=cfg)
+
+
+def test_orphaned_files_swept_on_next_commit(tmp_path):
+    """A crash between data-file write and pointer swap leaves orphans;
+    the next successful commit sweeps them and the view stays exact."""
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("A", 1, "update", "a1")]), lake, 1, cfg)
+    build_history(lake, hist, cfg=cfg)
+    orphan = os.path.join(hist, "closed_e99_p0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"crashed-before-pointer-swap")
+    apply_epoch(_ev([_row("A", 10, "update", "a2")]), lake, 2, cfg)
+    st = refresh_history(lake, hist, cfg=cfg)
+    assert st["mode"] == "incremental"
+    assert not os.path.exists(orphan)
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)),
+        _canon(read_history(lake, cfg=cfg)))
