@@ -1689,105 +1689,25 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
     @ray.remote(num_cpus=1)
     def history_partition(epoch_files: list[tuple[int, list[str]]]
                           ) -> pa.Table:
-        import pyarrow.parquet as pq
+        # the walk itself is shared with the MATERIALIZED history
+        # (pipelines/history.py): streaming interval diff, O(rows +
+        # versions) memory regardless of epoch count
+        from .history import _versions_to_table, _walk_partition_history
 
-        def canon_cell(v):
-            # list payload cells (vectors) → tuples: scalar-comparable,
-            # identical rationale to read_changes.diff_partition
-            if v is None:
-                return None
-            if isinstance(v, (list, np.ndarray)):
-                return tuple(canon_cell(x) for x in v)
-            return v
+        closed, open_, schema_t, keep_cols, _ = _walk_partition_history(
+            epoch_files, cfg_eff, script, version)
+        import pandas as pd
 
-        # incremental state roll — the merge-on-read contract, same as
-        # read_changes: each delta file is read and reduced ONCE
-        prev_state: tuple[list[str], pa.Table] | None = None
-
-        def resolve(files: list[str]):
-            nonlocal prev_state
-            if (prev_state is not None
-                    and files[: len(prev_state[0])] == prev_state[0]
-                    and len(files) > len(prev_state[0])):
-                srcs = [prev_state[1]] + [
-                    pq.read_table(f) for f in files[len(prev_state[0]):]]
-            else:
-                srcs = [pq.read_table(f) for f in files]
-            t = pa.concat_tables(srcs, promote_options="permissive")
-            t = _resolve_state_table(t, cfg_eff, script, version)
-            prev_state = (files, t)
-            if "part_id" in t.column_names:
-                t = t.drop_columns(["part_id"])
-            df = t.to_pandas()
-            for c in t.column_names:
-                ty = t.schema.field(c).type
-                if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
-                        or pa.types.is_fixed_size_list(ty)):
-                    df[c] = df[c].map(canon_cell)
-            return t, df
-
-        # STREAMING interval walk: hold only the PREVIOUS resolved frame,
-        # the currently-open versions, and the closed-version output — not
-        # all E frames at once (O(rows + versions) memory, not O(E·rows);
-        # a 1000-epoch partition walks in bounded space). Each step diffs
-        # adjacent resolved states on the union key index — the same
-        # liveness/payload rule as read_changes, applied per epoch.
-        keep_cols: list[str] | None = None
-        schema_t = None
-        prev_df: pd.DataFrame | None = None   # previous frame, key-indexed
-        open_v: pd.DataFrame | None = None    # open versions, key-indexed
-        closed: list[pd.DataFrame] = []       # closed versions (have _to)
-
-        def _dead(df: pd.DataFrame, idx) -> np.ndarray:
-            # absent = not live (a compacted-away tombstone is still dead)
-            return df["deleted"].reindex(idx).to_numpy(
-                dtype=object, na_value=True).astype(bool)
-
-        for e, files in epoch_files:
-            schema_t, df = resolve(files)
-            if keep_cols is None:
-                keep_cols = [c for c in schema_t.column_names
-                             if c not in (*kcols, "deleted")]
-            cur = df.set_index(kcols)
-            if prev_df is None:
-                live_c = ~_dead(cur, cur.index)
-                open_v = cur.loc[live_c, keep_cols].copy()
-                open_v["_from"] = np.int64(e)
-                prev_df = cur
-                continue
-            keys_all = prev_df.index.union(cur.index)
-            live_p = keys_all.isin(prev_df.index) & ~_dead(prev_df, keys_all)
-            live_c = keys_all.isin(cur.index) & ~_dead(cur, keys_all)
-            pay_cols = [c for c in keep_cols if c != seq_col]
-            pay_diff = np.zeros(len(keys_all), dtype=bool)
-            for c in pay_cols:
-                a = prev_df[c].reindex(keys_all)
-                b = cur[c].reindex(keys_all)
-                both_null = a.isna().to_numpy() & b.isna().to_numpy()
-                pay_diff |= ~((a == b).to_numpy(dtype=bool, na_value=False)
-                              | both_null)
-            visible = (live_p != live_c) | (live_p & live_c & pay_diff)
-            if not visible.any():
-                prev_df = cur
-                continue
-            sel = keys_all[visible]
-            to_close = sel[live_p[visible]]
-            if len(to_close):
-                cl = open_v.loc[to_close].copy()
-                cl["_to"] = np.int64(e)
-                closed.append(cl)
-                open_v = open_v.drop(index=to_close)
-            to_open = sel[live_c[visible]]
-            if len(to_open):
-                nv = cur.loc[to_open, keep_cols].copy()
-                nv["_from"] = np.int64(e)
-                open_v = pd.concat([open_v, nv])
-            prev_df = cur
-
-        def empty_out() -> pa.Table:
-            cols: dict[str, pa.Array] = {}
-            for k in kcols:
-                cols[k] = pa.array([], schema_t.schema.field(k).type)
+        parts = []
+        if len(closed):
+            parts.append(closed)
+        if len(open_):
+            op = open_.copy()
+            op["_to"] = np.nan
+            parts.append(op)
+        if not parts:
+            cols = {k: pa.array([], schema_t.schema.field(k).type)
+                    for k in kcols}
             for c in (keep_cols or []):
                 if c != seq_col:
                     cols[c] = pa.array([], schema_t.schema.field(c).type)
@@ -1796,40 +1716,8 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
             cols["valid_to_epoch"] = pa.array([], pa.int64())
             cols["is_current"] = pa.array([], pa.bool_())
             return pa.table(cols)
-
-        if open_v is not None and len(open_v):
-            op = open_v.copy()
-            op["_to"] = np.nan
-            closed.append(op)
-        if not closed:
-            return empty_out()
-        out = pd.concat(closed).reset_index()
-
-        def null_cell(v):
-            if v is None:
-                return True
-            if isinstance(v, tuple):
-                return False
-            try:
-                return bool(pd.isna(v))
-            except (TypeError, ValueError):
-                return False
-
-        cols = {}
-        for c in (*kcols, *(c for c in keep_cols if c != seq_col)):
-            ty = schema_t.schema.field(c).type
-            cols[c] = pa.array(
-                [None if null_cell(v) else v for v in out[c]], type=ty)
-        cols[seq_col] = pa.array(
-            [None if pd.isna(v) else int(v) for v in out[seq_col]],
-            pa.int64())
-        cols["valid_from_epoch"] = pa.array(
-            out["_from"].to_numpy(dtype=np.int64), pa.int64())
-        cols["valid_to_epoch"] = pa.array(
-            [None if pd.isna(v) else int(v) for v in out["_to"]], pa.int64())
-        cols["is_current"] = pa.array(
-            out["_to"].isna().to_numpy(dtype=bool), pa.bool_())
-        return pa.table(cols)
+        return _versions_to_table(pd.concat(parts, ignore_index=True),
+                                  schema_t, keep_cols, kcols, seq_col)
 
     refs = [history_partition.remote(
         [(e, store.partition_data_files(ps)) for e, ps in evs])

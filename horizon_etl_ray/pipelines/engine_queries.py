@@ -346,23 +346,35 @@ def cdc_change_feed_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 def cdc_scd2_lineitem(sf_dir: str) -> pd.DataFrame:
-    """SCD-2 history view through the FULL engine (round 5, session 6): the
-    per-key VERSION intervals (``cdc.read_history``) of the 4-epoch
-    incremental lineitem replay — one row per visible state each key ever
-    held, valid ``[valid_from_epoch, valid_to_epoch)``, ``is_current`` on
-    the open version. Deletes close intervals without opening one; seq-only
-    re-assertions of identical content open nothing. Oracle: DuckDB
-    reconstructs the same versions from the raw events with a running-max
-    LWW window (per-epoch winner → winner-changes → visible-changes →
-    lead() interval close). Reference analog: the per-entity change log
+    """SCD-2 history through the FULL engine (round 5, session 6): per-key
+    VERSION intervals of the 4-epoch incremental lineitem replay — one row
+    per visible state each key ever held, valid ``[valid_from_epoch,
+    valid_to_epoch)``, ``is_current`` on the open version. Deletes close
+    intervals without opening one; seq-only re-assertions of identical
+    content open nothing. Like the mart rows, this gates the INCREMENTAL
+    maintenance path: ``build_history`` bootstraps the materialized table
+    AS OF epoch 2, ``refresh_history`` rolls it over (2, 4] touching only
+    the partitions those epochs wrote — green only if bootstrap + pruned
+    refresh reproduces the complete interval record (the same walk serves
+    ``cdc.read_history``, and equality with it is test-pinned). Oracle:
+    DuckDB reconstructs every version from the raw events with a
+    running-max LWW window. Reference analog: the per-entity change log
     (entity_change_log.py:8-40) read back as intervals."""
-    from .cdc import read_history
+    from .history import build_history, read_history_table, refresh_history
 
     base = _run_base("scd2")
     try:
         lake_dir, cfg = _replay_lineitem(sf_dir, base)
+        hist_dir = os.path.join(base, "hist")
+        build_history(lake_dir, hist_dir, cfg=cfg, to_epoch=2)
+        st = refresh_history(lake_dir, hist_dir, cfg=cfg)
+        if st["mode"] != "incremental" or st["epoch"] != _EPOCHS:
+            # not assert: the gate must fail loudly even under python -O
+            raise ValueError(
+                f"history refresh did not take the incremental path to "
+                f"epoch {_EPOCHS}: {st}")
         out = (
-            read_history(lake_dir, cfg=cfg)
+            read_history_table(hist_dir, cfg=cfg)
             .select_columns(["l_partkey", "l_suppkey", "content", "seq",
                              "valid_from_epoch", "valid_to_epoch",
                              "is_current"])

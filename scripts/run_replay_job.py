@@ -74,6 +74,12 @@ def main() -> int:
     ap.add_argument("--history-out", default=None, metavar="DIR",
                     help="with --history: also write the view as parquet "
                          "to DIR (the dimension-table handoff)")
+    ap.add_argument("--history-table", default=None, metavar="DIR",
+                    help="maintain a MATERIALIZED SCD-2 history at DIR: "
+                         "bootstrap (full walk) when absent, else refresh "
+                         "incrementally — only window-touched partitions "
+                         "are opened, and the table survives gc of old "
+                         "epochs")
     ap.add_argument("--mart", default=None, metavar="DIR",
                     help="maintain an additive group-by mart at DIR: "
                          "bootstrap (full build) when absent, else refresh "
@@ -201,6 +207,19 @@ def main() -> int:
             current += int(b["is_current"].sum())
         out["history"] = {"to_epoch": args.history_to, "versions": versions,
                           "current": current}
+    if args.history_table:
+        from horizon_etl_ray.pipelines.history import (
+            build_history,
+            history_state,
+            refresh_history,
+        )
+
+        if history_state(args.history_table) is None:
+            out["history_table"] = build_history(
+                args.lake, args.history_table, cfg=cfg)
+        else:
+            out["history_table"] = refresh_history(
+                args.lake, args.history_table, cfg=cfg)
     if args.mart:
         from horizon_etl_ray.pipelines.mart import (
             MartSpec,
