@@ -267,7 +267,8 @@ def _check_files(store: ManifestStore, window, what: str) -> None:
 
 def _commit(hist_dir: str, pointer: dict) -> None:
     atomic_write_json(os.path.join(hist_dir, _STATE_FILE), pointer)
-    keep = set(pointer["closed_files"]) | set(pointer["open_files"].values())
+    keep = {f for fs in pointer["closed_files"].values() for f in fs}
+    keep |= set(pointer["open_files"].values())
     for f in os.listdir(hist_dir):
         if (f.startswith(("closed_e", "open_e")) and f.endswith(".parquet")
                 and f not in keep):
@@ -355,8 +356,8 @@ def build_history(lake_dir: str, hist_dir: str, cfg=None,
     os.makedirs(hist_dir, exist_ok=True)
     results = _run_walk_tasks(lake_dir, hist_dir, cfg_eff, window, to_eff,
                               m.schema_version, {})
-    closed_files = sorted(r["closed_file"] for r in results
-                          if "closed_file" in r)
+    closed_files = {str(r["part_id"]): [r["closed_file"]]
+                    for r in results if "closed_file" in r}
     open_files = {str(r["part_id"]): r["open_file"] for r in results
                   if "open_file" in r}
     pointer = {
@@ -364,6 +365,7 @@ def build_history(lake_dir: str, hist_dir: str, cfg=None,
         "lake_dir": os.path.abspath(lake_dir),
         "key_columns": list(cfg_eff.key_columns),
         "seq_column": cfg_eff.seq_column,
+        "num_partitions": int(m.num_partitions or cfg_eff.num_partitions),
         "closed_files": closed_files, "open_files": open_files,
         "closed": int(sum(r["closed"] for r in results)),
         "open": int(sum(max(r["open"], 0) for r in results)),
@@ -414,7 +416,7 @@ def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
     }
     results = _run_walk_tasks(lake_dir, hist_dir, cfg_eff, window, to_eff,
                               m.schema_version, init_files)
-    closed_files = list(st["closed_files"])
+    closed_files = {pid: list(fs) for pid, fs in st["closed_files"].items()}
     open_files = dict(st["open_files"])
     n_open = int(st["open"])
     n_closed_total = int(st["closed"])
@@ -423,7 +425,7 @@ def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
         if r["carry"]:
             continue
         if "closed_file" in r:
-            closed_files.append(r["closed_file"])
+            closed_files.setdefault(pid, []).append(r["closed_file"])
         n_closed_total += r["closed"]
         n_open -= _open_count(hist_dir, st, pid)
         if "open_file" in r:
@@ -432,7 +434,7 @@ def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
         else:
             open_files.pop(pid, None)
     pointer = {**st, "epoch": to_eff, "schema_version": m.schema_version,
-               "closed_files": sorted(closed_files),
+               "closed_files": closed_files,
                "open_files": open_files,
                "closed": n_closed_total, "open": n_open}
     _commit(hist_dir, pointer)
@@ -461,7 +463,8 @@ def read_history_table(hist_dir: str, cfg=None):
     st = history_state(hist_dir)
     if st is None:
         raise FileNotFoundError(f"no materialized history at {hist_dir}")
-    files = [os.path.join(hist_dir, f) for f in st["closed_files"]]
+    files = [os.path.join(hist_dir, f)
+             for fs in st["closed_files"].values() for f in sorted(fs)]
     files += [os.path.join(hist_dir, f)
               for f in sorted(st["open_files"].values())]
     if not files:
@@ -477,3 +480,87 @@ def read_history_table(hist_dir: str, cfg=None):
         ds = ds.map_batches(lambda t: conform_table(t, script, version),
                             batch_format="pyarrow", batch_size=None)
     return ds
+
+
+def read_history_keys(hist_dir: str, keys, cfg=None):
+    """Key-routed point lookup into the MATERIALIZED history: the full
+    version record of SPECIFIC keys, opening only the partitions that own
+    them (the pointer records the lake's routing width — same scheme as
+    ``cdc.read_lake_keys``, so a 3-key audit query reads 3 partitions'
+    files, not the whole table). ``keys``: scalars (single key column) or
+    tuples in ``key_columns`` order. Key python types must match the
+    stored key columns (cast when same type group, raise when not —
+    mistyped keys would hash to the wrong partition and come back silently
+    empty)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..functions.hashing import partition_ids
+    from .cdc import _type_group
+
+    st = history_state(hist_dir)
+    if st is None:
+        raise FileNotFoundError(f"no materialized history at {hist_dir}")
+    kcols = list(st["key_columns"])
+    nparts = int(st["num_partitions"])
+
+    rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+    rows = list(dict.fromkeys(rows))
+    if len(rows) == 0:
+        raise ValueError("read_history_keys needs at least one key")
+    if any(len(r) != len(kcols) for r in rows):
+        raise ValueError(f"keys must have {len(kcols)} parts ({kcols})")
+    ktab = pa.table({c: pa.array([r[i] for r in rows])
+                     for i, c in enumerate(kcols)})
+    all_files = {pid: sorted(fs) for pid, fs in st["closed_files"].items()}
+    for pid, f in st["open_files"].items():
+        all_files.setdefault(pid, []).append(f)
+    stored_schema = None
+    for pid in sorted(all_files):
+        try:
+            stored_schema = pq.read_schema(
+                os.path.join(hist_dir, all_files[pid][0]))
+            break
+        except Exception:
+            continue
+    if stored_schema is not None:
+        cast_cols = {}
+        for c in kcols:
+            have, want = ktab[c].type, stored_schema.field(c).type
+            if _type_group(have) != _type_group(want):
+                raise TypeError(
+                    f"key column {c!r}: caller passed {have} but the "
+                    f"history stores {want} — routing would silently "
+                    "miss; pass keys with the stored types")
+            cast_cols[c] = ktab[c].cast(want)
+        ktab = pa.table(cast_cols)
+    pids = partition_ids(ktab, kcols, nparts)
+    owned = sorted({str(int(p)) for p in pids} & set(all_files))
+    kdf = ktab.to_pandas()
+
+    def exact(t: pa.Table) -> pa.Table:
+        # exact composite-key semi-join against the (small) key frame
+        df = t.select(kcols).to_pandas().reset_index(drop=True)
+        idx = df.reset_index().merge(kdf, on=kcols)["index"].to_numpy()
+        return (t.take(pa.array(np.sort(idx))) if len(idx)
+                else t.slice(0, 0))
+
+    if not owned:
+        # typed empty from any stored footer (absent keys are a result,
+        # not an error)
+        if stored_schema is None:
+            raise ValueError(f"history at {hist_dir} has no readable files")
+        empty = stored_schema.empty_table()
+        return rd.from_arrow(empty)
+    files = [os.path.join(hist_dir, f) for pid in owned
+             for f in all_files[pid]]
+    ds = rd.read_parquet(files)
+    script = (cfg.schema_script if cfg is not None else None)
+    if script is not None:
+        from ..stages.schema_evolution import conform_table
+
+        version = int(st["schema_version"])
+        ds = ds.map_batches(lambda t: conform_table(t, script, version),
+                            batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(exact, batch_format="pyarrow")

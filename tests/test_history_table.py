@@ -198,3 +198,51 @@ def test_orphaned_files_swept_on_next_commit(tmp_path):
     pd.testing.assert_frame_equal(
         _canon(read_history_table(hist, cfg=cfg)),
         _canon(read_history(lake, cfg=cfg)))
+
+
+def test_read_history_keys_opens_only_owning_partitions(tmp_path):
+    from horizon_etl_ray.pipelines.history import read_history_keys
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row(f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(40)]), lake, 1, cfg)
+    apply_epoch(_ev([_row("k0", 100, "update", "v0-new"),
+                     _row("k1", 101, "delete", None)]), lake, 2, cfg)
+    build_history(lake, hist, cfg=cfg)
+    st = history_state(hist)
+
+    # absent key → empty result, not an error; mistyped key → TypeError
+    # (before the corruption below: an absent key legitimately routes to
+    # and reads its would-be owning partition)
+    assert read_history_keys(hist, [("r", "nope")], cfg=cfg).count() == 0
+    with pytest.raises(TypeError, match="routing would silently miss"):
+        read_history_keys(hist, [("r", 7)], cfg=cfg)
+
+    # route the probe keys, then corrupt every NON-owning partition's files
+    from horizon_etl_ray.functions.hashing import partition_ids
+    ktab = pa.Table.from_pylist([{"repo": "r", "path": "k0"},
+                                 {"repo": "r", "path": "k1"}])
+    owned = {str(int(p)) for p in partition_ids(
+        ktab, ["repo", "path"], int(st["num_partitions"]))}
+    for pid, fs in st["closed_files"].items():
+        if pid in owned:
+            continue
+        for f in fs:
+            with open(os.path.join(hist, f), "wb") as fh:
+                fh.write(b"corrupted")
+    for pid, f in st["open_files"].items():
+        if pid in owned:
+            continue
+        with open(os.path.join(hist, f), "wb") as fh:
+            fh.write(b"corrupted")
+
+    df = (read_history_keys(hist, [("r", "k0"), ("r", "k1")], cfg=cfg)
+          .to_pandas().sort_values(["path", "valid_from_epoch"])
+          .reset_index(drop=True))
+    k0 = df[df["path"] == "k0"]
+    assert list(k0["content"]) == ["v0", "v0-new"]
+    assert list(k0["is_current"]) == [False, True]
+    k1 = df[df["path"] == "k1"]  # deleted: closed interval, none current
+    assert list(k1["valid_to_epoch"]) == [2]
+    assert not k1["is_current"].any()
