@@ -280,47 +280,77 @@ def _commit(hist_dir: str, pointer: dict) -> None:
 
 def _run_walk_tasks(lake_dir: str, hist_dir: str, cfg_eff, window,
                     to_eff: int, version: int,
-                    init_files: dict[int, str | None]) -> list[dict]:
+                    init_files: dict[int, str | None],
+                    prev_closed: dict[int, list[str]] | None = None,
+                    compact_threshold: int = 8) -> list[dict]:
     """One Ray task per window-touched partition: walk, write this
-    partition's closed/open files, return their names + counts."""
+    partition's closed/open files, return their names + counts. When a
+    touched partition's closed-file count would exceed
+    ``compact_threshold``, the task folds them into ONE file (conformed
+    forward) — a tail-follow refreshing every epoch stays bounded at
+    O(threshold) files per partition instead of one per refresh."""
     import ray
 
     store = ManifestStore(lake_dir)
     script = cfg_eff.schema_script
     kcols = list(cfg_eff.key_columns)
     seq_col = cfg_eff.seq_column
+    prev_closed = prev_closed or {}
 
     @ray.remote(num_cpus=1)
-    def walk_task(pid: int, epoch_files, init_file: str | None) -> dict:
+    def walk_task(pid: int, epoch_files, init_file: str | None,
+                  prev_closed_names: list[str]) -> dict:
         import pyarrow.parquet as pq
 
         from ..stages.schema_evolution import conform_table
 
-        init_open = None
-        if init_file is not None:
-            t = pq.read_table(init_file)
+        def load(name_or_path: str) -> pa.Table:
+            t = pq.read_table(name_or_path)
             if script is not None:
                 # stored under an older schema version: conform forward
                 t = conform_table(t, script, version)
-            df = _canon_frame(t).rename(columns={"valid_from_epoch": "_from"})
+            return t
+
+        init_open = None
+        if init_file is not None:
+            df = _canon_frame(load(init_file)).rename(
+                columns={"valid_from_epoch": "_from"})
             init_open = df.drop(
                 columns=["valid_to_epoch", "is_current"], errors="ignore"
             ).set_index(kcols)
         closed, open_, schema_t, keep_cols, changed = \
             _walk_partition_history(epoch_files, cfg_eff, script, version,
                                     init_open=init_open)
-        if not changed:
+        if not changed and len(prev_closed_names) <= compact_threshold:
             return {"part_id": pid, "carry": True,
                     "closed": 0, "open": -1}
-        res = {"part_id": pid, "carry": False, "closed": len(closed),
-               "open": len(open_)}
-        if len(closed):
+        res = {"part_id": pid, "carry": not changed,
+               "closed": len(closed), "open": len(open_)}
+        n_closed_files = len(prev_closed_names) + (1 if len(closed) else 0)
+        if n_closed_files > compact_threshold:
+            # fold this partition's closed history into one file
+            parts = [load(os.path.join(hist_dir, n))
+                     for n in prev_closed_names]
+            if len(closed):
+                parts.append(_versions_to_table(closed, schema_t, keep_cols,
+                                                kcols, seq_col))
+            merged = pa.concat_tables(parts, promote_options="permissive")
+            order = pa.compute.sort_indices(
+                merged, sort_keys=[(c, "ascending") for c in
+                                   (*kcols, "valid_from_epoch")])
+            merged = merged.take(order)
+            name = f"closed_e{to_eff}_p{pid}.parquet"
+            atomic_write_table(os.path.join(hist_dir, name), merged)
+            res["closed_files_replace"] = [name]
+        elif len(closed):
             name = f"closed_e{to_eff}_p{pid}.parquet"
             atomic_write_table(
                 os.path.join(hist_dir, name),
                 _versions_to_table(closed, schema_t, keep_cols, kcols,
                                    seq_col))
             res["closed_file"] = name
+        if res["carry"]:
+            return res  # compact-only: the open file carries unchanged
         if len(open_):
             name = f"open_e{to_eff}_p{pid}.parquet"
             atomic_write_table(
@@ -332,7 +362,7 @@ def _run_walk_tasks(lake_dir: str, hist_dir: str, cfg_eff, window,
 
     refs = [walk_task.remote(
         pid, [(e, store.partition_data_files(ps)) for e, ps in evs],
-        init_files.get(pid))
+        init_files.get(pid), prev_closed.get(pid, []))
         for pid, evs in sorted(window.items())]
     return ray.get(refs)
 
@@ -414,18 +444,23 @@ def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
               if str(pid) in st["open_files"] else None)
         for pid in window
     }
+    prev_closed = {pid: st["closed_files"].get(str(pid), [])
+                   for pid in window}
     results = _run_walk_tasks(lake_dir, hist_dir, cfg_eff, window, to_eff,
-                              m.schema_version, init_files)
+                              m.schema_version, init_files,
+                              prev_closed=prev_closed)
     closed_files = {pid: list(fs) for pid, fs in st["closed_files"].items()}
     open_files = dict(st["open_files"])
     n_open = int(st["open"])
     n_closed_total = int(st["closed"])
     for r in results:
         pid = str(r["part_id"])
+        if "closed_files_replace" in r:  # compaction folded this
+            closed_files[pid] = r["closed_files_replace"]  # partition's
+        elif "closed_file" in r:  # closed files into one
+            closed_files.setdefault(pid, []).append(r["closed_file"])
         if r["carry"]:
             continue
-        if "closed_file" in r:
-            closed_files.setdefault(pid, []).append(r["closed_file"])
         n_closed_total += r["closed"]
         n_open -= _open_count(hist_dir, st, pid)
         if "open_file" in r:
@@ -548,10 +583,15 @@ def read_history_keys(hist_dir: str, keys, cfg=None):
 
     if not owned:
         # typed empty from any stored footer (absent keys are a result,
-        # not an error)
+        # not an error), conformed like the read path
         if stored_schema is None:
             raise ValueError(f"history at {hist_dir} has no readable files")
         empty = stored_schema.empty_table()
+        if cfg is not None and cfg.schema_script is not None:
+            from ..stages.schema_evolution import conform_table
+
+            empty = conform_table(empty, cfg.schema_script,
+                                  int(st["schema_version"]))
         return rd.from_arrow(empty)
     files = [os.path.join(hist_dir, f) for pid in owned
              for f in all_files[pid]]

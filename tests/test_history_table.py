@@ -246,3 +246,32 @@ def test_read_history_keys_opens_only_owning_partitions(tmp_path):
     k1 = df[df["path"] == "k1"]  # deleted: closed interval, none current
     assert list(k1["valid_to_epoch"]) == [2]
     assert not k1["is_current"].any()
+
+
+def test_closed_files_stay_bounded_under_tail_follow(tmp_path):
+    """A tail-follow refreshing every epoch must not accumulate one closed
+    file per partition per refresh: past the compaction threshold the
+    touched partition folds its closed history into ONE file, and the view
+    stays exact."""
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("A", 0, "update", "a0")]), lake, 0, cfg)
+    build_history(lake, hist, cfg=cfg)
+    for e in range(1, 25):  # every epoch updates A → closes a version
+        apply_epoch(_ev([_row("A", 100 + e, "update", f"a{e}")]),
+                    lake, e, cfg)
+        st = refresh_history(lake, hist, cfg=cfg)
+        assert st["mode"] == "incremental"
+    stt = history_state(hist)
+    per_part = [len(fs) for fs in stt["closed_files"].values()]
+    assert max(per_part) <= 9  # compact_threshold=8 (+1 in-flight append)
+    on_disk = [f for f in os.listdir(hist) if f.startswith("closed_e")]
+    assert len(on_disk) == sum(per_part)  # superseded files swept
+    df = (read_history_table(hist, cfg=cfg).to_pandas()
+          .sort_values("valid_from_epoch").reset_index(drop=True))
+    assert list(df["content"]) == [f"a{e}" for e in range(25)]
+    assert list(df["valid_from_epoch"]) == list(range(25))
+    assert list(df["valid_to_epoch"].fillna(-1)) == list(range(1, 25)) + [-1]
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)),
+        _canon(read_history(lake, cfg=cfg)))
