@@ -604,3 +604,150 @@ def read_history_keys(hist_dir: str, keys, cfg=None):
         ds = ds.map_batches(lambda t: conform_table(t, script, version),
                             batch_format="pyarrow", batch_size=None)
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def forget_history_keys(hist_dir: str, keys, cfg=None) -> dict:
+    """RIGHT-TO-BE-FORGOTTEN on the audit table (the reference's LGPD
+    hook — src/core/logic/lgpd.py — applied to HISTORY, not just live
+    state): remove every version of the given keys from the materialized
+    history. Routes to the owning partitions and rewrites only their
+    files (same atomic commit as refresh); other partitions are never
+    touched. Returns the number of versions removed.
+
+    Note the live LAKE is governed separately (delete events / compaction
+    drop the rows there); this scrubs the serving HISTORY, which otherwise
+    retains the payload forever by design."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import partition_ids
+
+    st = history_state(hist_dir)
+    if st is None:
+        raise FileNotFoundError(f"no materialized history at {hist_dir}")
+    kcols = list(st["key_columns"])
+    rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+    rows = list(dict.fromkeys(rows))
+    if not rows:
+        raise ValueError("forget_history_keys needs at least one key")
+    if any(len(r) != len(kcols) for r in rows):
+        raise ValueError(f"keys must have {len(kcols)} parts ({kcols})")
+    ktab = pa.table({c: pa.array([r[i] for r in rows])
+                     for i, c in enumerate(kcols)})
+    # same type fence as read_history_keys: a mistyped key would silently
+    # match nothing — for a forget operation that means claiming erasure
+    # that never happened, so raise instead
+    from .cdc import _type_group
+
+    stored_schema = None
+    for pid in sorted(set(st["closed_files"]) | set(st["open_files"])):
+        name = (st["closed_files"].get(pid) or [st["open_files"].get(pid)])[0]
+        if name is None:
+            continue
+        try:
+            stored_schema = pq.read_schema(os.path.join(hist_dir, name))
+            break
+        except Exception:
+            continue
+    if stored_schema is not None:
+        cast_cols = {}
+        for c in kcols:
+            have, want = ktab[c].type, stored_schema.field(c).type
+            if _type_group(have) != _type_group(want):
+                raise TypeError(
+                    f"key column {c!r}: caller passed {have} but the "
+                    f"history stores {want} — the scrub would silently "
+                    "match nothing; pass keys with the stored types")
+            cast_cols[c] = ktab[c].cast(want)
+        ktab = pa.table(cast_cols)
+    pids = {str(int(p)) for p in
+            partition_ids(ktab, kcols, int(st["num_partitions"]))}
+    kdf = ktab.to_pandas()
+
+    def scrub(name: str) -> tuple[str | None, int]:
+        """Rewrite one file without the keys; returns (new name or None if
+        the file emptied, versions removed)."""
+        path = os.path.join(hist_dir, name)
+        t = pq.read_table(path)
+        df = t.select(kcols).to_pandas().reset_index(drop=True)
+        hit = df.reset_index().merge(kdf, on=kcols)["index"].to_numpy()
+        if not len(hit):
+            return name, 0
+        keep = np.setdiff1d(np.arange(len(t)), hit)
+        if not len(keep):
+            return None, len(hit)
+        new = name[: -len(".parquet")] + "_scrubbed.parquet"
+        atomic_write_table(os.path.join(hist_dir, new),
+                           t.take(pa.array(keep)))
+        return new, len(hit)
+
+    removed = 0
+    closed_files = {pid: list(fs) for pid, fs in st["closed_files"].items()}
+    open_files = dict(st["open_files"])
+    n_open, n_closed = int(st["open"]), int(st["closed"])
+    for pid in sorted(pids):
+        for name in list(closed_files.get(pid, [])):
+            new, n = scrub(name)
+            removed += n
+            n_closed -= n
+            fs = closed_files[pid]
+            if new is None:
+                fs.remove(name)
+                if not fs:
+                    del closed_files[pid]
+            elif new != name:
+                fs[fs.index(name)] = new
+        if pid in open_files:
+            new, n = scrub(open_files[pid])
+            removed += n
+            n_open -= n
+            if new is None:
+                del open_files[pid]
+            elif new != open_files[pid]:
+                open_files[pid] = new
+    pointer = {**st, "closed_files": closed_files, "open_files": open_files,
+               "closed": n_closed, "open": n_open}
+    _commit(hist_dir, pointer)
+    return {"removed_versions": removed,
+            "touched_partitions": len(pids & (set(st["closed_files"])
+                                              | set(st["open_files"])))}
+
+
+def prune_history_before(hist_dir: str, epoch: int) -> dict:
+    """RETENTION: drop closed versions whose interval ended at or before
+    ``epoch`` (``valid_to_epoch <= epoch``) — the audit-table analog of
+    ``ManifestStore.gc``. Open versions and versions still valid after the
+    cutoff are untouched, so as-of queries for any epoch > cutoff remain
+    exact; older as-of queries become partial (that is the point of
+    retention). Per-partition rewrite under the same atomic commit."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    st = history_state(hist_dir)
+    if st is None:
+        raise FileNotFoundError(f"no materialized history at {hist_dir}")
+    removed = 0
+    closed_files = {}
+    n_closed = int(st["closed"])
+    for pid, fs in st["closed_files"].items():
+        kept_names = []
+        for name in fs:
+            path = os.path.join(hist_dir, name)
+            t = pq.read_table(path)
+            keep = pc.greater(t["valid_to_epoch"], epoch)
+            n_drop = len(t) - int(pc.sum(keep).as_py() or 0)
+            if n_drop == 0:
+                kept_names.append(name)
+                continue
+            removed += n_drop
+            n_closed -= n_drop
+            kept = t.filter(keep)
+            if len(kept):
+                new = name[: -len(".parquet")] + f"_r{epoch}.parquet"
+                atomic_write_table(os.path.join(hist_dir, new), kept)
+                kept_names.append(new)
+        if kept_names:
+            closed_files[pid] = kept_names
+    pointer = {**st, "closed_files": closed_files, "closed": n_closed}
+    _commit(hist_dir, pointer)
+    return {"removed_versions": removed, "retained_closed": n_closed,
+            "cutoff_epoch": epoch}

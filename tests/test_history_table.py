@@ -275,3 +275,79 @@ def test_closed_files_stay_bounded_under_tail_follow(tmp_path):
     pd.testing.assert_frame_equal(
         _canon(read_history_table(hist, cfg=cfg)),
         _canon(read_history(lake, cfg=cfg)))
+
+
+def test_forget_history_keys(tmp_path):
+    """LGPD/right-to-be-forgotten on the AUDIT table: every version of the
+    named keys is removed (closed and open), other keys' history is
+    byte-identical, pointer counts stay consistent."""
+    from horizon_etl_ray.pipelines.history import forget_history_keys
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row(f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(20)]), lake, 1, cfg)
+    apply_epoch(_ev([_row("k0", 100, "update", "v0b"),
+                     _row("k1", 101, "delete", None)]), lake, 2, cfg)
+    build_history(lake, hist, cfg=cfg)
+    before = read_history_table(hist, cfg=cfg).to_pandas()
+    st = forget_history_keys(hist, [("r", "k0"), ("r", "k1")], cfg=cfg)
+    # k0: two versions (one open), k1: one closed version
+    assert st["removed_versions"] == 3
+    after = read_history_table(hist, cfg=cfg).to_pandas()
+    assert not set(after["path"]) & {"k0", "k1"}
+    pd.testing.assert_frame_equal(
+        _canon(rd.from_pandas(after)),
+        _canon(rd.from_pandas(before[~before["path"].isin(["k0", "k1"])])))
+    stt = history_state(hist)
+    assert stt["open"] == int(after["is_current"].sum())
+    assert stt["closed"] == int((~after["is_current"]).sum())
+    # forgetting an absent key is a no-op, not an error
+    assert forget_history_keys(hist, [("r", "nope")],
+                               cfg=cfg)["removed_versions"] == 0
+
+
+def test_prune_history_before(tmp_path):
+    """Retention: closed versions ending at or before the cutoff drop;
+    anything valid after the cutoff (and every open version) survives, so
+    as-of queries past the cutoff stay exact."""
+    from horizon_etl_ray.pipelines.history import prune_history_before
+    from horizon_etl_ray.pipelines.cdc import read_lake_at
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("A", 1, "update", "a1"),
+                     _row("B", 2, "update", "b1")]), lake, 1, cfg)
+    apply_epoch(_ev([_row("A", 10, "update", "a2")]), lake, 2, cfg)
+    apply_epoch(_ev([_row("A", 20, "update", "a3"),
+                     _row("B", 21, "delete", None)]), lake, 3, cfg)
+    build_history(lake, hist, cfg=cfg)
+    st = prune_history_before(hist, 2)
+    # dropped: A's [1,2) version. kept: A [2,3) (ends after cutoff),
+    # A [3,∞), B [1,3) (valid_to 3 > 2)
+    assert st["removed_versions"] == 1
+    df = read_history_table(hist, cfg=cfg).to_pandas()
+    assert len(df) == 3
+    # as-of 2 (after the cutoff) still reconstructs exactly
+    e = 2
+    cover = df[(df["valid_from_epoch"] <= e)
+               & (df["valid_to_epoch"].isna() | (df["valid_to_epoch"] > e))]
+    asof = (read_lake_at(lake, e, cfg=cfg)
+            .select_columns(["repo", "path", "content"]).to_pandas())
+    pd.testing.assert_frame_equal(
+        cover[["repo", "path", "content"]].sort_values(["repo", "path"])
+        .reset_index(drop=True),
+        asof.sort_values(["repo", "path"]).reset_index(drop=True))
+    stt = history_state(hist)
+    assert stt["closed"] == int((~df["is_current"]).sum())
+
+
+def test_forget_mistyped_key_raises(tmp_path):
+    from horizon_etl_ray.pipelines.history import forget_history_keys
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("A", 1, "update", "a1")]), lake, 1, cfg)
+    build_history(lake, hist, cfg=cfg)
+    with pytest.raises(TypeError, match="silently match nothing"):
+        forget_history_keys(hist, [("r", 7)], cfg=cfg)
