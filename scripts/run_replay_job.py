@@ -80,6 +80,17 @@ def main() -> int:
                          "incrementally — only window-touched partitions "
                          "are opened, and the table survives gc of old "
                          "epochs")
+    ap.add_argument("--history-forget", action="append", default=None,
+                    metavar="REPO,PATH",
+                    help="with --history-table: remove EVERY version of "
+                         "these keys from the materialized history (LGPD "
+                         "right-to-be-forgotten on the audit surface; "
+                         "repeat the flag)")
+    ap.add_argument("--history-prune", type=int, default=None,
+                    metavar="EPOCH",
+                    help="with --history-table: drop closed versions whose "
+                         "interval ended at or before EPOCH (retention; "
+                         "as-of queries past the cutoff stay exact)")
     ap.add_argument("--mart", default=None, metavar="DIR",
                     help="maintain an additive group-by mart at DIR: "
                          "bootstrap (full build) when absent, else refresh "
@@ -220,6 +231,19 @@ def main() -> int:
         else:
             out["history_table"] = refresh_history(
                 args.lake, args.history_table, cfg=cfg)
+        if args.history_forget:
+            from horizon_etl_ray.pipelines.history import forget_history_keys
+
+            keys = [tuple(k.split(",")) for k in args.history_forget]
+            out["history_forget"] = forget_history_keys(
+                args.history_table, keys, cfg=cfg)
+        if args.history_prune is not None:
+            from horizon_etl_ray.pipelines.history import (
+                prune_history_before,
+            )
+
+            out["history_prune"] = prune_history_before(
+                args.history_table, args.history_prune)
     if args.mart:
         from horizon_etl_ray.pipelines.mart import (
             MartSpec,
