@@ -48,7 +48,18 @@ class WidenOnlyPolicy:
     over ALL events ever seen for the key — the project-rollup semantics of
     project_loader.py:229-237 (a re-run can only widen the range, never
     shrink it). min/max are associative+commutative+idempotent, so the
-    policy is safe as a combiner and under replay."""
+    policy is safe as a combiner and under replay.
+
+    Delivery-order contract: the engine's exactly-once seq fence drops any
+    event at or below a partition's committed offset BEFORE the policy
+    sees it — a duplicate redelivery and a late lower-seq FIRST delivery
+    are indistinguishable by seq, and exactly-once wins. So "ALL events
+    ever seen" means all events whose seq was NEW when their epoch
+    committed: feed each key's events with non-decreasing seq across
+    epochs (the generator/binlog contract) or batch late data into the
+    epoch where it arrives with a fresh seq. Within one epoch, order is
+    irrelevant (the reduce is order-free). Pinned by
+    tests/test_history.py::test_policy_aggregates_respect_the_seq_fence."""
 
     key_columns: tuple[str, ...]
     seq_column: str = "seq"

@@ -266,3 +266,74 @@ def test_empty_and_missing_lakes(tmp_path):
             "is_current"} <= set(ds.schema().names)
     # and the full history still sees the real commit
     assert read_history(lake2, cfg=cfg).count() == 1
+
+
+def test_vector_payload_versions(tmp_path):
+    """Embeddings CDC lake: list-typed cells version elementwise (tuples
+    inside the walk); an emb-only change opens a version, a re-asserted
+    identical vector does not. Consumed as Arrow (to_pandas would hit
+    Ray's tensor-extension cast on ragged nullable lists)."""
+    import ray
+
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(num_partitions=4,
+                    payload_columns=("repo", "path", "content", "emb"))
+
+    def r(p, s, op, c, emb):
+        return {"repo": "r", "path": p, "seq": s, "op": op,
+                "content": c, "emb": emb}
+
+    apply_epoch(_ev([r("A", 1, "update", "a1", [1.0, 2.0]),
+                     r("B", 2, "update", "b1", [3.0, 4.0])]), lake, 1, cfg)
+    apply_epoch(_ev([r("A", 10, "update", "a1", [9.0, 9.0]),  # emb-only
+                     r("B", 11, "update", "b1", [3.0, 4.0])]), lake, 2, cfg)
+    t = pa.concat_tables(
+        [__import__("ray").get(x)
+         for x in read_history(lake, cfg=cfg).to_arrow_refs()])
+    rows = sorted(t.to_pylist(),
+                  key=lambda x: (x["path"], x["valid_from_epoch"]))
+    a = [x for x in rows if x["path"] == "A"]
+    assert [(x["valid_from_epoch"], list(x["emb"])) for x in a] == \
+        [(1, [1.0, 2.0]), (2, [9.0, 9.0])]
+    assert [x["is_current"] for x in a] == [False, True]
+    b = [x for x in rows if x["path"] == "B"]  # identical re-assert
+    assert len(b) == 1 and b[0]["is_current"]
+
+
+def test_policy_aggregates_respect_the_seq_fence(tmp_path):
+    """Merge-policy lakes under the exactly-once fence: an event at or
+    below the partition's committed offset is dropped BEFORE the policy
+    reduce (a duplicate redelivery and a late lower-seq first delivery are
+    indistinguishable by seq — exactly-once wins, documented on
+    WidenOnlyPolicy). A NEW-seq widening event versions normally, and the
+    history view tracks the policy's derived columns."""
+    from horizon_etl_ray.state.merge_policy import WidenOnlyPolicy
+
+    lake = str(tmp_path / "lake")
+    keys = ("repo", "path")
+    cfg = CdcConfig(
+        key_columns=keys, num_partitions=4,
+        payload_columns=("repo", "path", "content", "qty"),
+        merge_policy=WidenOnlyPolicy(key_columns=keys,
+                                     widen_columns=("qty",)))
+
+    def r(p, s, op, c, qty):
+        return {"repo": "r", "path": p, "seq": s, "op": op,
+                "content": c, "qty": qty}
+
+    apply_epoch(_ev([r("A", 10, "update", "a1", 5)]), lake, 1, cfg)
+    # lower seq than the committed offset: fenced as a duplicate — the
+    # widen value is NOT folded and no version opens (the lake state is
+    # unchanged, which the history faithfully reflects)
+    apply_epoch(_ev([r("A", 3, "update", "a0", 9)]), lake, 2, cfg)
+    df = _hist(lake, cfg)
+    assert list(df["valid_from_epoch"]) == [1]
+    assert list(df["qty_max"]) == [5]
+    # a NEW-seq losing event widens: the winner row is unchanged but the
+    # visible state (qty_max) changed → a new version opens
+    apply_epoch(_ev([r("A", 11, "update", "a1", 9)]), lake, 3, cfg)
+    df = _hist(lake, cfg)
+    assert list(df["valid_from_epoch"]) == [1, 3]
+    assert list(df["qty_max"]) == [5, 9]
+    assert list(df["content"]) == ["a1", "a1"]  # same winner payload
+    assert list(df["is_current"]) == [False, True]
