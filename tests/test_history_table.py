@@ -351,3 +351,35 @@ def test_forget_mistyped_key_raises(tmp_path):
     build_history(lake, hist, cfg=cfg)
     with pytest.raises(TypeError, match="silently match nothing"):
         forget_history_keys(hist, [("r", 7)], cfg=cfg)
+
+
+def test_lake_compaction_in_refresh_window_is_a_noop_for_versions(tmp_path):
+    """compact() commits an epoch that rewrites partitions without changing
+    visible state; a refresh spanning it must carry every partition (no
+    spurious versions) and later real changes must still version."""
+    from horizon_etl_ray.pipelines.cdc import compact
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(write_mode="delta", **CFG)
+    apply_epoch(_ev([_row("A", 1, "update", "a1"),
+                     _row("B", 2, "update", "b1")]), lake, 1, cfg)
+    apply_epoch(_ev([_row("B", 10, "delete", None)]), lake, 2, cfg)
+    build_history(lake, hist, cfg=cfg)
+    before = _canon(read_history_table(hist, cfg=cfg))
+    compact(lake, cfg, drop_tombstones=True, gc_old_epochs=False)
+    st = refresh_history(lake, hist, cfg=cfg)
+    assert st["mode"] == "incremental" and st["closed"] == 0
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)), before)
+    # post-compaction changes still version (B's tombstone was dropped,
+    # its reinsert is a NEW version; A updates normally)
+    apply_epoch(_ev([_row("A", 20, "update", "a2"),
+                     _row("B", 21, "update", "b2")]), lake, 4, cfg)
+    refresh_history(lake, hist, cfg=cfg)
+    df = read_history_table(hist, cfg=cfg).to_pandas()
+    b = df[df["path"] == "B"].sort_values("valid_from_epoch")
+    assert list(b["content"]) == ["b1", "b2"]
+    assert list(b["valid_to_epoch"].fillna(-1)) == [2, -1]
+    pd.testing.assert_frame_equal(
+        _canon(read_history_table(hist, cfg=cfg)),
+        _canon(read_history(lake, cfg=cfg)))
