@@ -316,3 +316,97 @@ def test_partitioned_mart_fold_algebra(before, after):
         pd.testing.assert_frame_equal(
             refreshed.astype({"grp": object}),
             expect_a.astype({"grp": object}), check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval walk algebra (round 5 session 6): the streaming walk over
+# per-epoch resolved states must equal a brute-force recompute of visible-
+# state changes — versions open on live edges / live payload changes, close
+# at the next visible change, seq-only re-assertions open nothing.
+# ---------------------------------------------------------------------------
+
+hist_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),                           # key
+        st.sampled_from(["update", "delete"]),
+        st.one_of(st.none(), st.integers(0, 9)),     # payload (nullable)
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(hist_events_strategy, st.integers(1, 4))
+def test_history_walk_matches_bruteforce(events, n_epochs):
+    import shutil
+    import tempfile
+
+    from horizon_etl_ray.pipelines.cdc import CdcConfig
+    from horizon_etl_ray.pipelines.history import _walk_partition_history
+    from horizon_etl_ray.state.manifest import atomic_write_table
+
+    d = tempfile.mkdtemp(dir="/tmp", prefix="histprop_")
+    try:
+        chunks = np.array_split(np.arange(len(events)), n_epochs)
+        cum: dict = {}          # k -> (seq, op, q): running LWW winner
+        epoch_files = []
+        resolved_at = {}
+        for e, idxs in enumerate(chunks, start=1):
+            for i in idxs:
+                k, op, q = events[int(i)]
+                cum[k] = (int(i), op, q)  # seq = position: last write wins
+            if not len(idxs):
+                continue  # empty epoch: the partition is not written
+            items = sorted(cum.items())
+            t = pa.table({
+                "k": pa.array([k for k, _ in items], pa.int64()),
+                "seq": pa.array([s for _, (s, _, _) in items], pa.int64()),
+                "q": pa.array([q for _, (_, _, q) in items], pa.int64()),
+                "deleted": pa.array([op == "delete"
+                                     for _, (_, op, _) in items], pa.bool_()),
+            })
+            path = f"{d}/e{e}.parquet"
+            atomic_write_table(path, t)
+            epoch_files.append((e, [path]))
+            resolved_at[e] = dict(cum)
+
+        cfg = CdcConfig(key_columns=("k",), payload_columns=("k", "q"),
+                        validate=False)
+        closed, open_, _, _, _ = _walk_partition_history(
+            epoch_files, cfg, None, 0)
+
+        def norm(v):
+            return None if v is None or (isinstance(v, float) and np.isnan(v)) \
+                else int(v)
+
+        got = set()
+        for df, is_open in ((closed, False), (open_, True)):
+            for r in (df.to_dict("records") if len(df) else []):
+                got.add((int(r["k"]), norm(r["q"]), int(r["seq"]),
+                         int(r["_from"]),
+                         None if is_open else int(r["_to"])))
+
+        # brute force over visible states
+        want = set()
+        open_map: dict = {}
+        prev_vis: dict = {}
+        for e, _files in epoch_files:
+            vis = {k: (op != "delete", q)
+                   for k, (s, op, q) in resolved_at[e].items()}
+            for k in set(vis) | set(prev_vis):
+                live_p, qp = prev_vis.get(k, (False, None))
+                live_c, qc = vis.get(k, (False, None))
+                if (live_p == live_c) and (not live_p or qp == qc):
+                    continue  # no visible change
+                if live_p:
+                    q0, s0, f0 = open_map.pop(k)
+                    want.add((k, q0, s0, f0, e))
+                if live_c:
+                    open_map[k] = (qc, resolved_at[e][k][0], e)
+            prev_vis = vis
+        for k, (q0, s0, f0) in open_map.items():
+            want.add((k, q0, s0, f0, None))
+
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
