@@ -360,10 +360,17 @@ def _partial_stage(cfg: CdcConfig, offsets: np.ndarray):
 
         if "content_sha256" in winners.column_names:
             return winners
-        ccol = next((c for c in reversed(content_spellings)
-                     if c in winners.column_names), None)
-        if ccol is not None:
-            sha = sha256_column(winners[ccol])
+        present = [c for c in content_spellings
+                   if c in winners.column_names]
+        if present:
+            # a mixed-version block can carry MORE THAN ONE spelling (each
+            # row null in all but one — the case conform_table coalesces);
+            # hash the coalesce newest←oldest, not just the newest column,
+            # or the old-spelling rows would get null shas (review fix)
+            col = winners[present[-1]]
+            for c in reversed(present[:-1]):
+                col = pc.coalesce(col, winners[c].cast(col.type))
+            sha = sha256_column(col)
         else:
             sha = pa.nulls(len(winners), pa.string())
         return winners.append_column("content_sha256", sha)
@@ -1653,10 +1660,12 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
     count, so a 1000-epoch partition walks in bounded space.
     Raises FileNotFoundError when gc() reclaimed a needed historical file
     (never silently serves a truncated history)."""
-    import pandas as pd
-
     import ray
     import ray.data as rd
+
+    # window construction + gc check shared with the materialized history
+    # (one copy of the carried-row pruning rule, not three — review fix)
+    from .history import _check_files, _window_partitions
 
     cfg_eff = cfg or CdcConfig()
     kcols = list(cfg_eff.key_columns)
@@ -1666,25 +1675,9 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
     if m.epoch < 0:
         raise FileNotFoundError(f"no committed epochs in {lake_dir}")
     to_eff = m.epoch if to_epoch is None else min(to_epoch, m.epoch)
-    recs = sorted((r for r in store.epoch_records() if r["epoch"] <= to_eff),
-                  key=lambda r: r["epoch"])
-    window: dict[int, list[tuple[int, PartitionState]]] = {}
-    for rec in recs:
-        e = int(rec["epoch"])
-        for d in rec["partitions"]:
-            ps = PartitionState(**d)
-            if ps.epoch == e:  # written AT e; carried rows are pruned
-                window.setdefault(ps.part_id, []).append((e, ps))
+    window = _window_partitions(store, -1, to_eff)
+    _check_files(store, window, f"history to epoch {to_eff}")
     script, version = cfg_eff.schema_script, m.schema_version
-
-    needed = [f for evs in window.values() for _, ps in evs
-              for f in store.partition_data_files(ps)]
-    missing = [f for f in needed if not os.path.exists(f)]
-    if missing:
-        raise FileNotFoundError(
-            f"history to epoch {to_eff} needs {missing[0]} "
-            f"(+{len(missing) - 1} more), reclaimed by gc(); rerun gc with "
-            "keep_epochs covering the lake's history")
 
     @ray.remote(num_cpus=1)
     def history_partition(epoch_files: list[tuple[int, list[str]]]

@@ -265,7 +265,29 @@ def _check_files(store: ManifestStore, window, what: str) -> None:
             "window")
 
 
-def _commit(hist_dir: str, pointer: dict) -> None:
+def _commit(hist_dir: str, pointer: dict,
+            expect_seq: int | None = None) -> None:
+    """Pointer swap + sweep. ``expect_seq`` is the optimistic-concurrency
+    fence (review fix): mutators record the pointer's ``commit_seq`` when
+    they read it, and the swap refuses if another mutator committed in
+    between — each commit's sweep deletes files only the other pointer
+    references, so a lost update would corrupt BOTH views. The check
+    narrows the race to the final read-swap window; run one mutator at a
+    time per hist_dir (same single-writer discipline as the lake)."""
+    if expect_seq is not None:
+        cur = history_state(hist_dir)
+        cur_seq = int(cur.get("commit_seq", 0)) if cur else 0
+        if cur_seq != expect_seq:
+            raise RuntimeError(
+                f"history pointer at {hist_dir} changed underneath this "
+                f"operation (commit_seq {cur_seq} != {expect_seq}): another "
+                "mutator committed concurrently; re-read and retry")
+        pointer = {**pointer, "commit_seq": expect_seq + 1}
+    else:
+        prev = history_state(hist_dir)
+        pointer = {**pointer,
+                   "commit_seq": (int(prev.get("commit_seq", 0)) + 1
+                                  if prev else 1)}
     atomic_write_json(os.path.join(hist_dir, _STATE_FILE), pointer)
     keep = {f for fs in pointer["closed_files"].values() for f in fs}
     keep |= set(pointer["open_files"].values())
@@ -321,11 +343,20 @@ def _run_walk_tasks(lake_dir: str, hist_dir: str, cfg_eff, window,
         closed, open_, schema_t, keep_cols, changed = \
             _walk_partition_history(epoch_files, cfg_eff, script, version,
                                     init_open=init_open)
+        # the typed OUTPUT schema, even when nothing changed — it lets an
+        # all-carry (e.g. tombstones-only) build serve typed empty reads
+        import base64
+
+        out_schema = _versions_to_table(
+            pd.DataFrame(), schema_t, keep_cols, kcols, seq_col).schema
+        schema_b64 = base64.b64encode(
+            out_schema.serialize().to_pybytes()).decode()
         if not changed and len(prev_closed_names) <= compact_threshold:
             return {"part_id": pid, "carry": True,
-                    "closed": 0, "open": -1}
+                    "closed": 0, "open": -1, "schema_b64": schema_b64}
         res = {"part_id": pid, "carry": not changed,
-               "closed": len(closed), "open": len(open_)}
+               "closed": len(closed), "open": len(open_),
+               "schema_b64": schema_b64}
         n_closed_files = len(prev_closed_names) + (1 if len(closed) else 0)
         if n_closed_files > compact_threshold:
             # fold this partition's closed history into one file
@@ -399,6 +430,8 @@ def build_history(lake_dir: str, hist_dir: str, cfg=None,
         "closed_files": closed_files, "open_files": open_files,
         "closed": int(sum(r["closed"] for r in results)),
         "open": int(sum(max(r["open"], 0) for r in results)),
+        "schema_b64": next((r["schema_b64"] for r in results
+                            if r.get("schema_b64")), None),
     }
     _commit(hist_dir, pointer)
     return {"mode": "bootstrap", "epoch": to_eff,
@@ -426,6 +459,18 @@ def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
             f"history at {hist_dir} was built with keys "
             f"{st['key_columns']}/{st['seq_column']}, cfg has "
             f"{list(cfg_eff.key_columns)}/{cfg_eff.seq_column}")
+    # wrong-lake fence (review fix): the epoch check alone misses every
+    # wrong lake whose committed epoch is >= the stored one — diffing a
+    # different dataset's states against these open versions would corrupt
+    # the table silently. Moved lakes: rebuild, or update the pointer's
+    # lake_dir deliberately.
+    if os.path.abspath(lake_dir) != st.get("lake_dir",
+                                           os.path.abspath(lake_dir)):
+        raise ValueError(
+            f"history at {hist_dir} was built from {st['lake_dir']}, not "
+            f"{os.path.abspath(lake_dir)}; refusing to mix lakes — rebuild "
+            "the history (or edit the pointer's lake_dir if the lake "
+            "genuinely moved)")
     store = ManifestStore(lake_dir)
     m = store.load()
     from_e = int(st["epoch"])
@@ -471,8 +516,11 @@ def refresh_history(lake_dir: str, hist_dir: str, cfg=None) -> dict:
     pointer = {**st, "epoch": to_eff, "schema_version": m.schema_version,
                "closed_files": closed_files,
                "open_files": open_files,
-               "closed": n_closed_total, "open": n_open}
-    _commit(hist_dir, pointer)
+               "closed": n_closed_total, "open": n_open,
+               "schema_b64": next(
+                   (r["schema_b64"] for r in results if r.get("schema_b64")),
+                   st.get("schema_b64"))}
+    _commit(hist_dir, pointer, expect_seq=int(st.get("commit_seq", 0)))
     return {"mode": "incremental", "epoch": to_eff,
             "touched_partitions": len(window),
             "closed": int(sum(r["closed"] for r in results)),
@@ -503,10 +551,22 @@ def read_history_table(hist_dir: str, cfg=None):
     files += [os.path.join(hist_dir, f)
               for f in sorted(st["open_files"].values())]
     if not files:
-        raise ValueError(
-            f"history at {hist_dir} is empty (epoch {st['epoch']} closed "
-            "with no versions); nothing to read")
-    ds = rd.read_parquet(files)
+        # a legitimately empty history (tombstones-only lake, or empty
+        # commits): a typed empty view, consistent with cdc.read_history —
+        # the pointer records the output schema at every build/refresh
+        # (review fix)
+        b64 = st.get("schema_b64")
+        if not b64:
+            raise ValueError(
+                f"history at {hist_dir} is empty and records no schema "
+                "(hand-built pointer?); nothing to read")
+        import base64
+
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(b64)))
+        ds = rd.from_arrow(schema.empty_table())
+    else:
+        ds = rd.read_parquet(files)
     script = (cfg.schema_script if cfg is not None else None)
     if script is not None:
         from ..stages.schema_evolution import conform_table
@@ -706,7 +766,7 @@ def forget_history_keys(hist_dir: str, keys, cfg=None) -> dict:
                 open_files[pid] = new
     pointer = {**st, "closed_files": closed_files, "open_files": open_files,
                "closed": n_closed, "open": n_open}
-    _commit(hist_dir, pointer)
+    _commit(hist_dir, pointer, expect_seq=int(st.get("commit_seq", 0)))
     return {"removed_versions": removed,
             "touched_partitions": len(pids & (set(st["closed_files"])
                                               | set(st["open_files"])))}
@@ -748,6 +808,6 @@ def prune_history_before(hist_dir: str, epoch: int) -> dict:
         if kept_names:
             closed_files[pid] = kept_names
     pointer = {**st, "closed_files": closed_files, "closed": n_closed}
-    _commit(hist_dir, pointer)
+    _commit(hist_dir, pointer, expect_seq=int(st.get("commit_seq", 0)))
     return {"removed_versions": removed, "retained_closed": n_closed,
             "cutoff_epoch": epoch}

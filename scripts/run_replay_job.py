@@ -26,6 +26,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _fresh_export_dir(ap, path: str, flag: str) -> None:
+    """Parquet exports append uniquely-named files, so re-running into a
+    non-empty dir silently doubles the handoff (and the readback count);
+    refuse instead — point each run at a fresh dir (review fix)."""
+    if os.path.isdir(path) and os.listdir(path):
+        ap.error(f"{flag} {path} already exists and is not empty; exports "
+                 "append files, so a re-run would duplicate rows — pass a "
+                 "fresh directory")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events", required=True, help="event-tail parquet dir")
@@ -186,6 +196,7 @@ def main() -> int:
         feed = read_changes(args.lake, fr, to, cfg=cfg,
                             changed_fields=args.changed_fields)
         if args.changes_out:
+            _fresh_export_dir(ap, args.changes_out, "--changes-out")
             feed.write_parquet(args.changes_out)
             out["changes_written"] = args.changes_out
             import ray.data as rd
@@ -205,6 +216,7 @@ def main() -> int:
 
         hist = read_history(args.lake, to_epoch=args.history_to, cfg=cfg)
         if args.history_out:
+            _fresh_export_dir(ap, args.history_out, "--history-out")
             hist.write_parquet(args.history_out)
             out["history_written"] = args.history_out
             import ray.data as rd

@@ -174,11 +174,21 @@ def test_fences(tmp_path):
     with pytest.raises(ValueError, match="built with keys"):
         refresh_history(lake, hist, cfg=CdcConfig(
             key_columns=("path",), num_partitions=4))
-    # history ahead of the lake (e.g. pointed at the wrong/older lake)
+    # a DIFFERENT lake path is refused outright (review fix: the epoch
+    # check alone missed wrong lakes that happened to be further ahead)
     lake2 = str(tmp_path / "lake2")
     apply_epoch(_ev([_row("A", 1, "update", "a1")]), lake2, 0, cfg)
-    with pytest.raises(ValueError, match="ahead of the lake"):
+    with pytest.raises(ValueError, match="refusing to mix lakes"):
         refresh_history(lake2, hist, cfg=cfg)
+    # same path, lake rolled back under the pointer → the epoch fence
+    import json
+    sp = os.path.join(hist, "history.json")
+    st = json.load(open(sp))
+    st["epoch"] = 99
+    with open(sp, "w") as f:
+        json.dump(st, f)
+    with pytest.raises(ValueError, match="ahead of the lake"):
+        refresh_history(lake, hist, cfg=cfg)
 
 
 def test_orphaned_files_swept_on_next_commit(tmp_path):
@@ -383,3 +393,41 @@ def test_lake_compaction_in_refresh_window_is_a_noop_for_versions(tmp_path):
     pd.testing.assert_frame_equal(
         _canon(read_history_table(hist, cfg=cfg)),
         _canon(read_history(lake, cfg=cfg)))
+
+
+def test_concurrent_mutator_fence(tmp_path):
+    """Two mutators racing on one pointer: the loser's commit must refuse
+    (each commit's sweep deletes files only the other pointer references,
+    so a lost update would corrupt both views)."""
+    import json
+
+    from horizon_etl_ray.pipelines.history import _commit
+
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("A", 1, "update", "a1")]), lake, 1, cfg)
+    build_history(lake, hist, cfg=cfg)
+    st = history_state(hist)
+    # another mutator commits in between (seq bumps)
+    _commit(hist, st, expect_seq=int(st["commit_seq"]))
+    with pytest.raises(RuntimeError, match="changed underneath"):
+        _commit(hist, st, expect_seq=int(st["commit_seq"]))
+
+
+def test_tombstones_only_lake_serves_typed_empty_history(tmp_path):
+    """A lake whose only key was never live: build succeeds with zero
+    files and read_history_table returns a TYPED empty view (consistent
+    with cdc.read_history), from the schema the pointer records."""
+    lake, hist = str(tmp_path / "lake"), str(tmp_path / "hist")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("Z", 1, "delete", None)]), lake, 1, cfg)
+    st = build_history(lake, hist, cfg=cfg)
+    assert st["closed"] == 0 and st["open"] == 0
+    ds = read_history_table(hist, cfg=cfg)
+    assert ds.count() == 0
+    assert {"repo", "path", "seq", "valid_from_epoch", "valid_to_epoch",
+            "is_current"} <= set(ds.schema().names)
+    # and a later real row flows through refresh into the same table
+    apply_epoch(_ev([_row("A", 2, "update", "a1")]), lake, 2, cfg)
+    refresh_history(lake, hist, cfg=cfg)
+    assert read_history_table(hist, cfg=cfg).count() == 1
