@@ -1249,7 +1249,7 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
 
 def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                  cfg: CdcConfig | None = None, json_payload: bool = False,
-                 changed_fields: bool = False):
+                 changed_fields: bool = False, include_seq_only: bool = False):
     """CHANGE FEED: the per-key NET changes between two committed epochs —
     what a downstream consumer (cache invalidation, incremental mart
     refresh) must apply to move from the state as of ``from_epoch`` to the
@@ -1276,6 +1276,10 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
         Keys whose resolved row changed only in ``seq`` (a later writer
         re-asserting identical content) are NOT in the feed; neither are
         keys created and deleted entirely inside the window (net zero).
+        ``include_seq_only=True`` adds those re-assertions as ``update``
+        rows (before == after payload, new ``seq``) — consumers that must
+        mirror the lake EXACTLY, seq included (``replication.replicate``),
+        need them; cache-invalidation consumers don't.
       - ``epoch``: the window epoch whose commit produced the after-state —
         for an LWW lake this is exactly the epoch of the winning (max-seq)
         event, computed as the last window epoch at which the key's resolved
@@ -1480,6 +1484,13 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
             pay_diff |= ~((a == b).to_numpy(dtype=bool, na_value=False)
                           | both_null)
         feed = (live_f != live_t) | (live_f & live_t & pay_diff)
+        if include_seq_only:
+            a = f_df[seq_col].reindex(keys_all)
+            b = t_df[seq_col].reindex(keys_all)
+            both_null = a.isna().to_numpy() & b.isna().to_numpy()
+            seq_diff = ~((a == b).to_numpy(dtype=bool, na_value=False)
+                         | both_null)
+            feed |= live_f & live_t & seq_diff
         sel = keys_all[feed]
         lf, lt = live_f[feed], live_t[feed]
         op = np.where(~lf & lt, "insert", np.where(lf & ~lt, "delete",
