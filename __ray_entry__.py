@@ -119,6 +119,23 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 #   gated five other ways (all four full-engine replay rows use the same
 #   LWW window twin, and the change feed diffs TWO LWW states through the
 #   full engine); the standalone LWW op remains oracle-checked locally.
+# - union_counts → cdc_minmax_mart_lineitem (round 5, session 8 — repairs a
+#   session-5 off-by-one: the two mart rows were added with only ONE paired
+#   demotion, so the 51st mid entry would have been silently cut at the 50
+#   cap, exactly the round-2 failure mode this ordering exists to prevent).
+#   D7/A9's two mechanisms stay gated separately — groupby Count/Sum via
+#   q1_pricing_summary/parent_rollup, and Dataset.union inside the gated
+#   anti_join_customers (definite ∪ exact split) and exact_dedup_documents
+#   (planted-dup union); the union-all rollup itself remains oracle-checked
+#   locally via check_parity.
+# - ngram_jaccard_pairs → cdc_replicate_lineitem (round 5, session 8): D3
+#   near-dup keeps a gated row via near_dup_clusters, which RUNS the same
+#   exact n-gram Jaccard pair operator end-to-end (its cluster output is
+#   value-hash-checked, so a wrong pair set flips that row red) plus the
+#   Bayardo prefix-filter path stays pinned by tests/test_dedup.py and the
+#   local oracle. The new row gates lake→lake replication: a follower
+#   bootstrapped + incrementally synced through the change feed must serve
+#   exactly the source's final LWW state (same SQL twin as the replay row).
 # cdc_zone_read_lineitem (round 5: the zone-map filtered serving scan)
 # rides the tail like cdc_point_read_lineitem — oracle-checked locally; the
 # pruning mechanics are pinned by tests/test_zone_maps.py.
@@ -137,6 +154,8 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 #   version intervals through the full engine vs a DuckDB running-max
 #   window twin.
 _TAIL = (
+    "union_counts",
+    "ngram_jaccard_pairs",
     "connected_components",
     "consolidate_winners",
     "cdc_zone_read_lineitem",

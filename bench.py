@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "cdc_minmax_mart_lineitem",
     # round-5 session-6: SCD-2 history view (per-key version intervals)
     "cdc_scd2_lineitem",
+    # round-5 session-8: lake→lake replication (feed → convert → apply)
+    "cdc_replicate_lineitem",
 ]
 
 

@@ -259,6 +259,44 @@ def cdc_point_read_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_replicate_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Lake→lake replication through the FULL engine (round 5, session 8):
+    4-epoch incremental replay, then ``replication.replicate`` mirrors the
+    lake into a follower in TWO syncs (bootstrap through epoch 2, then the
+    (2, 4] window) — each sync one change-feed window applied as one
+    follower epoch through the ordinary engine, with the two-phase
+    checkpoint recording the window before the apply. The follower
+    resolves by apply order (``_replica_seq``) and mirrors the source
+    ``seq`` as payload. Returned: the follower's visible rows
+    (``read_replica``), which must equal the source's final LWW state —
+    the SAME window-function oracle as ``cdc_replay_lineitem_epochs``,
+    so the row is green only if feed → convert → apply → serve loses
+    nothing. Reference analog: the change-log consumers that rebuild
+    derived stores wholesale (canonical_exporter.py:1943-2001), made
+    incremental and restartable."""
+    from .replication import read_replica, replicate
+
+    base = _run_base("repl")
+    try:
+        lake_dir, cfg = _replay_lineitem(sf_dir, base)
+        dst = os.path.join(base, "follower")
+        st = replicate(lake_dir, dst, cfg=cfg, max_epochs_per_sync=2)
+        if st["syncs"] != 2 or st["src_epoch"] != _EPOCHS:
+            # not assert: the gate must fail loudly even under python -O
+            raise ValueError(
+                f"replication did not take the two-sync path to epoch "
+                f"{_EPOCHS}: {st}")
+        out = (
+            read_replica(dst)
+            .select_columns(["l_partkey", "l_suppkey", "seq", "content",
+                             "content_sha256"])
+            .to_pandas()
+        )
+    finally:
+        _cleanup(base)
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
 def cdc_epoch_lineage_lineitem(sf_dir: str) -> pd.DataFrame:
     """Per-epoch lineage readback: cumulative live rows + tombstones after
     each committed epoch, reconstructed from the manifest's append-only
@@ -672,6 +710,18 @@ ORACLE_SQL: dict[str, str] = {
           AND op <> 'delete'
         ORDER BY l_partkey, l_suppkey
     """,
+    # the follower must serve EXACTLY the source's final LWW state — same
+    # twin as the replay row, reached through feed → convert → apply
+    "cdc_replicate_lineitem": f"""
+        WITH ev AS ({_EV_SQL})
+        SELECT l_partkey, l_suppkey, seq, content,
+               sha256(content) AS content_sha256
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                   ORDER BY seq DESC) = 1
+          AND op <> 'delete'
+        ORDER BY l_partkey, l_suppkey
+    """,
     "cdc_replay_lineitem_evolved": f"""
         WITH ev0 AS ({_EV_SQL}),
         b AS (SELECT max(seq) AS max_seq FROM ev0),
@@ -736,6 +786,7 @@ QUERIES = {
     "cdc_epoch_lineage_lineitem": cdc_epoch_lineage_lineitem,
     "cdc_point_read_lineitem": cdc_point_read_lineitem,
     "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
+    "cdc_replicate_lineitem": cdc_replicate_lineitem,
     "cdc_scd2_lineitem": cdc_scd2_lineitem,
     "cdc_zone_read_lineitem": cdc_zone_read_lineitem,
     "cdc_incremental_mart_lineitem": cdc_incremental_mart_lineitem,

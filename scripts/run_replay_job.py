@@ -118,6 +118,18 @@ def main() -> int:
                          "partition-partial kind: non-additive aggregates "
                          "refreshed by recomputing only the partitions the "
                          "epoch window touched")
+    ap.add_argument("--replicate-to", default=None, metavar="DIR",
+                    help="mirror the lake into a follower lake at DIR "
+                         "(pipelines/replication.py): bootstraps on first "
+                         "run, then each run syncs the follower to the "
+                         "source head one change-feed window per follower "
+                         "epoch; crash-safe via the follower's two-phase "
+                         "checkpoint. Re-running with no new source epochs "
+                         "reports syncs=0")
+    ap.add_argument("--replicate-window", type=int, default=None,
+                    metavar="N", help="max committed source epochs per "
+                                      "sync (default: all outstanding in "
+                                      "one window)")
     args = ap.parse_args()
 
     if "://" in args.lake or "://" in args.events:
@@ -296,6 +308,17 @@ def main() -> int:
                                                    cfg=cfg)
         else:
             out["mart"] = refresh_mart(args.lake, args.mart, cfg=cfg)
+    if args.replicate_to:
+        from horizon_etl_ray.pipelines.replication import (
+            read_replica,
+            replicate,
+        )
+
+        st = replicate(args.lake, args.replicate_to, cfg=cfg,
+                       max_epochs_per_sync=args.replicate_window)
+        out["replicate"] = {**st,
+                            "follower_rows": int(
+                                read_replica(args.replicate_to).count())}
     print(json.dumps(out))
     ray.shutdown()
     return 0
