@@ -329,6 +329,13 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
     Returns ``{"syncs": n, "src_epoch": applied-through,
     "dst_epoch": follower head}``."""
     cfg_eff = cfg or CdcConfig()
+    if cfg_eff.seq_column == REPLICA_SEQ:
+        raise ValueError(
+            "chain replication (a follower as the source) is not supported: "
+            f"the source's seq column is already {REPLICA_SEQ!r}, which the "
+            "follower needs for its own apply order. Replicate every "
+            "follower from the ORIGINAL source — followers of one source "
+            "are interchangeable by construction (same feed, same windows)")
     src_abs = os.path.abspath(src_lake)
     src_store = ManifestStore(src_lake)
     src_m = src_store.load()
@@ -446,5 +453,21 @@ def read_replica(dst_lake: str, include_tombstones: bool = False, **kw):
                                 "— not a replicate() follower")
     ds = read_lake(dst_lake, include_tombstones=include_tombstones,
                    cfg=_dst_cfg(ck), **kw)
+    drop = [c for c in (REPLICA_SEQ, "part_id") if c in ds.schema().names]
+    return ds.drop_columns(drop)
+
+
+def read_replica_keys(dst_lake: str, keys):
+    """Key-routed point read on a replicated follower (the follower is a
+    first-class lake, so ``cdc.read_lake_keys``'s owning-partitions-only
+    routing works unchanged — the follower's own manifest records its
+    routing width). Output shaped like ``read_replica``."""
+    from .cdc import read_lake_keys
+
+    ck = _load_ckpt(dst_lake)
+    if ck is None:
+        raise FileNotFoundError(f"{dst_lake} has no replication checkpoint "
+                                "— not a replicate() follower")
+    ds = read_lake_keys(dst_lake, keys, cfg=_dst_cfg(ck))
     drop = [c for c in (REPLICA_SEQ, "part_id") if c in ds.schema().names]
     return ds.drop_columns(drop)

@@ -410,3 +410,43 @@ def test_history_walk_matches_bruteforce(events, n_epochs):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# replication window algebra (pipelines/replication.py)
+# ---------------------------------------------------------------------------
+
+def _resolved(events):
+    """LWW-resolved LIVE state after the prefix: key -> (seq, payload)."""
+    rows = oracle_reduce([{"repo": "r", "path": str(k), "seq": s,
+                           "op": op, "q": q}
+                          for (k, op, q), s in
+                          zip(events, range(len(events)))])
+    return {key: (r["seq"], r["q"]) for key, r in rows.items()}
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy, st.integers(1, 6))
+def test_replication_window_algebra(events, n_windows):
+    """The contract replicate() leans on: for ANY split of the stream into
+    consecutive windows, applying each window's NET state diff (insert/
+    update -> upsert the after-row, delete -> drop the key) in window order
+    reproduces the final resolved state exactly — seq included, because the
+    feed carries seq-only re-assertions (include_seq_only). The follower
+    never sees the events themselves, only boundary-state diffs."""
+    bounds = sorted({min((i + 1) * max(1, len(events) // n_windows),
+                         len(events)) for i in range(n_windows)} | {len(events)})
+    follower: dict = {}
+    prev = {}
+    lo = 0
+    for hi in bounds:
+        cur = _resolved(events[:hi])
+        # the net diff a feed window (lo, hi] would carry
+        for key in set(prev) | set(cur):
+            if key in cur and prev.get(key) != cur[key]:
+                follower[key] = cur[key]          # insert/update (or seq-only)
+            elif key in prev and key not in cur:
+                follower.pop(key, None)           # delete
+        prev = cur
+        lo = hi
+    assert follower == _resolved(events)

@@ -398,3 +398,32 @@ def test_feed_to_events_null_seq_fence(tmp_path):
     out = feed_to_events(read_changes(src, 1, cfg=cfg), cfg,
                          allow_null_seq=True).to_pandas()
     assert out.loc[out.path == "k", "op"].item() == "delete"
+
+
+def test_chain_replication_fenced(gen_lake, tmp_path):
+    """A follower can't be a replication SOURCE (its seq column is the
+    replica order column); the fence names the fix."""
+    src, cfg = gen_lake
+    dst = str(tmp_path / "dst")
+    replicate(src, dst, cfg=cfg)
+    from horizon_etl_ray.pipelines.replication import _dst_cfg, _load_ckpt
+
+    with pytest.raises(ValueError, match="chain replication"):
+        replicate(dst, str(tmp_path / "gc"), cfg=_dst_cfg(_load_ckpt(dst)))
+
+
+def test_read_replica_keys_point_read(gen_lake, tmp_path):
+    """Key-routed point reads work on the follower (it is a first-class
+    lake with its own manifest routing width)."""
+    from horizon_etl_ray.pipelines.replication import read_replica_keys
+
+    src, cfg = gen_lake
+    dst = str(tmp_path / "dst")
+    replicate(src, dst, cfg=cfg, num_partitions=5)
+    full = _frame(read_replica(dst))
+    keys = [tuple(r) for r in
+            full[["repo", "path"]].head(4).itertuples(index=False)]
+    got = _frame(read_replica_keys(dst, keys))
+    want = full.merge(pd.DataFrame(keys, columns=["repo", "path"]),
+                      on=["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
