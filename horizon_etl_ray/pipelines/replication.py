@@ -100,6 +100,11 @@ def feed_to_events(feed, cfg: CdcConfig | None = None, *,
     def to_events(t: pa.Table) -> pa.Table:
         pay = [c[len("after_"):] for c in t.column_names
                if c.startswith("after_") and c[len("after_"):] != SHA_COL]
+        if not pay and "after" in t.column_names:
+            raise ValueError(
+                "feed_to_events needs the TYPED feed (before_*/after_* "
+                "columns); this feed was read with json_payload=True — "
+                "re-read it without that flag")
         is_del = pc.fill_null(pc.equal(t["op"], "delete"), False)
         if not allow_null_seq:
             bad = pc.sum(pc.and_(is_del, pc.is_null(t["seq"]))).as_py() or 0
@@ -325,6 +330,13 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
     Fences: a checkpoint tracking a different source refuses; a follower
     whose manifest epoch disagrees with the checkpoint (someone else wrote
     to it) refuses; a source whose committed head moved BACKWARDS refuses.
+
+    ``num_partitions`` / ``write_mode`` shape the follower at BOOTSTRAP
+    only; later calls read them from the checkpoint (pass them again or
+    not — they are ignored once the follower exists). The source's gc must
+    keep epochs back to the follower's applied position: a reclaimed
+    window file fails the sync loudly (read_changes' FileNotFoundError),
+    never serves a mixed state.
 
     Returns ``{"syncs": n, "src_epoch": applied-through,
     "dst_epoch": follower head}``."""
