@@ -139,6 +139,10 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 # cdc_zone_read_lineitem (round 5: the zone-map filtered serving scan)
 # rides the tail like cdc_point_read_lineitem — oracle-checked locally; the
 # pruning mechanics are pinned by tests/test_zone_maps.py.
+# cdc_bloom_read_lineitem (round 5, session 8: footer-bloom equality
+# pruning) rides the tail with its serving-read siblings — oracle-checked
+# locally; the pruning proof (poisoned non-matching bodies, footers
+# intact) is pinned by tests/test_bloom_index.py.
 # - consolidate_winners → cdc_incremental_mart_lineitem (round 5): the
 #   ordered-group-winner election (O4/D4) stays gated inside
 #   consolidate_repoint_links, which RUNS the same winner stage and then
@@ -154,6 +158,7 @@ from horizon_etl_ray.pipelines import analytics, corpus, engine_queries
 #   version intervals through the full engine vs a DuckDB running-max
 #   window twin.
 _TAIL = (
+    "cdc_bloom_read_lineitem",
     "union_counts",
     "ngram_jaccard_pairs",
     "connected_components",

@@ -91,6 +91,18 @@ class CdcConfig:
     # epochs); apply_epoch enforces this. Readers of a policy+delta lake must
     # pass cfg (read_lake/compact re-reduce with the policy).
     merge_policy: object | None = None
+    # Columns to BLOOM-INDEX per partition data file (functions/bloom.py:
+    # pack_column_bloom — int or string/binary columns). Zone maps prune
+    # range-refutable predicates; these prune high-cardinality EQUALITY
+    # predicates (content_sha256, a URL column) that min/max can't refute.
+    # The bloom rides each data file's parquet FOOTER metadata — no new
+    # files, no manifest growth — and read_lake(filter=("col", "==", v))
+    # probes footers only for zone-admitted partitions, skipping every
+    # partition whose files all PROVE absence. Sized ~10 bits/value (≈1%
+    # fpp), capped at 1 MiB of bits per file; over-full blooms degrade to
+    # admitting (pruning loss, never correctness loss). Opt-in: () writes
+    # nothing and the read path never touches footers.
+    bloom_columns: tuple[str, ...] = ()
     # Compression of the staged-exchange shuffle files. lz4 (default) is the
     # CPU-cheap choice when storage bandwidth is plentiful; zstd roughly
     # halves the bytes the exchange writes+reads — the right trade when the
@@ -278,6 +290,7 @@ class MergeWritePartition:
         atomic_write_table(
             os.path.join(self.lake_dir, f"part_id={pid}", f"epoch={self.epoch}.parquet"),
             lake,
+            metadata=_bloom_footer_meta(lake, cfg.bloom_columns),
         )
         return self._stats_row(pid, lake)
 
@@ -293,7 +306,9 @@ class MergeWritePartition:
         first_touch = pid not in self.prior
         path = (store.partition_file(pid, self.epoch) if first_touch
                 else store.delta_file(pid, self.epoch))
-        atomic_write_table(path, delta_rows)
+        atomic_write_table(path, delta_rows,
+                           metadata=_bloom_footer_meta(delta_rows,
+                                                       cfg.bloom_columns))
 
         # merge the NARROW index (not the payload) for digest/counts/offset —
         # under a policy the index re-reduces across epochs, which the
@@ -804,6 +819,81 @@ def compute_zone(t: pa.Table) -> dict:
     return zone
 
 
+BLOOM_META_KEY = "horizon.bloom"
+
+
+def _bloom_footer_meta(t: pa.Table, columns) -> dict | None:
+    """Footer metadata carrying per-column blooms for a partition data file
+    (CdcConfig.bloom_columns). Built over EVERY row (tombstones included —
+    a superset only ever admits, never wrongly refutes); columns the file
+    lacks or whose type the bloom can't hash are skipped (readers treat a
+    missing bloom as admit)."""
+    if not columns:
+        return None
+    import json as _json
+
+    from ..functions.bloom import pack_column_bloom
+
+    desc = {}
+    for c in columns:
+        if c not in t.column_names:
+            continue
+        try:
+            d = pack_column_bloom(t[c])
+        except TypeError:
+            continue
+        if d is not None:
+            desc[c] = d
+    return {BLOOM_META_KEY: _json.dumps(desc)} if desc else None
+
+
+def _bloom_prune(store: "ManifestStore", parts, eq_preds):
+    """Drop partitions whose data-file blooms PROVE no row satisfies the
+    equality predicates. Footer-only: each probe task reads parquet schema
+    metadata (tail KBs), never a row group; any doubt (file missing bloom /
+    unreadable footer / value possibly present) admits. Fan-out in chunks
+    so a 10^4-partition lake probes footers cluster-wide, not serially on
+    the driver."""
+    import json as _json
+
+    import ray
+
+    from ..functions.bloom import bloom_might_contain
+
+    def admit(files: list[str]) -> bool:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            try:
+                md = pq.read_schema(f).metadata or {}
+                raw = md.get(BLOOM_META_KEY.encode())
+            except Exception:
+                return True  # unreadable footer: cannot prove absence
+            if raw is None:
+                return True  # pre-bloom file
+            desc = _json.loads(raw)
+            if any(p[0] not in desc for p in eq_preds):
+                return True
+            if all(bloom_might_contain(desc[p[0]], p[2])
+                   for p in eq_preds):
+                return True  # this file might hold a satisfying row
+        return False  # every file refutes at least one predicate
+
+    file_lists = [store.partition_data_files(ps) for _, ps in parts]
+    if len(parts) <= 8:  # small lakes: not worth task overhead
+        mask = [admit(fl) for fl in file_lists]
+    else:
+        @ray.remote(num_cpus=1)
+        def admit_chunk(lists: list[list[str]]) -> list[bool]:
+            return [admit(fl) for fl in lists]
+
+        chunk = 64
+        refs = [admit_chunk.remote(file_lists[i:i + chunk])
+                for i in range(0, len(file_lists), chunk)]
+        mask = [a for r in ray.get(refs) for a in r]
+    return [pp for pp, ok in zip(parts, mask) if ok]
+
+
 # filter ops accepted by read_lake(filter=...): (col, op, value) or
 # (col, "between", lo, hi)
 _ZONE_OPS = ("==", "<", "<=", ">", ">=", "between")
@@ -980,6 +1070,14 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     every row, so the result is exact. Partitions whose zone predates the
     field or lacks the column are conservatively read.
 
+    When ``cfg.bloom_columns`` names the filtered column, ``==`` predicates
+    get a second pruning pass zones can't provide: each zone-admitted
+    partition's data-file FOOTERS carry per-column blooms
+    (``_bloom_footer_meta``), and a partition is skipped when every file's
+    bloom PROVES the value absent. Footer-only (tail KBs per file, fanned
+    out in Ray tasks); files without blooms admit, so the pass is safe on
+    mixed/pre-bloom lakes.
+
     Schema-version-aware: partitions last rewritten under an OLDER schema
     version are conformed to the manifest's current version in flight (the
     legacy-schema fallback reader of
@@ -1001,6 +1099,15 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
         # zone check admits it (any refuting zone proves no row matches)
         parts = [(pid, ps) for pid, ps in parts
                  if all(_zone_admits(ps.zone, p) for p in preds)]
+        # bloom pass for EQUALITY predicates on bloom-indexed columns:
+        # zones rarely refute high-cardinality equality, so probe the
+        # zone-admitted partitions' data-file FOOTERS (never a row group)
+        # and drop every partition whose files all prove absence
+        bloom_cols = tuple(cfg.bloom_columns) if cfg is not None else ()
+        eq_preds = [p for p in preds
+                    if p[1] == "==" and p[0] in bloom_cols]
+        if eq_preds and parts:
+            parts = _bloom_prune(store, parts, eq_preds)
         if not parts:
             # every partition pruned: an empty Dataset with the lake schema,
             # from footers only (never a full read plan — the read_lake_keys
@@ -1802,6 +1909,7 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
     keys, seq_col, op_col = list(cfg.key_columns), cfg.seq_column, cfg.op_column
 
     policy = cfg.merge_policy
+    bloom_cols = tuple(cfg.bloom_columns)
 
     @ray.remote(num_cpus=1)
     def compact_one(pid: int, srcs: list[str], dst: str, ps_dict: dict) -> dict:
@@ -1820,7 +1928,11 @@ def compact(lake_dir: str, cfg: CdcConfig | None = None,
             live = pc.invert(pc.fill_null(t["deleted"], False))
             d = len(t) - (pc.sum(live.cast(pa.int64())).as_py() or 0)
             t = t.filter(live)
-        atomic_write_table(dst, t)
+        # like the write path, the compacted base carries per-column blooms
+        # in its footer (a delta lake's blooms widen to the full payload
+        # here, same as its zones)
+        atomic_write_table(dst, t,
+                           metadata=_bloom_footer_meta(t, bloom_cols))
         # row_count is documented as LIVE rows (tombstones excluded) — when
         # tombstones are kept, len(t) would overcount
         tombs = 0 if drop_tombstones else int(ps_dict["tombstones"])

@@ -297,6 +297,45 @@ def cdc_replicate_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
 
 
+def cdc_bloom_read_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned equality serving scan through the FULL engine (round 5,
+    session 8): replay with ``bloom_columns=("content",)`` — every
+    partition data file carries a footer bloom over its content values —
+    then ``read_lake(filter=("content", "==", v))`` for a deterministic
+    high-cardinality value (the winner content of the smallest key, which
+    the SQL twin derives identically). Zones can't refute equality on a
+    string column whose values span the alphabet; the bloom pass skips
+    every partition whose files prove absence (mechanics pinned by
+    tests/test_bloom_index.py with poisoned non-matching bodies). Rides
+    the tail like the zone/point-read rows: oracle-checked locally via
+    scripts/check_parity.py."""
+    from .cdc import CdcConfig, read_lake, replay
+
+    base = _run_base("bloom")
+    events_dir = os.path.join(base, "events")
+    try:
+        _lineitem_events(sf_dir).write_parquet(events_dir,
+                                               partition_cols=["epoch"])
+        cfg = CdcConfig(key_columns=("l_partkey", "l_suppkey"),
+                        num_partitions=16, bloom_columns=("content",))
+        lake_dir = os.path.join(base, "lake")
+        replay(events_dir, lake_dir, cfg, mode="incremental")
+        # the target value, derived the same way the SQL twin does: the
+        # winner content of the first key in (l_partkey, l_suppkey) order —
+        # fetched through a zone-pruned slice, not a full scan
+        head = (read_lake(lake_dir, cfg=cfg,
+                          filter=("l_partkey", "<=", 5)).to_pandas()
+                .sort_values(["l_partkey", "l_suppkey"]))
+        target = head["content"].iloc[0]
+        out = (read_lake(lake_dir, cfg=cfg, filter=("content", "==", target))
+               .select_columns(["l_partkey", "l_suppkey", "seq", "content",
+                                "content_sha256"])
+               .to_pandas())
+    finally:
+        _cleanup(base)
+    return out.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
 def cdc_epoch_lineage_lineitem(sf_dir: str) -> pd.DataFrame:
     """Per-epoch lineage readback: cumulative live rows + tombstones after
     each committed epoch, reconstructed from the manifest's append-only
@@ -764,6 +803,27 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT epoch, live_rows, tombstones FROM per ORDER BY epoch
     """,
+    # the bloom row's target value is data-derived BUT deterministic: the
+    # winner content of the smallest key — both sides compute it from the
+    # same final LWW state, then select every key sharing that content
+    "cdc_bloom_read_lineitem": f"""
+        WITH ev AS ({_EV_SQL}),
+        w AS (
+            SELECT * FROM ev
+            QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                       ORDER BY seq DESC) = 1
+              AND op <> 'delete'
+        ),
+        tgt AS (
+            SELECT content FROM w
+            ORDER BY l_partkey, l_suppkey LIMIT 1
+        )
+        SELECT l_partkey, l_suppkey, seq, content,
+               sha256(content) AS content_sha256
+        FROM w
+        WHERE content = (SELECT content FROM tgt)
+        ORDER BY l_partkey, l_suppkey
+    """,
     # the key-level slice predicate commutes with the per-key LWW window
     # (all rows of a key share l_partkey), so WHERE-before-QUALIFY is the
     # exact semantics of point-reading those keys from the committed lake
@@ -787,6 +847,7 @@ QUERIES = {
     "cdc_point_read_lineitem": cdc_point_read_lineitem,
     "cdc_change_feed_lineitem": cdc_change_feed_lineitem,
     "cdc_replicate_lineitem": cdc_replicate_lineitem,
+    "cdc_bloom_read_lineitem": cdc_bloom_read_lineitem,
     "cdc_scd2_lineitem": cdc_scd2_lineitem,
     "cdc_zone_read_lineitem": cdc_zone_read_lineitem,
     "cdc_incremental_mart_lineitem": cdc_incremental_mart_lineitem,

@@ -76,14 +76,26 @@ def _fsync_dir(d: str) -> None:
         os.close(fd)
 
 
-def atomic_write_table(path: str, table, compression: str = "zstd") -> None:
+def atomic_write_table(path: str, table, compression: str = "zstd",
+                       metadata: dict | None = None) -> None:
     """Atomically write a pyarrow table as one parquet file.
 
     fsyncs the data AND the directory entry before/after the rename — the
     manifest commit (current.json) must never point at a data file whose
-    blocks a crash could still lose (the module-docstring protocol)."""
+    blocks a crash could still lose (the module-docstring protocol).
+
+    ``metadata``: extra key→value pairs merged into the parquet FOOTER
+    (schema metadata) — e.g. the per-file column blooms; footer-resident
+    so they share the file's atomicity and gc lifetime."""
     import pyarrow.parquet as pq
 
+    if metadata:
+        merged = dict(table.schema.metadata or {})
+        merged.update({
+            (k.encode() if isinstance(k, str) else k):
+            (v.encode() if isinstance(v, str) else v)
+            for k, v in metadata.items()})
+        table = table.replace_schema_metadata(merged)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}.{time.time_ns()}"
