@@ -874,8 +874,13 @@ def _bloom_prune(store: "ManifestStore", parts, eq_preds):
             desc = _json.loads(raw)
             if any(p[0] not in desc for p in eq_preds):
                 return True
-            if all(bloom_might_contain(desc[p[0]], p[2])
-                   for p in eq_preds):
+            def pred_admits(p) -> bool:
+                if p[1] == "in":
+                    return any(bloom_might_contain(desc[p[0]], v)
+                               for v in p[2])
+                return bloom_might_contain(desc[p[0]], p[2])
+
+            if all(pred_admits(p) for p in eq_preds):
                 return True  # this file might hold a satisfying row
         return False  # every file refutes at least one predicate
 
@@ -896,7 +901,7 @@ def _bloom_prune(store: "ManifestStore", parts, eq_preds):
 
 # filter ops accepted by read_lake(filter=...): (col, op, value) or
 # (col, "between", lo, hi)
-_ZONE_OPS = ("==", "<", "<=", ">", ">=", "between")
+_ZONE_OPS = ("==", "<", "<=", ">", ">=", "between", "in")
 
 
 def _zone_admits(zone: dict | None, filt: tuple) -> bool:
@@ -921,6 +926,9 @@ def _zone_admits(zone: dict | None, filt: tuple) -> bool:
             return hi is None or hi >= filt[2]
         if op == "between":
             return not (filt[3] < lo or (hi is not None and filt[2] > hi))
+        if op == "in":
+            return any(lo <= v and (hi is None or v <= hi)
+                       for v in filt[2])
     except TypeError:  # cross-type comparison: can't prove exclusion
         return True
     return True
@@ -944,6 +952,8 @@ def _filter_batch(t: pa.Table, filt: tuple) -> pa.Table:
     elif op == "between":
         mask = pc.and_(pc.greater_equal(c, filt[2]),
                        pc.less_equal(c, filt[3]))
+    elif op == "in":
+        mask = pc.is_in(c, value_set=pa.array(list(filt[2])))
     else:
         raise ValueError(f"unknown filter op {op!r} (want one of {_ZONE_OPS})")
     return t.filter(pc.fill_null(mask, False))
@@ -960,11 +970,13 @@ def _as_filter_list(filt) -> list[tuple]:
     for p in preds:
         if (not isinstance(p, tuple) or len(p) < 3
                 or p[1] not in _ZONE_OPS
-                or (p[1] == "between") != (len(p) == 4)):
+                or (p[1] == "between") != (len(p) == 4)
+                or (p[1] == "in" and not isinstance(p[2], (list, tuple,
+                                                           set, frozenset)))):
             raise ValueError(
                 f"filter must be (col, op, value) with op in {_ZONE_OPS}, "
-                f"(col, 'between', lo, hi), or a list of those (AND); "
-                f"got {p!r}")
+                f"(col, 'between', lo, hi), (col, 'in', [values...]), or a "
+                f"list of those (AND); got {p!r}")
     return preds
 
 
@@ -1060,7 +1072,8 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     partition, so the read stays streaming and parallel).
 
     ``filter``: ``(col, op, value)`` with op in ``== < <= > >=``,
-    ``(col, "between", lo, hi)``, or a LIST of those (implicit AND — a
+    ``(col, "between", lo, hi)``, ``(col, "in", [values...])``, or a LIST
+    of those (implicit AND — a
     partition is skipped when any predicate's zone refutes it, rows must
     satisfy all). Partitions whose manifest ZONE MAP
     (PartitionState.zone — per-column min/max recorded at write time)
@@ -1105,7 +1118,7 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
         # and drop every partition whose files all prove absence
         bloom_cols = tuple(cfg.bloom_columns) if cfg is not None else ()
         eq_preds = [p for p in preds
-                    if p[1] == "==" and p[0] in bloom_cols]
+                    if p[1] in ("==", "in") and p[0] in bloom_cols]
         if eq_preds and parts:
             parts = _bloom_prune(store, parts, eq_preds)
         if not parts:
