@@ -1151,11 +1151,20 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     else:
         ds = rd.read_parquet(
             [f for _, ps in parts for f in store.partition_data_files(ps)])
-        if script is not None:
-            ds = ds.map_batches(
-                lambda t: conform_table(t, script, version),
-                batch_format="pyarrow",
-            )
+
+        def _norm(t: pa.Table) -> pa.Table:
+            # hive inference types the part_id directory column as string;
+            # the delta/point paths emit int32 — normalize so the same lake
+            # reads with ONE schema whichever path serves it
+            if "part_id" in t.column_names \
+                    and t.schema.field("part_id").type != pa.int32():
+                i = t.schema.get_field_index("part_id")
+                t = t.set_column(i, "part_id",
+                                 pc.cast(t["part_id"], pa.int32()))
+            return conform_table(t, script, version) if script is not None \
+                else t
+
+        ds = ds.map_batches(_norm, batch_format="pyarrow")
     if filter is not None:
         def apply_all(t: pa.Table) -> pa.Table:
             for p in preds:

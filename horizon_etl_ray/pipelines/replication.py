@@ -297,6 +297,7 @@ def _dst_cfg(ck: dict) -> CdcConfig:
         num_partitions=int(ck["num_partitions"]),
         schema_script=_dst_script(ck),
         write_mode=ck.get("write_mode", "cow"),
+        bloom_columns=tuple(ck.get("bloom_columns", ())),
     )
 
 
@@ -364,6 +365,9 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
             "num_partitions": int(num_partitions
                                   or cfg_eff.num_partitions),
             "write_mode": write_mode,
+            # the follower serves too: carry the source's bloom indexing so
+            # replicated lakes answer equality scans with the same pruning
+            "bloom_columns": list(cfg_eff.bloom_columns),
             "applied_src_epoch": -1,
             "dst_epoch": 0,
             "src_schema_version": 0,

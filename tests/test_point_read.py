@@ -33,8 +33,8 @@ def _build(tmp_path, write_mode):
 
 
 def _canon(df):
-    # part_id is routing metadata, not state, and its presence/dtype differs
-    # between the hive-inferring full scan and per-file point reads
+    # part_id is routing metadata, not state — drop it from state compares
+    # (every read path emits it as int32; test_part_id_dtype_parity pins it)
     df = df.drop(columns=["part_id"], errors="ignore")
     return (df.sort_values(KCOLS).reset_index(drop=True)
             [sorted(df.columns)])
@@ -129,3 +129,19 @@ def test_legacy_manifest_width_stays_unverified(ray_session, tmp_path):
     assert store.load().num_partitions is None
     store.commit_epoch(cur.epoch + 1, [], num_partitions=32)  # no fence hit
     assert store.load().num_partitions is None  # and no laundering
+
+
+def test_part_id_dtype_parity(tmp_path):
+    """Every read path serves the SAME schema for the same lake: the cow
+    scan's hive-inferred part_id (a directory string) is normalized to the
+    int32 the delta merge / point-read / time-travel paths emit."""
+    from horizon_etl_ray.pipelines.cdc import read_lake_at
+
+    lake, cfg = _build(tmp_path, "cow")
+    want = pa.int32()
+    key = tuple(read_lake(lake, cfg=cfg).to_pandas()[KCOLS].iloc[0])
+    for ds in (read_lake(lake),
+               read_lake_keys(lake, [key], cfg=cfg),
+               read_lake_at(lake, 1, cfg=cfg)):
+        s = ds.schema(fetch_if_missing=True)
+        assert s.types[s.names.index("part_id")] == want

@@ -427,3 +427,39 @@ def test_read_replica_keys_point_read(gen_lake, tmp_path):
     want = full.merge(pd.DataFrame(keys, columns=["repo", "path"]),
                       on=["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_follower_inherits_bloom_indexing(tmp_path):
+    """Replicating a bloom-indexed lake produces a bloom-indexed follower:
+    the checkpoint carries bloom_columns, so equality scans on the
+    follower prune from footers too (proven with poisoned bystanders)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cfg = CdcConfig(key_columns=("repo", "path"), num_partitions=6,
+                    bloom_columns=("content",))
+    apply_epoch(_ev([_row("r", f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(40)]), src, 1, cfg)
+    replicate(src, dst, cfg=cfg)
+    got = read_replica(dst, filter=("content", "==", "v13")).to_pandas()
+    assert got.content.tolist() == ["v13"]
+    # pruning proof on the FOLLOWER: poison every non-owner body (footer
+    # kept valid), the filtered read must still answer from footers
+    owner = None
+    store = ManifestStore(dst)
+    m = store.load()
+    import pyarrow.parquet as pq
+
+    for pid, ps in m.partitions.items():
+        for f in store.partition_data_files(ps):
+            t = pq.read_table(f)
+            if "v13" in t["content"].to_pylist():
+                owner = pid
+    assert owner is not None
+    for pid, ps in m.partitions.items():
+        if pid == owner:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "r+b") as fh:
+                fh.seek(4)
+                fh.write(b"\xde\xad\xbe\xef" * 16)
+    got = read_replica(dst, filter=("content", "==", "v13")).to_pandas()
+    assert got.content.tolist() == ["v13"]
