@@ -82,8 +82,11 @@ def bloom_contains(packed: np.ndarray, keys: np.ndarray,
 def value_hash64(arr) -> np.ndarray:
     """Stable uint64 hash of an Arrow array's values (must agree between
     the writer and every future reader, so: ints are their own hash;
-    strings/binary hash through the vectorized single-block MD5 head —
-    content-defined, process- and version-independent)."""
+    strings hash through the vectorized single-block MD5 head —
+    content-defined, process- and version-independent). Binary columns are
+    NOT supported (md5_head64_of_strs encodes str values; a bytes cell
+    would crash mid-write) — the writer skips them via this TypeError and
+    the reader admits conservatively."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -92,13 +95,12 @@ def value_hash64(arr) -> np.ndarray:
     if pa.types.is_integer(ty):
         return arr.cast(pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.uint64)
-    if pa.types.is_string(ty) or pa.types.is_large_string(ty) \
-            or pa.types.is_binary(ty):
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
         from .hashing import md5_head64_of_strs
 
         vals = arr.to_numpy(zero_copy_only=False)
         return md5_head64_of_strs(vals)
-    raise TypeError(f"bloom-indexed column must be integer or string/binary, "
+    raise TypeError(f"bloom-indexed column must be integer or string, "
                     f"got {ty}")
 
 

@@ -1116,7 +1116,13 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
         # zones rarely refute high-cardinality equality, so probe the
         # zone-admitted partitions' data-file FOOTERS (never a row group)
         # and drop every partition whose files all prove absence
-        bloom_cols = tuple(cfg.bloom_columns) if cfg is not None else ()
+        # Sound for LWW only: the resolved row is some file's row verbatim,
+        # so one file witnesses every predicate at once. A merge POLICY
+        # synthesizes resolved values ACROSS files (widen min/max), which
+        # no single file's bloom can witness — skip the pass entirely there
+        # (zones still apply; they are recomputed over resolved rows).
+        bloom_cols = (tuple(cfg.bloom_columns)
+                      if cfg is not None and cfg.merge_policy is None else ())
         eq_preds = [p for p in preds
                     if p[1] in ("==", "in") and p[0] in bloom_cols]
         if eq_preds and parts:
@@ -1378,7 +1384,8 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
 
 def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                  cfg: CdcConfig | None = None, json_payload: bool = False,
-                 changed_fields: bool = False, include_seq_only: bool = False):
+                 changed_fields: bool = False, include_seq_only: bool = False,
+                 conform_version: int | None = None):
     """CHANGE FEED: the per-key NET changes between two committed epochs —
     what a downstream consumer (cache invalidation, incremental mart
     refresh) must apply to move from the state as of ``from_epoch`` to the
@@ -1488,7 +1495,15 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                 from_ps[ps.part_id] = ps
             elif ps.epoch == e:  # written AT e; carried rows are pruned
                 window.setdefault(ps.part_id, []).append((e, ps))
-    script, version = cfg_eff.schema_script, m.schema_version
+    # conform_version: the schema version the before/after payload is
+    # rewritten to. Default = the lake's CURRENT committed version (the
+    # reader-facing convention everywhere else); consumers replaying a lag
+    # window (replication) pass the version AS OF the window end so the
+    # feed is a pure function of (from, to) — crash-retried syncs see
+    # byte-identical rows even after later DDL commits.
+    script = cfg_eff.schema_script
+    version = (m.schema_version if conform_version is None
+               else min(int(conform_version), m.schema_version))
 
     needed = [f for pid, evs in window.items()
               for ps in ([from_ps[pid]] if pid in from_ps else [])

@@ -107,7 +107,9 @@ def feed_to_events(feed, cfg: CdcConfig | None = None, *,
                 "re-read it without that flag")
         is_del = pc.fill_null(pc.equal(t["op"], "delete"), False)
         if not allow_null_seq:
-            bad = pc.sum(pc.and_(is_del, pc.is_null(t["seq"]))).as_py() or 0
+            # the feed names its winner-seq column after cfg.seq_column
+            bad = pc.sum(pc.and_(is_del,
+                                 pc.is_null(t[seq_col]))).as_py() or 0
             if bad:
                 raise ValueError(
                     f"{bad} delete row(s) carry a null seq (their tombstone "
@@ -118,7 +120,7 @@ def feed_to_events(feed, cfg: CdcConfig | None = None, *,
 
         def project(part: pa.Table, side: str) -> pa.Table:
             cols: dict[str, Any] = {k: part[k] for k in kcols}
-            cols[seq_col] = part["seq"]
+            cols[seq_col] = part[seq_col]
             cols[op_col] = part["op"]
             for c in pay:
                 cols[c] = part[side + c]
@@ -227,6 +229,10 @@ def _window_end(store: ManifestStore, pos: int, to_epoch: int | None,
     """End of the next consumption window: the ``max_epochs``-th committed
     epoch past ``pos`` (clamped to ``to_epoch`` / the lake head). None when
     nothing new is committed."""
+    if max_epochs is not None and max_epochs < 1:
+        raise ValueError(
+            f"max_epochs must be >= 1, got {max_epochs} (0 would silently "
+            "return the FULL outstanding window, inverting the bound)")
     m = store.load()
     if m.epoch < 0:
         return None
@@ -284,7 +290,13 @@ def _dst_script(ck: dict):
     from ..stages.schema_evolution import SchemaScript, _dtype
 
     base = [(n, _dtype(t)) for n, t in ck["script_base_fields"]]
-    ops = sorted(ck["script_ops"],
+    # pending ops are IN FORCE: the in-flight window's data may already be
+    # committed (crash between apply and ack), and declaring its renames a
+    # sync early is harmless — conform's rename chain accepts either
+    # spelling, and the epochs the ops key to don't exist until the apply
+    all_ops = list(ck["script_ops"]) + list(
+        (ck.get("pending") or {}).get("ops", []))
+    ops = sorted(all_ops,
                  key=lambda o: (o["epoch"], o.get("name", o.get("from", ""))))
     return SchemaScript(base_fields=base, ops=ops)
 
@@ -293,6 +305,7 @@ def _dst_cfg(ck: dict) -> CdcConfig:
     return CdcConfig(
         key_columns=tuple(ck["key_columns"]),
         seq_column=REPLICA_SEQ,
+        op_column=ck.get("op_column", "op"),
         content_column=ck["content_column"],
         num_partitions=int(ck["num_partitions"]),
         schema_script=_dst_script(ck),
@@ -361,6 +374,7 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
             "src_lake": src_abs,
             "key_columns": list(cfg_eff.key_columns),
             "seq_column": cfg_eff.seq_column,
+            "op_column": cfg_eff.op_column,
             "content_column": cfg_eff.content_column,
             "num_partitions": int(num_partitions
                                   or cfg_eff.num_partitions),
@@ -383,19 +397,34 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
                 f"follower {dst_lake} replicates {ck['src_lake']}, not "
                 f"{src_abs}; refusing to mix sources")
         if (ck["key_columns"] != list(cfg_eff.key_columns)
-                or ck["seq_column"] != cfg_eff.seq_column):
+                or ck["seq_column"] != cfg_eff.seq_column
+                or ck.get("op_column", cfg_eff.op_column)
+                != cfg_eff.op_column):
             raise ValueError(
                 f"follower {dst_lake} was built with keys "
-                f"{ck['key_columns']}/{ck['seq_column']}, cfg has "
-                f"{list(cfg_eff.key_columns)}/{cfg_eff.seq_column}")
+                f"{ck['key_columns']}/{ck['seq_column']}/"
+                f"{ck.get('op_column')}, cfg has "
+                f"{list(cfg_eff.key_columns)}/{cfg_eff.seq_column}/"
+                f"{cfg_eff.op_column}")
         if src_m.epoch < ck["applied_src_epoch"]:
             raise ValueError(
                 f"source head {src_m.epoch} is behind the follower's "
                 f"applied position {ck['applied_src_epoch']} — wrong "
                 "source, or the source was rebuilt; rebuild the follower")
-    # foreign-writer fence: the follower must be owned by replication
+    # foreign-writer fence: the follower must be owned by replication.
+    # replicate() commits follower epochs starting at 1, so "-1 committed"
+    # (empty) is the only state equivalent to checkpoint position 0 — a
+    # lake whose head is literally epoch 0 was written by someone else
+    # (the old max(epoch, 0) clamp let such a lake slip through bootstrap
+    # and get replicated ON TOP of, review finding).
     dst_m = ManifestStore(dst_lake).load()
-    dst_committed = max(dst_m.epoch, 0)
+    dst_committed = dst_m.epoch
+    if dst_committed == -1:
+        dst_committed = 0  # empty follower ≡ nothing applied yet
+    elif dst_committed == 0:
+        raise ValueError(
+            f"{dst_lake} has a committed epoch 0, which replicate() never "
+            "writes — it is a foreign lake; pick an empty directory")
     expected = {ck["dst_epoch"]}
     if ck.get("pending"):
         expected.add(ck["pending"]["dst_epoch"])  # crashed mid-apply
@@ -417,14 +446,32 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
             if to is None:
                 break
             de = int(ck["dst_epoch"]) + 1
-            ck["pending"] = {"to_epoch": to, "dst_epoch": de}
+            # DDL the window ships, re-keyed at this follower epoch — into
+            # the PENDING record, so a crash between the apply and the ack
+            # never leaves committed follower data whose renames the
+            # checkpoint doesn't yet declare (read_replica would serve a
+            # both-spellings schema until the retry)
+            ops = []
+            if cfg_eff.schema_script is not None:
+                old_v = int(ck["src_schema_version"])
+                new_v = cfg_eff.schema_script.schema_version(to)
+                ops = [{**op, "epoch": de}
+                       for op in cfg_eff.schema_script.ops[old_v:new_v]]
+            ck["pending"] = {"to_epoch": to, "dst_epoch": de, "ops": ops}
             atomic_write_json(_ckpt_path(dst_lake), ck)
 
         # include_seq_only: a later writer re-asserting identical content
         # advances the source winner's seq without a visible payload change
-        # — an exact mirror must follow it, so those rows join the window
+        # — an exact mirror must follow it, so those rows join the window.
+        # conform_version pins the feed to the schema AS OF the window end:
+        # the rows then match exactly the DDL ops this sync carries, and a
+        # crash-retried window is byte-identical even if the source
+        # committed further DDL in between.
+        ver_to = (cfg_eff.schema_script.schema_version(to)
+                  if cfg_eff.schema_script else None)
         feed = read_changes(src_lake, int(ck["applied_src_epoch"]), to,
-                            cfg=cfg_eff, include_seq_only=True)
+                            cfg=cfg_eff, include_seq_only=True,
+                            conform_version=ver_to)
         ev = feed_to_events(feed, cfg_eff, allow_null_seq=True)
 
         def add_rseq(t: pa.Table, _de=de) -> pa.Table:
@@ -434,17 +481,12 @@ def replicate(src_lake: str, dst_lake: str, cfg: CdcConfig | None = None, *,
         ev = ev.map_batches(add_rseq, batch_format="pyarrow",
                             batch_size=None)
 
-        # carry source DDL the window applied, re-keyed at this follower
-        # epoch, BEFORE the apply (the conform stage needs them in force)
-        if cfg_eff.schema_script is not None:
-            old_v = int(ck["src_schema_version"])
-            new_v = cfg_eff.schema_script.schema_version(to)
-            for op in cfg_eff.schema_script.ops[old_v:new_v]:
-                ck["script_ops"].append({**op, "epoch": de})
-            ck["src_schema_version"] = new_v
-
         apply_epoch(ev, dst_lake, de, _dst_cfg(ck))
 
+        ck["script_ops"].extend(ck["pending"].get("ops", []))
+        if cfg_eff.schema_script is not None:
+            ck["src_schema_version"] = \
+                cfg_eff.schema_script.schema_version(to)
         ck["applied_src_epoch"] = to
         ck["dst_epoch"] = de
         ck["pending"] = None

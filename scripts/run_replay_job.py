@@ -309,16 +309,19 @@ def main() -> int:
         else:
             out["mart"] = refresh_mart(args.lake, args.mart, cfg=cfg)
     if args.replicate_to:
-        from horizon_etl_ray.pipelines.replication import (
-            read_replica,
-            replicate,
-        )
+        from horizon_etl_ray.pipelines.replication import replicate
+        from horizon_etl_ray.state.manifest import ManifestStore
 
         st = replicate(args.lake, args.replicate_to, cfg=cfg,
                        max_epochs_per_sync=args.replicate_window)
+        # live-row count from the follower's manifest (maintained per
+        # commit) — a read_replica().count() here would re-scan the whole
+        # follower just for a status line (review finding)
+        fm = ManifestStore(args.replicate_to).load()
         out["replicate"] = {**st,
                             "follower_rows": int(
-                                read_replica(args.replicate_to).count())}
+                                sum(ps.row_count
+                                    for ps in fm.partitions.values()))}
     print(json.dumps(out))
     ray.shutdown()
     return 0

@@ -463,3 +463,94 @@ def test_follower_inherits_bloom_indexing(tmp_path):
                 fh.write(b"\xde\xad\xbe\xef" * 16)
     got = read_replica(dst, filter=("content", "==", "v13")).to_pandas()
     assert got.content.tolist() == ["v13"]
+
+
+def test_custom_seq_and_op_columns_mirror(tmp_path):
+    """Review fix: feed_to_events read the literal \"seq\" and the follower
+    cfg dropped op_column — a source with renamed engine columns must
+    mirror exactly."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cfg = CdcConfig(key_columns=("repo", "path"), seq_column="version",
+                    op_column="operation", num_partitions=4)
+    rows = [{"repo": "r", "path": f"k{i}", "version": i + 1,
+             "operation": "update", "content": f"v{i}"} for i in range(8)]
+    apply_epoch(_ev(rows), src, 1, cfg)
+    apply_epoch(_ev([{"repo": "r", "path": "k2", "version": 50,
+                      "operation": "delete", "content": None}]), src, 2, cfg)
+    replicate(src, dst, cfg=cfg, max_epochs_per_sync=1)
+    a = _frame(read_lake(src, cfg=cfg))
+    b = _frame(read_replica(dst))
+    pd.testing.assert_frame_equal(a, b)
+    assert "version" in b.columns and len(b) == 7
+
+
+def test_lag_window_conforms_to_window_end_schema(tmp_path, monkeypatch):
+    """Review fix: a sync window ending BEFORE a later-committed rename must
+    ship the window-end schema (pre-rename), not the source's current one —
+    the mid-catch-up follower serves exactly the source's as-of state."""
+    from horizon_etl_ray.pipelines.cdc import read_lake_at
+    from horizon_etl_ray.stages.schema_evolution import SchemaScript
+
+    script = SchemaScript.from_json(
+        base_fields=[("repo", pa.string()), ("path", pa.string()),
+                     ("content", pa.string()), ("flag", pa.string())],
+        script=[{"epoch": 3, "op": "rename_column", "from": "flag",
+                 "to": "status_flag"}])
+    cfg = CdcConfig(key_columns=("repo", "path"), num_partitions=4,
+                    schema_script=script)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    apply_epoch(_ev([{**_row("r", f"k{i}", i + 1, "update", f"v{i}"),
+                      "flag": "a"} for i in range(8)]), src, 1, cfg)
+    replicate(src, dst, cfg=cfg)  # bootstrap at epoch 1 (pre-rename)
+    apply_epoch(_ev([{**_row("r", "k1", 100, "update", "v1b"),
+                      "flag": "b"}]), src, 2, cfg)
+    apply_epoch(_ev([{**_row("r", "k2", 101, "update", "v2b"),
+                      "status_flag": "c"}]), src, 3, cfg)  # rename epoch
+
+    # crash after the FIRST of the two outstanding syncs: the follower has
+    # applied exactly window (1, 2], whose end predates the rename
+    import horizon_etl_ray.pipelines.replication as repl
+
+    real_apply = repl.apply_epoch
+    calls = {"n": 0}
+
+    def crash_second(ev, lake, epoch, cfg_):
+        calls["n"] += 1
+        if calls["n"] == 2:  # BEFORE the second window touches the follower
+            raise RuntimeError("injected")
+        return real_apply(ev, lake, epoch, cfg_)
+
+    monkeypatch.setattr(repl, "apply_epoch", crash_second)
+    with pytest.raises(RuntimeError, match="injected"):
+        replicate(src, dst, cfg=cfg, max_epochs_per_sync=1)
+    mid = _frame(read_replica(dst))
+    # pre-rename spelling, matching the source AS OF epoch 2 exactly
+    # (read_lake_at itself conforms to the source's CURRENT schema, so the
+    # expectation maps the spelling back)
+    assert "flag" in mid.columns and "status_flag" not in mid.columns
+    want = _frame(read_lake_at(src, 2, cfg=cfg)
+                  .map_batches(lambda t: t.rename_columns(
+                      [c if c != "status_flag" else "flag"
+                       for c in t.column_names]),
+                      batch_format="pyarrow"))
+    pd.testing.assert_frame_equal(mid, want)
+    # resume ships the rename and converges on the live mirror
+    monkeypatch.setattr(repl, "apply_epoch", real_apply)
+    replicate(src, dst, cfg=cfg, max_epochs_per_sync=1)
+    pd.testing.assert_frame_equal(_frame(read_replica(dst)),
+                                  _frame(read_lake(src, cfg=cfg)))
+
+
+def test_zero_max_epochs_and_epoch0_foreign_lake_fences(gen_lake, tmp_path):
+    src, cfg = gen_lake
+    with pytest.raises(ValueError, match="max_epochs"):
+        replicate(src, str(tmp_path / "d"), cfg=cfg, max_epochs_per_sync=0)
+    cur = FeedCursor(src, str(tmp_path / "c.json"), cfg=cfg)
+    with pytest.raises(ValueError, match="max_epochs"):
+        cur.poll(max_epochs=0)
+    # a foreign lake whose head is epoch 0 must be refused at bootstrap
+    foreign = str(tmp_path / "foreign")
+    apply_epoch(_ev([_row("r", "x", 1, "update", "v")]), foreign, 0,
+                CdcConfig(**CFG))
+    with pytest.raises(ValueError, match="foreign lake"):
+        replicate(src, foreign, cfg=cfg)
