@@ -515,6 +515,32 @@ def read_replica(dst_lake: str, include_tombstones: bool = False, **kw):
     return ds.drop_columns(drop)
 
 
+def compact_follower(dst_lake: str, **kw) -> dict:
+    """Lake maintenance on a follower without tripping the foreign-writer
+    fence: runs ``cdc.compact`` under the follower's own cfg (reconciling
+    delta files, dropping tombstones, gc'ing superseded epochs) and then
+    records the compaction epoch in the replication checkpoint — the next
+    ``replicate()`` sees a follower exactly where the checkpoint says.
+    Refuses while a sync is pending (the compaction epoch number would
+    collide with the in-flight window's). Extra kwargs pass to ``compact``
+    (``drop_tombstones``, ``gc_old_epochs``)."""
+    from .cdc import compact
+
+    ck = _load_ckpt(dst_lake)
+    if ck is None:
+        raise FileNotFoundError(f"{dst_lake} has no replication checkpoint "
+                                "— not a replicate() follower")
+    if ck.get("pending"):
+        raise ValueError(
+            f"follower {dst_lake} has a pending sync (window to "
+            f"{ck['pending']['to_epoch']}); run replicate() to finish or "
+            "retry it before compacting")
+    out = compact(dst_lake, cfg=_dst_cfg(ck), **kw)
+    ck["dst_epoch"] = int(out["epoch"])
+    atomic_write_json(_ckpt_path(dst_lake), ck)
+    return out
+
+
 def read_replica_keys(dst_lake: str, keys):
     """Key-routed point read on a replicated follower (the follower is a
     first-class lake, so ``cdc.read_lake_keys``'s owning-partitions-only

@@ -118,6 +118,14 @@ def main() -> int:
                          "partition-partial kind: non-additive aggregates "
                          "refreshed by recomputing only the partitions the "
                          "epoch window touched")
+    ap.add_argument("--changes-cursor", default=None, metavar="CKPT",
+                    help="checkpointed incremental feed consumption "
+                         "(replication.FeedCursor): reads the net changes "
+                         "since the checkpoint's acked position, writes "
+                         "them under --changes-out/window=<from>-<to>/ "
+                         "(if given), and acks ONLY after the write lands "
+                         "— re-running after a crash re-delivers the same "
+                         "window. No new epochs → mode=noop")
     ap.add_argument("--replicate-to", default=None, metavar="DIR",
                     help="mirror the lake into a follower lake at DIR "
                          "(pipelines/replication.py): bootstraps on first "
@@ -308,6 +316,30 @@ def main() -> int:
                                                    cfg=cfg)
         else:
             out["mart"] = refresh_mart(args.lake, args.mart, cfg=cfg)
+    if args.changes_cursor:
+        from horizon_etl_ray.pipelines.replication import FeedCursor
+
+        cur = FeedCursor(args.lake, args.changes_cursor, cfg=cfg)
+        got = cur.poll(changed_fields=args.changed_fields)
+        if got is None:
+            out["changes_cursor"] = {"mode": "noop",
+                                     "position": cur.position()}
+        else:
+            feed, fr, to = got
+            rec = {"mode": "window", "from_epoch": fr, "to_epoch": to}
+            if args.changes_out:
+                dst = os.path.join(args.changes_out, f"window={fr}-{to}")
+                _fresh_export_dir(ap, dst, "--changes-out window")
+                feed.write_parquet(dst)
+                rec["written"] = dst
+                import ray.data as rd
+
+                rec["rows"] = int(rd.read_parquet(
+                    dst, columns=["op"]).count())
+            else:
+                rec["rows"] = int(feed.count())
+            cur.ack(to)  # consumption is durable — advance the position
+            out["changes_cursor"] = rec
     if args.replicate_to:
         from horizon_etl_ray.pipelines.replication import replicate
         from horizon_etl_ray.state.manifest import ManifestStore

@@ -554,3 +554,41 @@ def test_zero_max_epochs_and_epoch0_foreign_lake_fences(gen_lake, tmp_path):
                 CdcConfig(**CFG))
     with pytest.raises(ValueError, match="foreign lake"):
         replicate(src, foreign, cfg=cfg)
+
+
+def test_compact_follower_then_keep_syncing(tmp_path):
+    """Follower maintenance: a delta follower accumulates per-sync files;
+    compact_follower reconciles them THROUGH the checkpoint (the plain
+    cdc.compact would advance the follower's epoch behind replicate's back
+    and trip the foreign-writer fence), and replication continues."""
+    from horizon_etl_ray.pipelines.cdc import compact
+    from horizon_etl_ray.pipelines.replication import compact_follower
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cfg = CdcConfig(**CFG)
+    apply_epoch(_ev([_row("r", f"k{i}", i + 1, "update", f"v{i}")
+                     for i in range(12)]), src, 1, cfg)
+    apply_epoch(_ev([_row("r", "k1", 100, "update", "v1b"),
+                     _row("r", "k2", 101, "delete", None)]), src, 2, cfg)
+    replicate(src, dst, cfg=cfg, max_epochs_per_sync=1, write_mode="delta")
+
+    # plain compact breaks the ownership contract: the NEXT sync refuses
+    compact(dst, cfg=CdcConfig(key_columns=("repo", "path"),
+                               seq_column="_replica_seq", num_partitions=4),
+            gc_old_epochs=False)
+    apply_epoch(_ev([_row("r", "k3", 102, "update", "v3b")]), src, 3, cfg)
+    with pytest.raises(ValueError, match="outside replicate"):
+        replicate(src, dst, cfg=cfg)
+
+    # rebuild and do it the supported way
+    import shutil
+
+    shutil.rmtree(dst)
+    replicate(src, dst, cfg=cfg, max_epochs_per_sync=1, write_mode="delta")
+    st = compact_follower(dst)
+    assert st["tombstones_dropped"] >= 1
+    st2 = replicate(src, dst, cfg=cfg)
+    assert st2["syncs"] == 0  # already caught up through epoch 3
+    apply_epoch(_ev([_row("r", "k4", 103, "update", "v4b")]), src, 4, cfg)
+    replicate(src, dst, cfg=cfg)
+    _assert_mirror(src, dst, cfg)
