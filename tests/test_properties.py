@@ -450,3 +450,37 @@ def test_replication_window_algebra(events, n_windows):
         prev = cur
         lo = hi
     assert follower == _resolved(events)
+
+
+# ---------------------------------------------------------------------------
+# partition-file bloom kernel (functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(-2**40, 2**40), min_size=0, max_size=200),
+       st.integers(-2**40, 2**40))
+def test_bloom_never_wrongly_refutes_ints(vals, probe):
+    """The pruning contract is one-sided: every written value must probe
+    True (False is a PROOF of absence used to skip partitions)."""
+    from horizon_etl_ray.functions.bloom import (bloom_might_contain,
+                                                 pack_column_bloom)
+
+    d = pack_column_bloom(pa.array(vals, pa.int64()))
+    for v in vals:
+        assert bloom_might_contain(d, v)
+    if probe in vals:
+        assert bloom_might_contain(d, probe)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(max_size=24), min_size=0, max_size=120),
+       st.text(max_size=24))
+def test_bloom_never_wrongly_refutes_strings(vals, probe):
+    from horizon_etl_ray.functions.bloom import (bloom_might_contain,
+                                                 pack_column_bloom)
+
+    d = pack_column_bloom(pa.array(vals, pa.string()))
+    for v in vals:
+        assert bloom_might_contain(d, v)
+    if probe in vals:
+        assert bloom_might_contain(d, probe)
