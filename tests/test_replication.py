@@ -592,3 +592,30 @@ def test_compact_follower_then_keep_syncing(tmp_path):
     apply_epoch(_ev([_row("r", "k4", 103, "update", "v4b")]), src, 4, cfg)
     replicate(src, dst, cfg=cfg)
     _assert_mirror(src, dst, cfg)
+
+
+def test_replicate_streaming_written_source(tmp_path):
+    """Replication is writer-agnostic like the feed it rides: a follower of
+    a lake written by the streaming partition-owning actors mirrors it
+    exactly, syncing epoch by epoch as the stream commits."""
+    from horizon_etl_ray.pipelines.streaming import StreamingUpserter
+
+    gen = EventGenConfig(n_keys=100, n_events=1200, seed=13, epoch_size=400,
+                         p_delete=0.2, content_mean_bytes=32)
+    ev = str(tmp_path / "ev")
+    write_events(gen, ev)
+    cfg = CdcConfig(num_partitions=8)
+    lake_s, dst = str(tmp_path / "s"), str(tmp_path / "dst")
+    up = StreamingUpserter(lake_s, cfg, num_shards=2)
+    try:
+        for e in range(3):
+            files = [os.path.join(ev, f"epoch={e}", f)
+                     for f in sorted(os.listdir(
+                         os.path.join(ev, f"epoch={e}")))]
+            up.apply_epoch(rd.read_parquet(files), e)
+            # follower chases the live stream between commits
+            replicate(lake_s, dst, cfg=cfg)
+            _assert_mirror(lake_s, dst, cfg)
+    finally:
+        up.shutdown()
+    _assert_mirror(lake_s, dst, cfg)
