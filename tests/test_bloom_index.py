@@ -213,3 +213,22 @@ def test_in_predicate_row_zone_and_bloom(tmp_path):
     # without bloom help
     assert read_lake(lake, cfg=cfg,
                      filter=("size", "in", [10**9])).count() == 0
+
+
+def test_prune_fanout_path_many_partitions(tmp_path):
+    """Lakes wider than 8 partitions probe footers in Ray tasks (chunks of
+    64) — same refutations as the driver path, proven with poisoned
+    bystander bodies."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(key_columns=("repo", "path"), num_partitions=24,
+                    bloom_columns=("content",))
+    apply_epoch(_ev(_rows(200)), lake, 1, cfg)
+    full = read_lake(lake, cfg=cfg).to_pandas()
+    target = "v123"
+    owner = int(full.loc[full.content == target, "part_id"].iloc[0])
+    _corrupt_bodies_except(lake, {owner})
+    got = read_lake(lake, cfg=cfg,
+                    filter=("content", "==", target)).to_pandas()
+    assert got.content.tolist() == [target]
+    assert read_lake(lake, cfg=cfg,
+                     filter=("content", "==", "absent")).count() == 0
