@@ -1186,6 +1186,51 @@ def read_lake(lake_dir: str, include_tombstones: bool = False,
     return ds
 
 
+def _route_key_rows(store: "ManifestStore", m, cfg_eff: "CdcConfig", keys):
+    """Normalize + dedupe caller keys, TYPE-FENCE them against the lake's
+    stored key column types (ADVICE r4: a pa.array-inferred type that
+    hashes differently would route to the wrong partition and come back
+    silently empty — same-group mismatches cast, cross-group raise), and
+    route each to its owning partition. Returns ``(rows, by_pid)``; shared
+    by read_lake_keys and the key-routed change feed."""
+    kcols = list(cfg_eff.key_columns)
+    nparts = m.num_partitions or cfg_eff.num_partitions
+    rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+    rows = list(dict.fromkeys(rows))  # dedupe, keep caller order
+    if len(rows) == 0:
+        raise ValueError("key-routed reads need at least one key")
+    if any(len(r) != len(kcols) for r in rows):
+        raise ValueError(f"keys must have {len(kcols)} parts ({kcols})")
+    ktab = pa.table({c: pa.array([r[i] for r in rows])
+                     for i, c in enumerate(kcols)})
+    lake_schema = None
+    for _, ps in sorted(m.partitions.items()):
+        try:
+            import pyarrow.parquet as pq
+
+            lake_schema = pq.read_schema(
+                store.partition_file(ps.part_id, ps.resolved_base_epoch()))
+            break
+        except Exception:
+            continue
+    if lake_schema is not None:
+        cast_cols = {}
+        for c in kcols:
+            have, want = ktab[c].type, lake_schema.field(c).type
+            if _type_group(have) != _type_group(want):
+                raise TypeError(
+                    f"key column {c!r}: caller passed {have} but the lake "
+                    f"stores {want} — routing would silently miss; pass "
+                    "keys with the stored types")
+            cast_cols[c] = ktab[c].cast(want)
+        ktab = pa.table(cast_cols)
+    pids = partition_ids(ktab, kcols, nparts)
+    by_pid: dict[int, list[tuple]] = {}
+    for r, pid in zip(rows, pids):
+        by_pid.setdefault(int(pid), []).append(r)
+    return rows, by_pid
+
+
 def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
                    include_tombstones: bool = False):
     """Key-routed point read: the committed state of SPECIFIC keys, opening
@@ -1215,46 +1260,8 @@ def read_lake_keys(lake_dir: str, keys, cfg: CdcConfig | None = None,
     m = store.load()
     if not m.partitions:
         raise FileNotFoundError(f"no committed partitions in {lake_dir}")
-    nparts = m.num_partitions or cfg_eff.num_partitions
 
-    rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
-    rows = list(dict.fromkeys(rows))  # dedupe, keep caller order
-    if len(rows) == 0:
-        raise ValueError("read_lake_keys needs at least one key")
-    if any(len(r) != len(kcols) for r in rows):
-        raise ValueError(f"keys must have {len(kcols)} parts ({kcols})")
-    ktab = pa.table({c: pa.array([r[i] for r in rows])
-                     for i, c in enumerate(kcols)})
-    # Route with the LAKE's key column types, not pa.array-inferred ones
-    # (ADVICE r4): a caller passing e.g. an int for a string key would hash
-    # differently in key_hash_pair, route to the wrong partition and come
-    # back silently empty. Same-group mismatches (int32 vs int64) are cast;
-    # cross-group mismatches (int vs string — a caller bug) raise.
-    lake_schema = None
-    for _, ps in sorted(m.partitions.items()):
-        try:
-            import pyarrow.parquet as pq
-
-            lake_schema = pq.read_schema(
-                store.partition_file(ps.part_id, ps.resolved_base_epoch()))
-            break
-        except Exception:
-            continue
-    if lake_schema is not None:
-        cast_cols = {}
-        for c in kcols:
-            have, want = ktab[c].type, lake_schema.field(c).type
-            if _type_group(have) != _type_group(want):
-                raise TypeError(
-                    f"key column {c!r}: caller passed {have} but the lake "
-                    f"stores {want} — routing would silently miss; pass "
-                    "keys with the stored types")
-            cast_cols[c] = ktab[c].cast(want)
-        ktab = pa.table(cast_cols)
-    pids = partition_ids(ktab, kcols, nparts)
-    by_pid: dict[int, list[tuple]] = {}
-    for r, pid in zip(rows, pids):
-        by_pid.setdefault(int(pid), []).append(r)
+    rows, by_pid = _route_key_rows(store, m, cfg_eff, keys)
 
     script, version = cfg_eff.schema_script, m.schema_version
 
@@ -1385,7 +1392,7 @@ def read_lake_at(lake_dir: str, epoch: int, cfg: CdcConfig | None = None,
 def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                  cfg: CdcConfig | None = None, json_payload: bool = False,
                  changed_fields: bool = False, include_seq_only: bool = False,
-                 conform_version: int | None = None):
+                 conform_version: int | None = None, keys=None):
     """CHANGE FEED: the per-key NET changes between two committed epochs —
     what a downstream consumer (cache invalidation, incremental mart
     refresh) must apply to move from the state as of ``from_epoch`` to the
@@ -1416,6 +1423,11 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
         rows (before == after payload, new ``seq``) — consumers that must
         mirror the lake EXACTLY, seq included (``replication.replicate``),
         need them; cache-invalidation consumers don't.
+        ``keys=[...]`` turns the feed into a KEY-ROUTED POINT FEED: only
+        the partitions owning those keys are diffed (manifest-width
+        routing + the read_lake_keys type fence), with an exact key filter
+        on the result — "what changed for THESE entities" without paying
+        for the window's other partitions.
       - ``epoch``: the window epoch whose commit produced the after-state —
         for an LWW lake this is exactly the epoch of the winning (max-seq)
         event, computed as the last window epoch at which the key's resolved
@@ -1495,6 +1507,17 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
                 from_ps[ps.part_id] = ps
             elif ps.epoch == e:  # written AT e; carried rows are pruned
                 window.setdefault(ps.part_id, []).append((e, ps))
+    # keys: the KEY-ROUTED point feed — "what changed for THESE keys in the
+    # window". Routing restricts the diff to the partitions that own the
+    # keys (same manifest-width hashing + type fence as read_lake_keys, so
+    # a 3-key feed over a 10^4-partition lake diffs 3 partitions), then an
+    # exact per-row key filter trims the owning partitions' other changes.
+    key_rows = None
+    if keys is not None:
+        key_rows, by_pid_k = _route_key_rows(store, m, cfg_eff, keys)
+        own = set(by_pid_k)
+        window = {pid: evs for pid, evs in window.items() if pid in own}
+
     # conform_version: the schema version the before/after payload is
     # rewritten to. Default = the lake's CURRENT committed version (the
     # reader-facing convention everywhere else); consumers replaying a lag
@@ -1725,6 +1748,22 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
             cols["changed_fields"] = pa.array([], pa.list_(pa.string()))
         refs = [ray.put(pa.table(cols))]
     ds = rd.from_arrow_refs(refs)
+    if key_rows is not None:
+        keyset = set(key_rows)
+
+        def keep_keys(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            # exact tuple membership; batches here are the OWNING
+            # partitions' window changes only (small by construction — the
+            # routing above did the heavy pruning)
+            vals = [t[c].to_numpy(zero_copy_only=False) for c in kcols]
+            mask = np.fromiter((tup in keyset for tup in zip(*vals)),
+                               dtype=bool, count=len(t))
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(keep_keys, batch_format="pyarrow",
+                            batch_size=None)
     if json_payload:
         def to_json_cols(df: pd.DataFrame) -> pd.DataFrame:
             bcols = [c for c in df.columns if c.startswith("before_")]

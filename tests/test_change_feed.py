@@ -426,3 +426,57 @@ def test_feed_across_schema_evolution_window(tmp_path):
            .sort_values("path"))
     assert (df3["op"] == "insert").all()
     assert list(df3["after_body"]) == ["a3", "b1"]  # B conformed via rename
+
+
+def test_key_routed_point_feed(tmp_path):
+    """read_changes(keys=...) — the point feed: equals the full feed
+    filtered to the keys, and diffs ONLY the owning partitions (proven by
+    corrupting every other partition's files, footers included)."""
+    gen = EventGenConfig(n_keys=120, n_events=1500, seed=29, epoch_size=500,
+                         p_delete=0.2, content_mean_bytes=40)
+    ev, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_events(gen, ev)
+    cfg = CdcConfig(num_partitions=8)
+    replay(ev, lake, cfg, mode="incremental")
+
+    full = (read_changes(lake, 0, cfg=cfg).to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(full) > 10
+    want_keys = [tuple(r) for r in
+                 full[["repo", "path"]].head(3).itertuples(index=False)]
+    got = (read_changes(lake, 0, cfg=cfg, keys=want_keys).to_pandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    exp = (full.merge(pd.DataFrame(want_keys, columns=["repo", "path"]),
+                      on=["repo", "path"])
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # pruning proof: poison every NON-owning partition wholesale — the
+    # point feed must still answer
+    from horizon_etl_ray.functions.hashing import partition_ids
+    import pyarrow as pa
+
+    ktab = pa.table({"repo": [k[0] for k in want_keys],
+                     "path": [k[1] for k in want_keys]})
+    owners = {int(p) for p in partition_ids(ktab, ["repo", "path"], 8)}
+    store = ManifestStore(lake)
+    for pid, ps in store.load().partitions.items():
+        if pid in owners:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "wb") as fh:
+                fh.write(b"poisoned")
+    got2 = (read_changes(lake, 0, cfg=cfg, keys=want_keys).to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, exp)
+    # an absent key routed to a poisoned partition still fails LOUDLY if
+    # its owner's files are gone (never a silent empty): use a key owned
+    # by a poisoned partition
+    victim = next(iter(set(range(8)) - owners))
+    for i in range(1000):
+        kt = pa.table({"repo": [f"zz{i}"], "path": ["p"]})
+        if int(partition_ids(kt, ["repo", "path"], 8)[0]) == victim:
+            with pytest.raises(Exception):
+                read_changes(lake, 0, cfg=cfg,
+                             keys=[(f"zz{i}", "p")]).to_pandas()
+            break
