@@ -71,6 +71,11 @@ def main() -> int:
     ap.add_argument("--changes-out", default=None, metavar="DIR",
                     help="with --changes: also write the feed as parquet "
                          "to DIR (the downstream-consumer handoff)")
+    ap.add_argument("--changes-key", action="append", default=None,
+                    metavar="REPO,PATH",
+                    help="restrict --changes to these keys (repeatable): "
+                         "the KEY-ROUTED point feed — only the owning "
+                         "partitions are diffed")
     ap.add_argument("--changed-fields", action="store_true",
                     help="with --changes: include the per-field "
                          "attribution column in the feed")
@@ -213,8 +218,10 @@ def main() -> int:
         win = args.changes.split(",")
         fr = int(win[0])
         to = int(win[1]) if len(win) > 1 else None
+        fkeys = ([tuple(k.split(",", 1)) for k in args.changes_key]
+                 if args.changes_key else None)
         feed = read_changes(args.lake, fr, to, cfg=cfg,
-                            changed_fields=args.changed_fields)
+                            changed_fields=args.changed_fields, keys=fkeys)
         if args.changes_out:
             _fresh_export_dir(ap, args.changes_out, "--changes-out")
             feed.write_parquet(args.changes_out)
