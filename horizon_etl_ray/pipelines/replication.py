@@ -193,6 +193,13 @@ class FeedCursor:
         position. ``max_epochs`` bounds the window to that many COMMITTED
         epochs (sparse epoch numbering safe); extra kwargs pass through to
         ``read_changes`` (``json_payload``, ``changed_fields``, ...)."""
+        if "keys" in feed_kwargs:
+            raise ValueError(
+                "FeedCursor.poll does not take keys: acking a key-filtered "
+                "window would advance the position past every OTHER key's "
+                "changes without delivering them. Use read_changes(keys=...)"
+                " directly for point feeds, or a separate cursor per "
+                "consumer")
         pos = self.position()
         to = _window_end(ManifestStore(self.lake_dir), pos, to_epoch,
                          max_epochs)

@@ -619,3 +619,12 @@ def test_replicate_streaming_written_source(tmp_path):
     finally:
         up.shutdown()
     _assert_mirror(lake_s, dst, cfg)
+
+
+def test_cursor_refuses_key_filtered_polls(gen_lake, tmp_path):
+    """Acking a key-filtered window would silently skip every other key's
+    changes — the cursor refuses the composition outright."""
+    src, cfg = gen_lake
+    cur = FeedCursor(src, str(tmp_path / "c.json"), cfg=cfg)
+    with pytest.raises(ValueError, match="key-filtered"):
+        cur.poll(keys=[("repo1", "p1")])
