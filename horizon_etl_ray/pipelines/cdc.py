@@ -1811,7 +1811,7 @@ def read_changes(lake_dir: str, from_epoch: int, to_epoch: int | None = None,
 
 
 def read_history(lake_dir: str, to_epoch: int | None = None,
-                 cfg: CdcConfig | None = None):
+                 cfg: CdcConfig | None = None, keys=None):
     """SCD-2 HISTORY VIEW: one row per VERSION each key's visible state ever
     held, with its validity interval in commit epochs — the standard serving
     view downstream of a change feed (a dimension-table history a warehouse
@@ -1870,6 +1870,16 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
         raise FileNotFoundError(f"no committed epochs in {lake_dir}")
     to_eff = m.epoch if to_epoch is None else min(to_epoch, m.epoch)
     window = _window_partitions(store, -1, to_eff)
+    # keys: the KEY-ROUTED point history — walk only the partitions that
+    # own the keys (same routing + type fence as read_lake_keys), exact
+    # key filter on the version rows. A per-entity audit lookup on a lake
+    # without a materialized history table (history.read_history_keys is
+    # the equivalent on one).
+    key_rows = None
+    if keys is not None:
+        key_rows, by_pid_k = _route_key_rows(store, m, cfg_eff, keys)
+        own = set(by_pid_k)
+        window = {pid: evs for pid, evs in window.items() if pid in own}
     _check_files(store, window, f"history to epoch {to_eff}")
     script, version = cfg_eff.schema_script, m.schema_version
 
@@ -1923,7 +1933,21 @@ def read_history(lake_dir: str, to_epoch: int | None = None,
         cols["valid_to_epoch"] = pa.array([], pa.int64())
         cols["is_current"] = pa.array([], pa.bool_())
         refs = [ray.put(pa.table(cols))]
-    return rd.from_arrow_refs(refs)
+    ds = rd.from_arrow_refs(refs)
+    if key_rows is not None:
+        keyset = set(key_rows)
+
+        def keep_keys(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            vals = [t[c].to_numpy(zero_copy_only=False) for c in kcols]
+            mask = np.fromiter((tup in keyset for tup in zip(*vals)),
+                               dtype=bool, count=len(t))
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(keep_keys, batch_format="pyarrow",
+                            batch_size=None)
+    return ds
 
 
 def lake_global_digest(lake_dir: str, key_columns=DEFAULT_KEYS,

@@ -337,3 +337,46 @@ def test_policy_aggregates_respect_the_seq_fence(tmp_path):
     assert list(df["qty_max"]) == [5, 9]
     assert list(df["content"]) == ["a1", "a1"]  # same winner payload
     assert list(df["is_current"]) == [False, True]
+
+
+def test_key_routed_point_history(tmp_path):
+    """read_history(keys=...) — per-entity audit lookup without a
+    materialized table: equals the full walk filtered to the keys and
+    opens ONLY the owning partitions (poisoned-bystander proof)."""
+    from horizon_etl_ray.functions.hashing import partition_ids
+
+    gen = EventGenConfig(n_keys=80, n_events=1200, seed=31, epoch_size=400,
+                         p_delete=0.2, content_mean_bytes=40)
+    ev, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_events(gen, ev)
+    cfg = CdcConfig(num_partitions=8)
+    replay(ev, lake, cfg, mode="incremental")
+
+    full = (read_history(lake, cfg=cfg).to_pandas()
+            .sort_values(["repo", "path", "valid_from_epoch"])
+            .reset_index(drop=True))
+    want_keys = [tuple(r) for r in full[["repo", "path"]]
+                 .drop_duplicates().head(3).itertuples(index=False)]
+    got = (read_history(lake, cfg=cfg, keys=want_keys).to_pandas()
+           .sort_values(["repo", "path", "valid_from_epoch"])
+           .reset_index(drop=True))
+    exp = (full.merge(pd.DataFrame(want_keys, columns=["repo", "path"]),
+                      on=["repo", "path"])
+           .sort_values(["repo", "path", "valid_from_epoch"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    ktab = pa.table({"repo": [k[0] for k in want_keys],
+                     "path": [k[1] for k in want_keys]})
+    owners = {int(p) for p in partition_ids(ktab, ["repo", "path"], 8)}
+    store = ManifestStore(lake)
+    for pid, ps in store.load().partitions.items():
+        if pid in owners:
+            continue
+        for f in store.partition_data_files(ps):
+            with open(f, "wb") as fh:
+                fh.write(b"poisoned")
+    got2 = (read_history(lake, cfg=cfg, keys=want_keys).to_pandas()
+            .sort_values(["repo", "path", "valid_from_epoch"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, exp)
