@@ -83,6 +83,11 @@ def main() -> int:
                     help="after the replay, read the SCD-2 history view "
                          "(per-key version intervals) and print version/"
                          "current counts")
+    ap.add_argument("--history-key", action="append", default=None,
+                    metavar="REPO,PATH",
+                    help="restrict --history to these keys (repeatable): "
+                         "the key-routed per-entity audit — only the "
+                         "owning partitions are walked")
     ap.add_argument("--history-to", type=int, default=None, metavar="EPOCH",
                     help="with --history: truncate the view at this epoch "
                          "(default: the committed epoch)")
@@ -241,7 +246,10 @@ def main() -> int:
     if args.history:
         from horizon_etl_ray.pipelines.cdc import read_history
 
-        hist = read_history(args.lake, to_epoch=args.history_to, cfg=cfg)
+        hkeys = ([tuple(k.split(",", 1)) for k in args.history_key]
+                 if args.history_key else None)
+        hist = read_history(args.lake, to_epoch=args.history_to, cfg=cfg,
+                            keys=hkeys)
         if args.history_out:
             _fresh_export_dir(ap, args.history_out, "--history-out")
             hist.write_parquet(args.history_out)
